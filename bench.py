@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline set (the driver
+compares it against BASELINE.md).  Each query is fully materialized
+(count + a tiny collect) so lazy plans can't fake speed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sfs3_kinesis_spark.plans import REGISTRY  # noqa: E402
+from sfs3_kinesis_spark.session import get_spark  # noqa: E402
+
+#: the headline set: one per operator family + the heavy LLM ops.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_volume",
+    "window_topk_orders_per_customer",
+    "events_sessionization",
+    "correlate_requests_events",
+    "pipeline_run",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("sfs3-kinesis-spark-bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        df = spec.spark(spark, sf_dir)
+        df.count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Multimodal column conventions + processing operators.
+
+Images / audio / video are opaque ``binary`` columns with a typed
+metadata struct alongside (SURVEY task brief).  The Spark-side
+plumbing — schema, partition sizing, Arrow batch shape through
+``mapInPandas`` — is real and tested; the actual codec calls are
+STUBBED (image/audio libraries are not in this container) behind a
+deterministic fake, clearly marked below.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal schema: payload + typed metadata.
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("byte_len", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def with_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap, codec-free metadata: byte length + content hash.
+    Pure built-ins — this is the fast path that runs on every byte
+    of a 100 TB corpus, so it must not touch Python."""
+    return df.withColumn("byte_len", F.octet_length(payload_col).cast("long")).withColumn(
+        "sha256", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests: treat document text bytes as an opaque
+    payload so the multimodal plumbing is exercised by the fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+    )
+
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_and_featurize(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
+
+    STUB: real codecs (PIL / ffmpeg / torchaudio) are unavailable in
+    this container.  ``_fake_decode`` derives a deterministic
+    FEATURE_DIM-vector from the payload bytes so the operator's
+    distributed shape — per-partition Arrow batch iteration, stable
+    output schema, no driver collect — is fully real and testable.
+    Swap ``_fake_decode`` for the codec call in production.
+    """
+
+    def _fake_decode(payload: bytes) -> list[float]:
+        if payload is None:
+            raise NotImplementedError("real codec path not available in this container")
+        # deterministic fake: byte histogram folded to FEATURE_DIM buckets
+        acc = [0] * FEATURE_DIM
+        for i, byte in enumerate(payload[:4096]):
+            acc[byte % FEATURE_DIM] += 1
+        total = max(sum(acc), 1)
+        return [a / total for a in acc]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": [_fake_decode(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 16) -> DataFrame:
+    """Frame sampling for video-like payloads, as pure built-ins:
+    slice the payload at a fixed stride into ≤ ``max_frames`` chunks
+    (stand-in for keyframe extraction; the partitioning story — one
+    row in, ≤k rows out via explode — matches the real operator)."""
+    return (
+        df.select(
+            "media_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, least(int(octet_length(payload) / {every_n_bytes}), {max_frames - 1})), "
+                    f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+                )
+            ).alias("frame_no", "frame_bytes"),
+        )
+        .withColumn("frame_len", F.octet_length("frame_bytes").cast("long"))
+    )

@@ -1,0 +1,174 @@
+"""The staged-enrichment pipeline — the reference's core compute.
+
+Reference semantics (``/root/reference/s3-for-process-data/
+aprocess.js``): a fixed chain stepA→…→stepF where each stage
+
+1. reads the per-transaction state document (``aprocess.js:51-54``),
+2. checks a precondition predicate — "previous stage's output key
+   exists" (``aprocess.js:192-214``),
+3. merges its output under a stage-specific key
+   (``doc[outputKey] = result``, ``aprocess.js:57``),
+4. writes the document back (``aprocess.js:58``),
+
+with any stage error publishing a FAILED status event
+(``aprocess.js:78-82`` et al.) and the terminal stage publishing
+SUCCEEDED plus fanning out a downstream sub-pipeline
+(``aprocess.js:165-190``).
+
+Spark-first design: the document is a row of a keyed DataFrame with
+one typed struct column per stage; each stage is a ``withColumn``
+whose value is gated by ``F.when(predicate, result)``.  A NULL stage
+column *is* the reference's missing JSON key, so the predicate for
+stage N is simply ``col(stage N-1).isNotNull()``.  Catalyst collapses
+the whole chain into a single whole-stage-codegen projection — the
+six process hops of the reference become zero extra passes, and the
+plan scales embarrassingly (pure per-row map, no shuffle) at any data
+size.  Incremental (micro-batch) execution with retry/requeue
+semantics lives in ``streaming.incremental``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SUCCEEDED = "SUCCEEDED"
+FAILED = "FAILED"
+
+
+@dataclass(frozen=True)
+class Step:
+    """One pipeline stage.
+
+    ``result`` is an arbitrary Column expression (typically a
+    ``F.struct``) — the engine equivalent of the reference's
+    host-language stage functions (``aprocess.js:64-135``; the
+    reference's UDF surface, SURVEY.md §2.11).
+
+    ``gate_on``: name of the stage column whose presence is this
+    stage's precondition (``None`` == always run, like
+    ``stepAInputPredicate`` at ``aprocess.js:192-194``).
+
+    ``fail_if``: optional fault-injection predicate; rows matching it
+    behave like a thrown stage error (output NULL → every later gate
+    blocks → terminal status FAILED, mirroring ``aprocess.js:78-82``).
+    """
+
+    name: str
+    output_col: str
+    result: Column
+    gate_on: Optional[str] = None
+    fail_if: Optional[Column] = None
+
+    def predicate(self) -> Column:
+        if self.gate_on is None:
+            return F.lit(True)
+        return F.col(self.gate_on).isNotNull()
+
+
+def reference_steps() -> list[Step]:
+    """The six stages with the reference's literal outputs
+    (``aprocess.js:68-74,89-92,105-107,120,129,177-179``)."""
+    return [
+        Step(
+            "step-a",
+            "step_a_output",
+            F.struct(
+                F.lit("ok").alias("status"),
+                F.lit("nothing to share").alias("details"),
+                F.lit("a1").alias("stepAOutput1"),
+                F.lit(False).alias("stepAOutput2"),
+                F.lit(123).cast("long").alias("stepAOutput3"),
+            ),
+        ),
+        Step(
+            "step-b",
+            "step_b_output",
+            F.struct(F.lit("p1").alias("property1"), F.lit("p2").alias("property2")),
+            gate_on="step_a_output",
+        ),
+        Step(
+            "step-c",
+            "step_c_output",
+            F.struct(F.lit("i like c").alias("cProperty")),
+            gate_on="step_b_output",
+        ),
+        Step("step-d", "step_d_output", F.struct(F.lit("d output").alias("d")), gate_on="step_c_output"),
+        Step("step-e", "step_e_output", F.struct(F.lit("e output").alias("e")), gate_on="step_d_output"),
+        Step(
+            "step-f",
+            "step_f_output",
+            F.struct(
+                F.concat(F.lit("downstream:"), F.col("txn_id")).alias("downstreamExecutionArn")
+            ),
+            gate_on="step_e_output",
+        ),
+    ]
+
+
+def run_pipeline(requests: DataFrame, steps: Optional[Sequence[Step]] = None) -> DataFrame:
+    """Run the staged pipeline in batch over ``requests``.
+
+    ``requests`` needs a ``txn_id`` column (plus any payload
+    columns).  Returns the completed process-state DataFrame with one
+    struct column per stage and a terminal ``status`` column
+    (SUCCEEDED iff every gate passed — the reference's terminal
+    notification, ``aprocess.js:182``).
+
+    This is a single narrow projection: no shuffle, no Python, fully
+    whole-stage-codegen — identical cost per row at sf0.001 and at
+    100 TB (scales linearly with input splits).
+    """
+    steps = list(steps) if steps is not None else reference_steps()
+    df = requests
+    for step in steps:
+        result = step.result
+        if step.fail_if is not None:
+            result = F.when(~step.fail_if, result)  # error ⇒ missing output key
+        df = df.withColumn(step.output_col, F.when(step.predicate(), result))
+    terminal = steps[-1].output_col
+    df = df.withColumn(
+        "status",
+        F.when(F.col(terminal).isNotNull(), F.lit(SUCCEEDED)).otherwise(F.lit(FAILED)),
+    )
+    return df
+
+
+def status_events(state: DataFrame, event_time: Optional[Column] = None) -> DataFrame:
+    """Project the terminal notification records
+    ``{txnId, status}`` (``aprocess.js:148-163``), keyed/partitioned
+    by txn_id for per-key ordering (PartitionKey=txnId,
+    ``aprocess.js:157``).  ``event_id`` = txn_id + stage is the
+    idempotency key that upgrades the reference's fire-and-forget
+    send to effective exactly-once under replays (SURVEY.md §7)."""
+    ts = event_time if event_time is not None else F.current_timestamp()
+    return state.select(
+        F.col("txn_id"),
+        F.col("status"),
+        ts.alias("event_time"),
+        F.concat_ws("/", F.col("txn_id"), F.lit("step-f")).alias("event_id"),
+    ).repartition("txn_id")
+
+
+def run_downstream(envelopes: DataFrame) -> DataFrame:
+    """The downstream sub-pipeline: three identity stages
+    (``/root/reference/s3-for-process-data/downstream.js:1-15``).
+    Identity maps — Catalyst eliminates them; documented as explicit
+    no-op stages for parity."""
+    df = envelopes
+    for _ in range(3):
+        df = df.select("*")
+    return df
+
+
+def to_document_json(state: DataFrame) -> DataFrame:
+    """Open-map JSON view of the typed state row — parity with the
+    reference's dynamic whole-document representation
+    (``JSON.stringify(body)``, ``aprocess.js:36``)."""
+    payload = [c for c in state.columns if c != "txn_id"]
+    return state.select(
+        "txn_id", F.to_json(F.struct(*[F.col(c) for c in payload])).alias("document")
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the LSH
+(random-hyperplane) bucketed variant is the 100 TB scale path — it
+turns the candidate set from |corpus| × |queries| into per-bucket
+joins.  All linear algebra is built-in higher-order functions
+(``zip_with`` / ``aggregate``), JVM-side and codegen'd — no Python
+in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+NORM = "sqrt(aggregate(transform({a}, x -> x * x), 0D, (acc, x) -> acc + x))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "v", out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, F.expr(NORM.format(a=vec_col)))
+
+
+def cosine(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    return F.expr(DOT.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against
+    the corpus, score with codegen'd expressions, then per-query
+    row_number — Spark executes the ranking as a windowed top-k, and
+    the corpus is scanned exactly once regardless of k.
+
+    Returns (query_id, cand_id, rnk, cosine).
+    """
+    cand = with_norm(
+        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "v",
+        "nv",
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")),
+        "qv",
+        "nq",
+    )
+    scored = cand.crossJoin(F.broadcast(q)).withColumn("cos", cosine("v", "qv", "nv", "nq"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def cosine_pairs_above(
+    embeddings: DataFrame, *, threshold: float, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """All pairs (a < b) with cosine > threshold.  Exact O(n²)
+    scoring — correct at fixture scale; at corpus scale use
+    :func:`lsh_bucketed_pairs` to prune candidates first."""
+    e = with_norm(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "v",
+        "n",
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG so
+    results are reproducible without numpy state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    n_planes: int = 12,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH — sign-bit signature →
+    bucket equi-join → exact cosine verify on candidates only.
+    Recall < 1 by design; raise ``n_planes`` bands or OR-construct
+    multiple tables for higher recall."""
+    planes = random_hyperplanes(dim, n_planes)
+    plane_arr = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    e = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("planes", plane_arr)
+        .withColumn(
+            "sig",
+            F.expr(
+                "aggregate(transform(planes, p -> CASE WHEN "
+                + DOT.format(a="p", b="v")
+                + " > 0D THEN 1L ELSE 0L END), "
+                "named_struct('acc', 0L, 'i', 0), "
+                "(s, bit) -> named_struct('acc', s.acc * 2 + bit, 'i', s.i + 1), s -> s.acc)"
+            ),
+        )
+        .drop("planes")
+    )
+    e = with_norm(e, "v", "n")
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), F.col("sig").alias("sa"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), F.col("sig").alias("sb"))
+    return (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )

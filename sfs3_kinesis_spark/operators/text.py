@@ -1,0 +1,73 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (codegen'd, zero Python): token
+counting, quality scoring, language-ID heuristic, fingerprinting
+(see ``operators.dedup.fingerprint``).  Each has an exact ANSI-SQL
+twin so the DuckDB oracle can verify values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny stopword inventories for the language-ID heuristic — small
+#: on purpose so the oracle SQL stays writable.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+}
+
+
+def _count_in(tokens_col: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens_col}, x -> array_contains(array({arr}), x)))"
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / distinct ratio / mean token length / stopword
+    ratio — the standard quality-filter features."""
+    df = docs.withColumn("toks", F.split(F.col(text_col), " "))
+    return (
+        df.withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn("n_distinct", F.size(F.array_distinct("toks")).cast("long"))
+        .withColumn("distinct_ratio", F.round(F.col("n_distinct") / F.col("n_tokens"), 4))
+        .withColumn(
+            "avg_token_len",
+            F.round((F.length(text_col) - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.expr(_count_in("toks", STOPWORDS["en"])) / F.col("n_tokens"), 4),
+        )
+    )
+
+
+def with_quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical
+    diversity + stopword presence (a C4/Gopher-style static filter,
+    expressed as one arithmetic column)."""
+    df = with_token_stats(docs) if "n_tokens" not in docs.columns else docs
+    length_score = F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 1.0).otherwise(0.5)
+    diversity_score = F.least(F.col("distinct_ratio") * 2, F.lit(1.0))
+    stop_score = F.when(F.col("stopword_ratio") > 0, 1.0).otherwise(0.0)
+    return df.withColumn(
+        "quality_score", F.round((length_score + diversity_score + stop_score) / 3, 4)
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID.  Deterministic and SQL-twinnable;
+    a production system would swap in a fastText-style model via
+    pandas_udf — the operator shape (narrow projection) is identical."""
+    df = docs.withColumn("toks", F.split(F.col(text_col), " "))
+    for lang, words in STOPWORDS.items():
+        df = df.withColumn(f"n_{lang}", F.expr(_count_in("toks", words)))
+    detected = (
+        F.when((F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") > 0), "en")
+        .when((F.col("n_es") >= F.col("n_de")) & (F.col("n_es") > 0), "es")
+        .when(F.col("n_de") > 0, "de")
+        .otherwise("und")
+    )
+    return df.withColumn("detected_lang", detected).drop("toks")

@@ -1,0 +1,15 @@
+"""Query plans: the engine's declared operator corpus.
+
+``REGISTRY`` maps query name → :class:`QuerySpec` (a Spark
+DataFrame-producing callable + the equivalent ANSI SQL oracle for
+DuckDB).  Every operator family in SURVEY.md §2 has at least one
+entry; ``__spark_entry__.py`` re-exports the registry to the driver.
+"""
+
+from sfs3_kinesis_spark.plans.core import REGISTRY, QuerySpec, register  # noqa: F401
+
+# importing the modules populates REGISTRY
+from sfs3_kinesis_spark.plans import relational  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import events_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import pipeline_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import llm_queries  # noqa: F401,E402

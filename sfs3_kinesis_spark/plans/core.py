@@ -1,0 +1,51 @@
+"""Registry plumbing for the query corpus.
+
+Conventions that make the DuckDB-oracle hash comparison stable:
+
+* every computed column is explicitly aliased, identically on both
+  sides (the driver sorts columns by name before hashing);
+* floating-point aggregates are rounded (2 decimals for large sums,
+  4 for means/ratios) on BOTH sides — double summation order differs
+  between engines (and between Spark runs, since partial aggregates
+  combine in partition order), so raw doubles are not hash-stable;
+* integer-ish results are cast to BIGINT on both sides (DuckDB's
+  ``year()``/``count`` widths differ from Spark's);
+* any LIMIT/top-k has a total deterministic ORDER BY (unique key
+  tiebreaker) — ties must resolve identically in both engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sfs3_kinesis_spark.sources.batch import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], tags: tuple[str, ...] = (), description: str = ""):
+    """Decorator: register a (spark_fn, oracle_sql) pair under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, description)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand fixture loader used by query callables."""
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,211 @@
+"""Event-stream query corpus — batch-expressible forms of the
+engine's streaming semantics (SURVEY.md §2.10), validated against
+the DuckDB oracle over the ``events`` fixture.
+
+Each of these has a true streaming twin in
+``sfs3_kinesis_spark.streaming`` (tumbling/sliding windows,
+sessionization, the request<->event correlation state machine); the
+batch forms pin down the *semantics* so the streaming versions can
+be tested against them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+SESSION_GAP_S = 6 * 3600  # 6 h gap closes a session (fixture cadence)
+
+
+@register(
+    "scalar_json_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    tags=("scalar", "json"),
+    description="JSON extraction (reference T11 serde, aprocess.js:24,36)",
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts)     AS window_start,
+           event_type,
+           count(*)                   AS n,
+           round(sum(value), 2)       AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window_agg", "streaming_semantics"),
+    description="tumbling 1h window count/sum by event_type (reference A1, dashboard.yml:26)",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "events_sliding_2h",
+    """
+    SELECT window_start, count(*) AS n,
+           CAST(floor(round(sum(value), 2) / count(*) * 10000) AS BIGINT) AS avg_value_e4
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             value
+      FROM events)
+    GROUP BY window_start
+    """,
+    tags=("window_agg", "streaming_semantics"),
+    description="sliding window (2h length, 1h slide): each event lands in 2 windows (reference A2)",
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        # fixed-point avg from the pre-rounded sum: a rounded average
+        # lands on decimal-tie boundaries (sum/n makes .xxx5 values
+        # common), and tie behavior differs between engines — floor on
+        # an identical double is deterministic
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.round(F.sum("value"), 2) / F.count(F.lit(1)) * 10000)
+            .cast("long")
+            .alias("avg_value_e4"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value_e4")
+    )
+
+
+@register(
+    "events_lag_lead",
+    """
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round(value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 4) AS delta_next
+    FROM events
+    """,
+    tags=("window", "streaming_semantics"),
+    description="lag/lead per key in event-time order (per-key ordering, reference W7)",
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@register(
+    "events_sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "streaming_semantics"),
+    description="gap-based sessionization (batch twin of session_window, reference W4)",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "correlate_requests_events",
+    """
+    WITH req AS (
+      SELECT user_id, min(ts) AS submitted_at
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    m AS (
+      SELECT r.user_id, r.submitted_at, min(e.ts) AS completed_at
+      FROM req r
+      LEFT JOIN events e
+        ON e.user_id = r.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= r.submitted_at
+       AND e.ts <= r.submitted_at + INTERVAL 72 HOUR
+      GROUP BY r.user_id, r.submitted_at)
+    SELECT user_id,
+           CASE WHEN completed_at IS NULL THEN 'timeout' ELSE 'matched' END AS outcome,
+           CAST(CASE WHEN completed_at IS NULL THEN NULL
+                     ELSE date_diff('second', submitted_at, completed_at) END AS BIGINT) AS latency_s
+    FROM m
+    """,
+    tags=("join", "correlation", "streaming_semantics"),
+    description=(
+        "batch twin of the request<->event correlation state machine "
+        "(reference T12/J1, svckinesis.js:173-185): request row + first "
+        "completion within the timeout window => matched, else timeout"
+    ),
+)
+def correlate_requests_events(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    req = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("submitted_at"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    joined = req.join(
+        purchases,
+        (req.user_id == purchases.user_id)
+        & (purchases.pts >= req.submitted_at)
+        & (purchases.pts <= req.submitted_at + F.expr("INTERVAL 72 HOURS")),
+        "left",
+    ).groupBy(req.user_id.alias("user_id"), "submitted_at").agg(F.min("pts").alias("completed_at"))
+    return joined.select(
+        "user_id",
+        F.when(F.col("completed_at").isNull(), "timeout").otherwise("matched").alias("outcome"),
+        F.when(
+            F.col("completed_at").isNotNull(),
+            F.unix_timestamp("completed_at") - F.unix_timestamp("submitted_at"),
+        )
+        .cast("long")
+        .alias("latency_s"),
+    )

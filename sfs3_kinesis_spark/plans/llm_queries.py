@@ -1,0 +1,268 @@
+"""LLM-data-pipeline query corpus: dedup, similarity search, text
+analysis, multimodal metadata (north-star operators; SURVEY.md §7
+step 5).
+
+Oracle policy: everything that ANSI SQL can reproduce exactly has a
+DuckDB oracle (including the rolling-hash fingerprint and cosine
+similarity); MinHash-LSH and SimHash hash with Spark's xxhash64,
+which DuckDB cannot reproduce, so those are registered rows-only
+(oracle=None) — the driver records the weaker check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators import dedup, similarity
+from sfs3_kinesis_spark.operators.text import with_lang_id, with_token_stats
+from sfs3_kinesis_spark.plans.core import register, t
+
+# ----------------------------------------------------------------- #
+# dedup                                                             #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "dedup_exact_text",
+    """
+    SELECT text                        AS dedup_key,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*)                    AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+    description="exact dedup: hash-groupBy on raw text, min doc_id survives",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str):
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_prefix_key",
+    """
+    SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key,
+           CAST(min(doc_id) AS BIGINT)                        AS keeper_doc_id,
+           count(*)                                           AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+    description="normalized-key dedup (first-3-token canonical key)",
+)
+def dedup_prefix_key(spark: SparkSession, sf_dir: str):
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), key_expr=key)
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % {dedup.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+    tags=("dedup", "fingerprint"),
+    description="deterministic rolling-hash document fingerprint (SQL-exact fold)",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str):
+    return dedup.fingerprint(t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 signatures are Spark-specific — rows-only check
+    tags=("dedup", "lsh"),
+    description="MinHash+LSH near-dup pairs: shingle→signature→band bucket join→Jaccard verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"), jaccard_threshold=0.4)
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based — rows-only check
+    tags=("dedup", "simhash"),
+    description="SimHash near-dup pairs bucketed by top bits, Hamming-verified",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    return dedup.simhash_near_dup_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    None,  # exact pairwise Jaccard over xxhash-free shingles is SQL-expressible
+    # in principle, but DuckDB 1.0 lacks list_intersect; rows-only.
+    tags=("dedup", "jaccard"),
+    description="exact n-gram Jaccard near-dup pairs (verification tier of LSH)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    docs = dedup.shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- #
+# text analysis                                                     #
+# ----------------------------------------------------------------- #
+
+_STOP_EN_SQL = "['the','a','of','and','to','in']"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT CAST(doc_id AS BIGINT)                       AS doc_id,
+           CAST(len(toks) AS BIGINT)                    AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)     AS n_distinct,
+           round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+           round((length(text) - (len(toks) - 1)) / len(toks), 4) AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) / len(toks), 4)
+                                                        AS stopword_ratio
+    FROM d
+    """,
+    tags=("text",),
+    description="token counting + lexical stats (quality-filter features)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    return with_token_stats(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct", "distinct_ratio", "avg_token_len", "stopword_ratio"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x)))                    AS n_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x)))  AS n_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht'], x))) AS n_de
+      FROM d)
+    SELECT CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en > 0 THEN 'en'
+                WHEN n_es >= n_de AND n_es > 0 THEN 'es'
+                WHEN n_de > 0 THEN 'de'
+                ELSE 'und' END AS detected_lang,
+           count(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+    tags=("text", "lang_id"),
+    description="stopword-vote language-ID heuristic, counts per detected language",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str):
+    return (
+        with_lang_id(t(spark, sf_dir, "documents"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ----------------------------------------------------------------- #
+# similarity search                                                 #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id, list_cosine_similarity(v, qv) AS cos FROM c, q)
+    SELECT query_id, cand_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk,
+           round(cos, 4) AS cosine
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+    tags=("similarity", "topk"),
+    description="brute-force cosine top-10 for 5 query vectors (ANN correctness baseline)",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+@register(
+    "similarity_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    """,
+    tags=("similarity", "neardup"),
+    description="embedding-cosine near-dup pairs above threshold (exact tier)",
+)
+def similarity_pairs(spark: SparkSession, sf_dir: str):
+    return similarity.cosine_pairs_above(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "similarity_lsh_pairs",
+    None,  # LSH pruning (approximate recall) has no SQL-exact oracle
+    tags=("similarity", "lsh"),
+    description="random-hyperplane LSH bucketed near-dup pairs (100 TB scale path)",
+)
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str):
+    return similarity.lsh_bucketed_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=8)
+
+
+# ----------------------------------------------------------------- #
+# multimodal                                                        #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT CAST(doc_id AS BIGINT)                AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text)                          AS sha_256,
+           'text'                                AS media_type
+    FROM documents
+    """,
+    tags=("multimodal",),
+    description="opaque-binary metadata extraction (byte length + content hash)",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.multimodal import documents_as_media, with_binary_metadata
+
+    media = with_binary_metadata(documents_as_media(t(spark, sf_dir, "documents")))
+    return media.select(
+        "media_id", "byte_len", F.col("sha256").alias("sha_256"), "media_type"
+    )
+
+
+# ----------------------------------------------------------------- #
+# approximate aggregates (rows-only; sketch values are engine-specific)
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "agg_approx_distinct",
+    None,
+    tags=("agg", "approx"),
+    description="HyperLogLog++ approximate distinct (sketch — engine-specific values)",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )

@@ -1,0 +1,84 @@
+"""Pipeline-semantics queries: the reference's staged enrichment as
+oracle-checkable batch queries.
+
+The pipeline itself (``operators.pipeline``) is a pure projection,
+so its oracle is exact: the DuckDB SQL produces the same constant
+stage outputs and gate/failure routing from the same inputs
+(reference stage outputs at ``/root/reference/s3-for-process-data/
+aprocess.js:68-74,89-92,105-107,120,129,177-179``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps, run_pipeline
+from sfs3_kinesis_spark.plans.core import register, t
+
+
+def _requests(spark: SparkSession, sf_dir: str):
+    """Fixture documents as pipeline requests: txn_id = doc_id."""
+    return t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("txn_id"),
+        F.col("text").alias("request"),
+        "n_chars",
+    )
+
+
+@register(
+    "pipeline_run",
+    """
+    SELECT CAST(doc_id AS VARCHAR)                          AS txn_id,
+           'ok'                                             AS a_status,
+           'a1'                                             AS a_out1,
+           CAST(123 AS BIGINT)                              AS a_out3,
+           'p1'                                             AS b_property1,
+           'i like c'                                       AS c_property,
+           'd output'                                       AS d_out,
+           'e output'                                       AS e_out,
+           concat('downstream:', CAST(doc_id AS VARCHAR))   AS downstream_arn,
+           'SUCCEEDED'                                      AS status
+    FROM documents
+    """,
+    tags=("pipeline",),
+    description="6-stage gated enrichment, all gates pass (reference T1-T7, aprocess.js:47-190)",
+)
+def pipeline_run(spark: SparkSession, sf_dir: str):
+    state = run_pipeline(_requests(spark, sf_dir))
+    return state.select(
+        "txn_id",
+        F.col("step_a_output.status").alias("a_status"),
+        F.col("step_a_output.stepAOutput1").alias("a_out1"),
+        F.col("step_a_output.stepAOutput3").alias("a_out3"),
+        F.col("step_b_output.property1").alias("b_property1"),
+        F.col("step_c_output.cProperty").alias("c_property"),
+        F.col("step_d_output.d").alias("d_out"),
+        F.col("step_e_output.e").alias("e_out"),
+        F.col("step_f_output.downstreamExecutionArn").alias("downstream_arn"),
+        "status",
+    )
+
+
+@register(
+    "pipeline_fail_path",
+    """
+    SELECT CASE WHEN n_chars % 10 = 0 THEN 'FAILED' ELSE 'SUCCEEDED' END AS status,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+    tags=("pipeline", "error_path"),
+    description=(
+        "fault injection at step-c: failing rows lose the stage output, all "
+        "later gates block, terminal status = FAILED (reference T9 error "
+        "side-output, aprocess.js:78-82,111-115)"
+    ),
+)
+def pipeline_fail_path(spark: SparkSession, sf_dir: str):
+    steps = reference_steps()
+    c = steps[2]
+    steps[2] = Step(
+        c.name, c.output_col, c.result, gate_on=c.gate_on, fail_if=F.col("n_chars") % 10 == 0
+    )
+    state = run_pipeline(_requests(spark, sf_dir), steps)
+    return state.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,652 @@
+"""Relational operator corpus — joins, aggregations, window
+functions, sorts, set ops, scalar functions.
+
+The reference has no relational layer (SURVEY.md §2.12 — every
+classical family is ABSENT); these queries are the engine's
+green-field coverage of each family, exercised over the TPC-H-ish
+fixtures and validated against the DuckDB oracle.
+
+Scale notes (100 TB posture):
+* fact-side tables (lineitem/orders) are never broadcast; dimension
+  tables (region/nation/supplier/part/customer) are small by
+  construction and Catalyst broadcasts them under the configured
+  threshold — `F.broadcast` hints mark the intent explicitly where
+  the dimension is guaranteed tiny.
+* aggregations rely on partial (map-side) aggregation — Spark plans
+  HashAggregate(partial) → shuffle → HashAggregate(final)
+  automatically; nothing here forces a row explosion before the agg.
+* top-k uses orderBy+limit which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k
+  rows), not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+# ----------------------------------------------------------------- #
+# aggregations (SURVEY §2.5)                                        #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupby"),
+    description="TPC-H Q1 shape: multi-aggregate groupBy with filter pushdown",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_suppliers",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_supp,
+           count(DISTINCT l_partkey)  AS n_part,
+           count(*)                   AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+    description="distinct aggregation (expand + two-phase agg in Spark)",
+)
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_stats_orders",
+    """
+    SELECT o_orderpriority,
+           count(*)                                  AS n,
+           round(avg(o_totalprice), 4)               AS avg_price,
+           round(min(o_totalprice), 2)               AS min_price,
+           round(max(o_totalprice), 2)               AS max_price,
+           round(stddev_samp(o_totalprice), 4)       AS sd_price,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "stats"),
+    description="statistical aggregates incl. exact interpolated median",
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+    description="CUBE: all grouping-set combinations incl. grand total",
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*)                    AS n
+    FROM orders GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+    description="ROLLUP over derived year + priority",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate").cast("long"))
+    return o.rollup("order_year", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets_geo",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+    """,
+    tags=("agg", "grouping_sets", "join"),
+    description="explicit GROUPING SETS over a snowflake join",
+)
+def agg_grouping_sets_geo(spark: SparkSession, sf_dir: str):
+    for name in ("customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        """
+    )
+
+
+# ----------------------------------------------------------------- #
+# joins (SURVEY §2.4)                                               #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    description="TPC-H Q3 shape: 3-way join + agg + deterministic top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_regional_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    tags=("join",),
+    description="TPC-H Q5 shape: 6-way snowflake join, dims broadcast",
+)
+def q05_regional_volume(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_semi_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+    description="left-semi join (EXISTS)",
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_nations_without_suppliers",
+    """
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    """,
+    tags=("join", "anti"),
+    description="left-anti join (NOT EXISTS)",
+)
+def join_anti_nations_without_suppliers(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left_anti").select("n_nationkey", "n_name")
+
+
+@register(
+    "join_left_nation_supplier_counts",
+    """
+    SELECT n_nationkey, n_name,
+           count(s_suppkey)                          AS n_suppliers,
+           round(coalesce(sum(s_acctbal), 0.0), 2)   AS total_acctbal
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    tags=("join", "outer"),
+    description="left outer join preserving unmatched dimension rows",
+)
+def join_left_nation_supplier_counts(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_full_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.k, s.k)        AS nationkey,
+           coalesce(n_cust, 0)       AS n_cust,
+           coalesce(n_supp, 0)       AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+    tags=("join", "outer"),
+    description="full outer join of two pre-aggregated sides",
+)
+def join_full_nation_activity(spark: SparkSession, sf_dir: str):
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "k", "full_outer").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ----------------------------------------------------------------- #
+# window functions (SURVEY §2.6)                                    #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "window_topk_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    description="top-k per group via row_number (no global sort)",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(rank()       OVER (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS BIGINT) AS drnk
+    FROM orders WHERE o_totalprice > 450000
+    """,
+    tags=("window", "rank"),
+    description="rank / dense_rank over a filtered partition",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc(F.round("o_totalprice", 2)), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+    description="running sum + sliding 3-row moving average",
+)
+def window_running_total(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# ----------------------------------------------------------------- #
+# sorts / limits / top-k (SURVEY §2.7)                              #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "sort_topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+    description="global top-k (TakeOrderedAndProject, not a full sort)",
+)
+def sort_topk_orders(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "o_orderdate")
+    )
+
+
+# ----------------------------------------------------------------- #
+# set operations (SURVEY §2.8)                                      #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "set_union_nations",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    description="UNION (distinct) of two key sets",
+)
+def set_union_nations(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect_nations",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    description="INTERSECT (distinct)",
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    description="EXCEPT (distinct)",
+)
+def set_except_nations(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll would be multiset semantics)
+
+
+# ----------------------------------------------------------------- #
+# scalar functions (SURVEY §2.9)                                    #
+# ----------------------------------------------------------------- #
+
+
+@register(
+    "scalar_string_customer",
+    """
+    SELECT c_custkey,
+           upper(c_name)                             AS name_upper,
+           lower(c_mktsegment)                       AS seg_lower,
+           CAST(length(c_name) AS BIGINT)            AS name_len,
+           substr(c_name, 1, 8)                      AS name_prefix,
+           concat(c_name, ':', c_mktsegment)         AS name_seg,
+           replace(c_name, '#', '')                  AS name_nohash,
+           reverse(c_mktsegment)                     AS seg_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+    description="string function family (reference §2.9: hex format, concat)",
+)
+def scalar_string_customer(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_replace("c_name", "#", "").alias("name_nohash"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)                      AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                     AS order_month,
+           CAST(day(o_orderdate) AS BIGINT)                       AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT)                   AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)    AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+    description="date/time function family",
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "scalar_math_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_cents,
+           round(abs(l_discount - 0.05), 4)                           AS disc_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT)                      AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)                     AS price_floor,
+           round(sqrt(l_quantity), 6)                                 AS qty_sqrt,
+           round(ln(l_extendedprice), 6)                              AS price_ln,
+           CAST(l_orderkey % 7 AS BIGINT)                             AS key_mod
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+    description="arithmetic / math function family",
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # floor-to-cents, not round(x, 2): both engines compute the same
+        # IEEE double product, but their decimal-rounding tie behavior
+        # differs (BigDecimal HALF_UP vs scaled-double) — floor is
+        # deterministic on identical doubles
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100)
+        .cast("long")
+        .alias("charge_cents"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@register(
+    "case_when_order_status",
+    """
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 200
+                WHEN o_orderstatus = 'P' THEN 102
+                ELSE 400 END          AS http_code,
+           count(*)                   AS n
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "case"),
+    description="3-way CASE WHEN branch (reference P5 status routing, pollingsvc.js:77-93)",
+)
+def case_when_order_status(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "http_code",
+            F.when(F.col("o_orderstatus") == "F", 200)
+            .when(F.col("o_orderstatus") == "P", 102)
+            .otherwise(400),
+        )
+        .groupBy("http_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+    description="pivot (conditional aggregation) by order status",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )

@@ -1,0 +1,106 @@
+"""Streaming sources.
+
+Production source is Kinesis (the reference's notification stream,
+``serverless.yml:160-164``) via the Spark Kinesis connector — gated
+behind an import/availability check since the connector jar is not
+in this container.  Tests and local runs use file streams (exactly
+the replay semantics of a shard read from TRIM_HORIZON) and the
+rate source.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sfs3_kinesis_spark import types as ktypes
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet", max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based stream: each new file in ``path`` is a micro-batch
+    input (the engine's test twin of a Kinesis shard).
+    ``maxFilesPerTrigger`` is the rate-limit knob (reference W8:
+    `getRecords` limit=5, svckinesis.js:193)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def stream_from_batch(df: DataFrame, workdir: str, schema=None, n_files: int = 1) -> DataFrame:
+    """Replay a batch DataFrame as a file stream (test helper): write
+    it as ``n_files`` parquet files, then open a file stream over the
+    directory.  With ``maxFilesPerTrigger=1`` this yields
+    ``n_files`` ordered micro-batches."""
+    spark = df.sparkSession
+    path = os.path.join(workdir, f"stream-{uuid.uuid4().hex[:8]}")
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return file_stream(
+        spark, path, schema or df.schema, max_files_per_trigger=1 if n_files > 1 else None
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic load source (HTTP-ingress stand-in, reference S7)."""
+    return spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
+
+
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
+) -> DataFrame:
+    """Kinesis source (reference S4-S6: shard discovery, LATEST
+    iterator, paced getRecords — all subsumed by the connector).
+
+    Requires the spark-sql-kinesis connector on the classpath; raises
+    a clear error when absent (this container has no connector jar).
+    The reference's `startingPosition=LATEST` choice
+    (svckinesis.js:215-219) is the default here too.
+    """
+    try:
+        return (
+            spark.readStream.format("aws-kinesis")
+            .option("kinesis.streamName", stream_name)
+            .option("kinesis.region", region)
+            .option("kinesis.startingPosition", starting_position)
+            .option("kinesis.consumerType", "GetRecords")
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - connector not in test env
+        raise RuntimeError(
+            "Kinesis connector not available; use file_stream/rate_stream "
+            "locally or add the spark-sql-kinesis jar to the classpath"
+        ) from exc
+
+
+def parse_status_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode JSON status-event payloads `{txnId, status}`
+    (reference record shape, aprocess.js:150-153) into the typed
+    STATUS_EVENT schema — ``from_json`` with a fixed schema, never
+    per-record inference."""
+    from pyspark.sql import functions as F
+
+    payload_schema = "txnId STRING, status STRING"
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), payload_schema).alias("p"),
+        F.col("timestamp").alias("event_time"),
+    ).select(
+        F.col("p.txnId").alias("txn_id"),
+        F.col("p.status").alias("status"),
+        "event_time",
+        F.concat_ws("/", F.col("p.txnId"), F.lit("step-f")).alias("event_id"),
+    )
+
+
+__all__ = [
+    "file_stream",
+    "stream_from_batch",
+    "rate_stream",
+    "kinesis_stream",
+    "parse_status_events",
+    "ktypes",
+]

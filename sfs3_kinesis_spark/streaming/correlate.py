@@ -1,0 +1,155 @@
+"""Stream<->request correlation — the reference's one real stateful
+operator (SURVEY.md §2.5 T12).
+
+Reference behavior (``/root/reference/svcsample/svckinesis.js``):
+
+* a pending HTTP request is inserted into an in-memory map keyed by
+  txnId (``svckinesis.js:60,66``);
+* each Kinesis status event is looked up by txnId: hit → complete
+  the response (200 for SUCCEEDED, 400 otherwise) and evict
+  (``:173-185`` + ``:90-106``); miss → log and drop the orphan
+  (``:178-181``);
+* requests time out after 20 s and are evicted, so their late
+  events become orphans (``:157,80-88``).
+
+Engine form: one keyed stateful operator over the *union* of the
+request stream and the event stream (same key: txn_id), implemented
+with ``applyInPandasWithState`` and a processing-time timeout.
+Keyed state serializes per-txn updates (the reference's per-shard
+ordering guarantee, W7) while scaling horizontally across keys —
+state lives in the state store, partitioned by key, so a 1000-node
+cluster holds 1000× the pending requests with zero code change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("outcome", T.StringType()),  # matched|orphan|timeout
+        T.StructField("status", T.StringType()),
+        T.StructField("http_code", T.IntegerType()),
+        T.StructField("latency_ms", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("submitted_at_ms", T.LongType()),
+        T.StructField("timeout_ms", T.LongType()),
+    ]
+)
+
+DEFAULT_TIMEOUT_MS = 20_000  # the reference's 20 s request budget (pollingsvc.js:133)
+
+
+def unioned_input(requests: DataFrame, events: DataFrame) -> DataFrame:
+    """Merge the request stream and the status-event stream into one
+    keyed stream (kind='request'|'event').  Requests carry
+    submitted_at/timeout; events carry status/event_time."""
+    r = requests.select(
+        "txn_id",
+        F.lit("request").alias("kind"),
+        F.col("submitted_at").alias("ts"),
+        F.lit(None).cast("string").alias("status"),
+        F.coalesce(F.col("timeout_ms"), F.lit(DEFAULT_TIMEOUT_MS)).alias("timeout_ms"),
+    )
+    e = events.select(
+        "txn_id",
+        F.lit("event").alias("kind"),
+        F.col("event_time").alias("ts"),
+        "status",
+        F.lit(None).cast("long").alias("timeout_ms"),
+    )
+    return r.unionByName(e)
+
+
+def _http_code(status: str) -> int:
+    # reference routing: SUCCEEDED → 200, anything else → 400
+    # (svckinesis.js:97-104)
+    return 200 if status == "SUCCEEDED" else 400
+
+
+def _correlate_group(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    txn_id = key[0]
+    out: list[dict] = []
+
+    if state.hasTimedOut:
+        # evict the pending request; its response was never completed
+        # (svckinesis.js:80-88) — late events will be orphans
+        state.remove()
+        yield pd.DataFrame(
+            [{"txn_id": txn_id, "outcome": "timeout", "status": None, "http_code": None, "latency_ms": None}]
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("ts", kind="stable")  # per-key event-time order (W7)
+
+    pending = state.get if state.exists else None  # (submitted_at_ms, timeout_ms)
+
+    for row in rows.itertuples(index=False):
+        if row.kind == "request":
+            submitted_ms = int(row.ts.value // 1_000_000)
+            timeout_ms = int(row.timeout_ms)
+            pending = (submitted_ms, timeout_ms)
+            state.update(pending)
+            state.setTimeoutDuration(timeout_ms)
+        else:  # event
+            if pending is not None:
+                submitted_ms = pending[0]
+                event_ms = int(row.ts.value // 1_000_000)
+                out.append(
+                    {
+                        "txn_id": txn_id,
+                        "outcome": "matched",
+                        "status": row.status,
+                        "http_code": _http_code(row.status),
+                        "latency_ms": max(event_ms - submitted_ms, 0),
+                    }
+                )
+                pending = None
+                state.remove()
+            else:
+                # unknown/evicted txn — the reference logs & drops
+                # (svckinesis.js:178-181); we emit an accountable row
+                out.append(
+                    {
+                        "txn_id": txn_id,
+                        "outcome": "orphan",
+                        "status": row.status,
+                        "http_code": None,
+                        "latency_ms": None,
+                    }
+                )
+
+    if out:
+        yield pd.DataFrame(out)
+
+
+def correlate(requests: DataFrame, events: DataFrame) -> DataFrame:
+    """The correlation operator: streaming in, streaming out.
+
+    Input DataFrames may be streaming or batch (tests use batch via
+    the same code path wrapped in a file-stream).  Output rows follow
+    :data:`OUTPUT_SCHEMA`; matched/orphan rows are emitted as their
+    events arrive, timeout rows when the state clock fires.
+    """
+    merged = unioned_input(requests, events)
+    return merged.groupBy("txn_id").applyInPandasWithState(
+        _correlate_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,166 @@
+"""Streaming correlation operator (reference T12/P6/W3/W5):
+hit, failure, orphan, duplicate and timeout semantics.
+
+Drain strategy: with ``ProcessingTimeTimeout`` the engine runs a
+micro-batch every trigger to advance the timer clock, so
+``processAllAvailable`` never sees an idle source — tests poll the
+memory sink for the expected row count instead (wait_for_rows).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.sources.sinks import run_stateful_to_memory, wait_for_rows
+from sfs3_kinesis_spark.sources.stream import stream_from_batch
+from sfs3_kinesis_spark.streaming.correlate import correlate, unioned_input
+
+
+def _requests_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "txn_id string, submitted_at timestamp, timeout_ms long"
+    )
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, "txn_id string, status string, event_time timestamp")
+
+
+def _correlated(stream):
+    return correlate(
+        stream.filter(F.col("kind") == "request").select(
+            "txn_id", F.col("ts").alias("submitted_at"), "timeout_ms"
+        ),
+        stream.filter(F.col("kind") == "event").select(
+            "txn_id", "status", F.col("ts").alias("event_time")
+        ),
+    )
+
+
+@pytest.fixture()
+def scenario(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    requests = _requests_df(
+        spark,
+        [
+            ("t-hit", ts(0), 3_600_000),
+            ("t-fail", ts(0), 3_600_000),
+            ("t-pending", ts(0), 3_600_000),
+        ],
+    )
+    events = _events_df(
+        spark,
+        [
+            ("t-hit", "SUCCEEDED", ts(5)),
+            ("t-fail", "FAILED", ts(7)),
+            ("t-orphan", "SUCCEEDED", ts(9)),  # no pending request
+        ],
+    )
+    return requests, events, tmp_path
+
+
+def test_correlation_hit_fail_orphan(spark, scenario):
+    requests, events, tmp_path = scenario
+    merged = unioned_input(requests, events)
+    stream = stream_from_batch(merged, str(tmp_path))
+    out = _correlated(stream)
+    q = run_stateful_to_memory(out, "corr_out")
+    try:
+        n = wait_for_rows(spark, "SELECT count(*) FROM corr_out", 3)
+        assert n == 3, f"expected 3 output rows, got {n}"
+        rows = {r["txn_id"]: r for r in spark.sql("SELECT * FROM corr_out").collect()}
+    finally:
+        q.stop()
+
+    assert rows["t-hit"]["outcome"] == "matched"
+    assert rows["t-hit"]["http_code"] == 200
+    assert rows["t-hit"]["latency_ms"] == 5000
+    # non-SUCCEEDED completes with 400 (svckinesis.js:97-104)
+    assert rows["t-fail"]["outcome"] == "matched"
+    assert rows["t-fail"]["http_code"] == 400
+    # unknown txn => orphan (svckinesis.js:178-181)
+    assert rows["t-orphan"]["outcome"] == "orphan"
+    assert rows["t-orphan"]["http_code"] is None
+    # pending request with no event emits nothing yet
+    assert "t-pending" not in rows
+
+
+def test_correlation_timeout_and_late_orphan(spark, tmp_path):
+    """Request times out (processing-time) → eviction row; a later
+    event for it is an orphan (svckinesis.js:80-88 + 178-181)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+
+    req = unioned_input(
+        _requests_df(spark, [("t-slow", t0, 700)]),  # 0.7 s timeout
+        _events_df(spark, []),
+    )
+    req.write.mode("append").parquet(str(stream_dir))
+
+    stream = spark.readStream.schema(req.schema).parquet(str(stream_dir))
+    out = _correlated(stream)
+    q = run_stateful_to_memory(out, "corr_timeout")
+    try:
+        # timer fires ~0.7 s after the request batch registers state
+        n = wait_for_rows(spark, "SELECT count(*) FROM corr_timeout", 1, timeout_s=60)
+        assert n >= 1, "timeout row never emitted"
+        # the late event for the evicted txn must be an orphan
+        late = unioned_input(
+            _requests_df(spark, []),
+            _events_df(spark, [("t-slow", "SUCCEEDED", t0 + dt.timedelta(seconds=2))]),
+        )
+        late.write.mode("append").parquet(str(stream_dir))
+        wait_for_rows(spark, "SELECT count(*) FROM corr_timeout", 2, timeout_s=60)
+        rows = spark.sql("SELECT * FROM corr_timeout").collect()
+    finally:
+        q.stop()
+
+    outcomes = {(r["txn_id"], r["outcome"]) for r in rows}
+    assert ("t-slow", "timeout") in outcomes
+    assert ("t-slow", "orphan") in outcomes
+
+
+def test_correlation_throughput_smoke(spark, tmp_path):
+    """Engine must sustain >> 3.3 events/s (the reference's polite-
+    polling ceiling, BASELINE.md) — 2000 matched pairs through the
+    operator in one drain."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    n = 2000
+    requests = spark.range(n).select(
+        F.concat(F.lit("t-"), F.col("id")).alias("txn_id"),
+        F.lit(t0).alias("submitted_at"),
+        F.lit(3_600_000).alias("timeout_ms"),
+    )
+    events = spark.range(n).select(
+        F.concat(F.lit("t-"), F.col("id")).alias("txn_id"),
+        F.lit("SUCCEEDED").alias("status"),
+        (F.unix_timestamp(F.lit(t0)) + 1).cast("timestamp").alias("event_time"),
+    )
+    merged = unioned_input(requests, events)
+    stream = stream_from_batch(merged, str(tmp_path))
+    out = _correlated(stream)
+    start = time.time()
+    q = run_stateful_to_memory(out, "corr_tp")
+    try:
+        matched = wait_for_rows(
+            spark, "SELECT count(*) FROM corr_tp WHERE outcome = 'matched'", n, timeout_s=120
+        )
+    finally:
+        q.stop()
+    elapsed = time.time() - start
+    assert matched == n
+    assert n / elapsed > 33  # 10x the reference ceiling, conservatively
