@@ -61,10 +61,27 @@ def fingerprint(docs: DataFrame, out_col: str = "fingerprint") -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3, out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles per document (built-in
-    higher-order functions; no UDF)."""
+    higher-order functions; no UDF).
+
+    Built as an (n-1)-fold ``zip_with`` of the token array against
+    its own shifted slices: each argument of ``zip_with`` is
+    evaluated ONCE per row.  The naive
+    ``transform(sequence(...), i -> slice(split(text), ...))`` form
+    re-evaluates the split inside the lambda for every index —
+    O(tokens²) per document, ~4× slower on the fixture corpus and
+    catastrophically worse on long documents.
+
+    Documents shorter than ``n`` tokens shingle to ``[text]``
+    (zip_with pads the short slices with NULL; those partial grams
+    are filtered out).
+    """
+    toks = "split(text, ' ')"
+    acc = toks
+    for k in range(2, n + 1):
+        acc = f"zip_with({acc}, slice({toks}, {k}, size({toks})), (x, y) -> concat(x, ' ', y))"
     expr = (
-        f"array_distinct(transform(sequence(0, greatest(size(split(text,' ')) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(split(text,' '), i + 1, {n}))))"
+        f"CASE WHEN size({toks}) < {n} THEN array(text) "
+        f"ELSE array_distinct(filter({acc}, x -> x IS NOT NULL)) END"
     )
     return docs.withColumn(out_col, F.expr(expr))
 
@@ -100,24 +117,44 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(docs, n=shingle_n), num_hashes=num_hashes).select(
-        "doc_id", "shingles", "signature"
-    )
-    banded = sig.select(
-        "doc_id",
-        "shingles",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"xxhash64(concat_ws(',', transform(slice(signature, {b * rows_per_band + 1}, "
-                        f"{rows_per_band}), x -> cast(x as string))))"
-                    )
-                    for b in range(bands)
-                ]
+    # The shingle table is the one shared intermediate (feeds band
+    # hashing AND both sides of the verify join) — persist it.  At
+    # cluster scale this is the "signature table" you would write to
+    # storage once and reuse; recomputing it per consumer would scan
+    # the corpus five times.
+    sh = shingles(docs, n=shingle_n).select("doc_id", "shingles").persist()
+    # Each band hash is computed DIRECTLY from its own rows_per_band
+    # minhash functions (one narrow union branch per band) rather
+    # than slicing a materialized signature column through
+    # posexplode: Catalyst inlines column aliases into the Generate,
+    # re-evaluating the full num_hashes-pass signature once per
+    # exploded row — an ``bands×`` blowup of the dominant xxhash
+    # cost.  The union form evaluates exactly num_hashes transforms.
+    def band_hash(b: int) -> str:
+        mins = ", ".join(
+            f"cast(array_min(transform(shingles, s -> xxhash64(s, {h}))) as string)"
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        return f"xxhash64(concat_ws(',', {mins}))"
+
+    from functools import reduce
+
+    banded = reduce(
+        DataFrame.unionByName,
+        [
+            sh.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.expr(band_hash(b)).alias("band_hash"),
             )
-        ).alias("band_id", "band_hash"),
+            for b in range(bands)
+        ],
     )
+    # Candidate generation stays NARROW: only (doc_id, band_id,
+    # band_hash) ever enters the self-join shuffle.  Shipping the
+    # shingle arrays through the band join would multiply shuffle
+    # bytes by bands × avg-shingle-size — the difference between a
+    # bucket join and a corpus broadcast at 100 TB.
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -127,19 +164,20 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verification tier: re-join the (narrow) candidate pairs against
+    # the shingle sets — candidates, not the corpus, drive this cost.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(
         "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
