@@ -28,6 +28,8 @@ HEADLINE = [
     "q05_regional_volume",
     "window_topk_orders_per_customer",
     "events_sessionization",
+    "join_asof_purchase_click",
+    "join_range_hot_hours",
     "correlate_requests_events",
     "pipeline_run",
     "dedup_exact_text",

@@ -1,0 +1,135 @@
+"""Temporal join operators the built-in DataFrame API lacks:
+as-of join and big-big interval (range) join.
+
+The reference has no joins at all (SURVEY.md §2.4 — only the keyed
+stream-state lookup J1); these are the engine's green-field temporal
+family, built as *compositions of existing DataFrame ops* (SURVEY
+task brief's preferred tier (a)) — no Pandas UDFs, no custom
+physical operators.
+
+Scale posture:
+
+* ``asof_join`` is ONE shuffle on the join key (union + keyed
+  window), independent of time-range width.  The naive alternative
+  — non-equi join then argmax — explodes |left| × |matching right|
+  intermediates; at 100 TB the union form's shuffle is linear in
+  input size and AQE handles key skew.
+* ``interval_join_bucketed`` turns a point-in-interval theta join
+  (which Catalyst can only plan as a broadcast nested loop) into an
+  equi-join on a time bucket: intervals are exploded to the buckets
+  they cover, points carry their own bucket, and the exact
+  containment predicate filters after the bucket equi-join.  Bucket
+  granularity trades explode factor vs bucket population, exactly
+  like the band parameter in MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of
+    the latest right row with ``right.ts <= left.ts`` (same key).
+
+    Implementation: tag both sides, union by key, and take
+    ``last(payload, ignorenulls)`` over a keyed event-time window —
+    the classic union+window formulation.  Rows tie-break so that a
+    right row at exactly left.ts is visible to the left row (``<=``
+    semantics; ``strict=True`` gives ``<``).
+
+    Returns all left columns plus the right payload columns
+    (NULL when no prior right row exists).
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols) + ">"
+        ).alias("_right"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("_left"),
+        F.struct(*payload_cols).alias("_right"),
+    )
+    # right rows order before left rows at equal ts (<= semantics);
+    # strict mode flips the tie-break so the left row precedes it
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_asof", F.last("_right", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out = matched.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 hour",
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join ``start <= point_ts < end`` for two
+    LARGE inputs, as a bucket equi-join.
+
+    Each interval row explodes to one row per covered bucket
+    (``sequence(bucket(start), bucket(end))``); each point carries
+    its own bucket; the equi-join on (bucket [, extra_key]) shuffles
+    both sides by bucket, then the exact predicate filters.  Output
+    may contain each (point, interval) pair once (duplicates from
+    intervals spanning several buckets are dropped).
+    """
+    b_expr = f"date_trunc('{_trunc_unit(bucket)}', {{c}})"
+    p = points.withColumn("_bucket", F.expr(b_expr.format(c=point_ts)))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.expr(
+                f"sequence({b_expr.format(c=start_ts)}, {b_expr.format(c=end_ts)}, interval {bucket})"
+            )
+        ),
+    )
+    on = ["_bucket"] + ([extra_key] if extra_key else [])
+    exact: Column = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    return p.join(iv, on=on, how="inner").filter(exact).drop("_bucket")
+
+
+def _trunc_unit(bucket: str) -> str:
+    unit = bucket.split()[-1].rstrip("s")
+    if unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket unit: {bucket}")
+    return unit

@@ -38,6 +38,31 @@ def scalar_json_events(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "scalar_map_props",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER)         AS n_keys,
+           CAST(props->>'$.k' AS BIGINT)                  AS k_val,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN TRUE ELSE FALSE END AS has_k,
+           CASE WHEN json_extract(props, '$.missing') IS NOT NULL THEN TRUE ELSE FALSE END AS has_missing
+    FROM events
+    """,
+    tags=("scalar", "map"),
+    description="map function family over JSON props (from_json to MAP, keys/lookup/contains)",
+)
+def scalar_map_props(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+    )
+
+
+@register(
     "events_tumbling_hourly",
     """
     SELECT date_trunc('hour', ts)     AS window_start,

@@ -142,6 +142,35 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "text_quality_score",
+    f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks)                                      AS n_tokens,
+             round(len(list_distinct(toks)) / len(toks), 4) AS dr,
+             round(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) / len(toks), 4)
+                                                            AS sr
+      FROM d)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END
+                  + least(dr * 2, 1.0)
+                  + CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END) / 3, 4) AS quality_score
+    FROM s
+    """,
+    tags=("text", "quality"),
+    description="composite C4/Gopher-style quality score (length band + diversity + stopword presence)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.text import with_quality_score
+
+    return with_quality_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+@register(
     "text_lang_id",
     f"""
     WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
@@ -246,6 +275,78 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str):
     media = with_binary_metadata(documents_as_media(t(spark, sf_dir, "documents")))
     return media.select(
         "media_id", "byte_len", F.col("sha256").alias("sha_256"), "media_type"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(i AS INTEGER)     AS frame_no,
+           CAST(least(256, octet_length(encode(text)) - i * 256) AS BIGINT) AS frame_len
+    FROM documents,
+         unnest(range(0, least(octet_length(encode(text)) // 256, 15) + 1)) AS u(i)
+    """,
+    tags=("multimodal", "frames"),
+    description=(
+        "fixed-stride frame sampling over opaque payload bytes "
+        "(keyframe-extraction stand-in; 1 row in -> <=16 rows out)"
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.multimodal import documents_as_media, sample_frames
+
+    frames = sample_frames(documents_as_media(t(spark, sf_dir, "documents")))
+    return frames.select("media_id", "frame_no", "frame_len")
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas feature extraction — deterministic fake codec,
+    # not expressible in SQL; rows-only check
+    tags=("multimodal", "pandas_udf"),
+    description=(
+        "decode+featurize via mapInPandas Arrow batches (STUB codec — "
+        "real plumbing: schema, batching, no driver collect)"
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.multimodal import decode_and_featurize, documents_as_media
+
+    feats = decode_and_featurize(documents_as_media(t(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 4).alias("feat_sum"),
+        F.round(F.array_max("features"), 4).alias("feat_max"),
+    )
+
+
+@register(
+    "scalar_array_embeddings",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER)                             AS dim,
+           round(list_sum(v), 4)                               AS v_sum,
+           round(list_max(v), 4)                               AS v_max,
+           round(list_min(v), 4)                               AS v_min,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2_norm,
+           round(list_sum(v[1:3]), 4)                          AS head3_sum
+    FROM e
+    """,
+    tags=("scalar", "array"),
+    description="array function family over the embedding column (size/agg/minmax/slice)",
+)
+def scalar_array_embeddings(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings").withColumn("v", F.col("embedding").cast("array<double>"))
+    return e.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(F.expr("aggregate(v, 0D, (a, x) -> a + x)"), 4).alias("v_sum"),
+        F.round(F.array_max("v"), 4).alias("v_max"),
+        F.round(F.array_min("v"), 4).alias("v_min"),
+        F.round(F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)")), 4).alias("l2_norm"),
+        F.round(F.expr("aggregate(slice(v, 1, 3), 0D, (a, x) -> a + x)"), 4).alias("head3_sum"),
     )
 
 
