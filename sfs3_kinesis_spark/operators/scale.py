@@ -1,0 +1,72 @@
+"""Scale utilities: explicit skew mitigation.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on
+in :mod:`sfs3_kinesis_spark.session`) covers sort-merge joins at
+runtime; these helpers are the *declarative* counterparts for plans
+the optimizer can't rebalance by itself:
+
+* :func:`salted_join` — pre-split a pathologically hot key across
+  ``salt`` sub-partitions before a shuffle join (classic salt +
+  replicate-small-side scheme).
+* :func:`salted_groupby_count` — two-phase aggregation for heavy
+  hitters: partial counts on (key, salt) then final on key.  Spark's
+  own partial aggregation already handles *sum-like* skew; the
+  explicit form matters for high-cardinality payload aggs such as
+  ``collect_list`` where the map-side combine doesn't shrink data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
+    """Uniform random salt in [0, salt) — deterministic per row via
+    hash of all columns, so retries produce the same placement."""
+    return df.withColumn(col_name, F.pmod(F.hash(*df.columns), F.lit(salt)))
+
+
+def replicate(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
+    """Replicate every row once per salt value (the small/dimension
+    side of a salted join)."""
+    return df.withColumn(
+        col_name, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big[on]`` is skewed: salt the big side,
+    replicate the small side ``salt``×, join on (key, salt).
+
+    Output equals ``big.join(small, on, how)`` for inner/left joins;
+    the shuffle spreads each hot key over ``salt`` reducers instead
+    of one.  Cost: small side duplicated ``salt``× (only acceptable
+    when |small| ≪ |big| — which is exactly the skew scenario).
+    """
+    # salt from the row's own key alone would re-create the hotspot
+    # (every hot-key row hashes identically) — round-robin over a
+    # monotonic id spreads a single hot key evenly
+    b = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
+    s = replicate(small, salt)
+    return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def salted_groupby_count(
+    df: DataFrame, key: str, *, salt: int = 16, agg_col: Column | None = None
+) -> DataFrame:
+    """Two-phase count/sum by a skewed key: partial on (key, salt),
+    final on key.  Identical result to ``df.groupBy(key).count()``."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    agg = agg_col if agg_col is not None else F.count(F.lit(1))
+    partial = salted.groupBy(key, "_salt").agg(agg.alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias("n"))

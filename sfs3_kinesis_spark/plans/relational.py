@@ -343,6 +343,53 @@ def join_full_nation_activity(spark: SparkSession, sf_dir: str):
     )
 
 
+@register(
+    "subquery_above_global_avg",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "scalar"),
+    description="scalar subquery in a filter (planned as a 1-row broadcast)",
+)
+def subquery_above_global_avg(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "subquery_correlated_cust_max",
+    """
+    SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery", "correlated"),
+    description=(
+        "correlated subquery (each customer's max-price order) — Catalyst "
+        "de-correlates it into an aggregate + equi-join, not a per-row probe"
+    ),
+)
+def subquery_correlated_cust_max(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 # ----------------------------------------------------------------- #
 # window functions (SURVEY §2.6)                                    #
 # ----------------------------------------------------------------- #

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: pin the plan properties that make
+the headline queries scale (pushdown, broadcast choice, top-k
+strategy, exchange counts).  A correctness-preserving change that
+regresses one of these would silently cost 10-100x at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sfs3_kinesis_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the lineitem scan must not read the join keys
+    # it doesn't need (16-column table, 7 needed)
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q03_broadcasts_dims_and_takeordered(spark):
+    plan = _plan(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_sort_topk_has_no_exchange(spark):
+    # TakeOrderedAndProject does per-partition heaps + driver merge:
+    # a global orderBy+limit must NOT plan a full sort shuffle
+    plan = _plan(spark, "sort_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pipeline_run_is_shuffle_free(spark):
+    # the 6-stage enrichment chain is one codegen'd projection (X1)
+    plan = _plan(spark, "pipeline_run")
+    assert "Exchange" not in plan
+
+
+def test_asof_join_is_one_shuffle_per_input(spark):
+    # union+window as-of: shuffles must not depend on time-range
+    # width; 2 exchanges = clicks dedup agg + the keyed window
+    plan = _plan(spark, "join_asof_purchase_click")
+    assert plan.count("Exchange") <= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # the point-in-interval join must execute as a hash equi-join on
+    # the bucket, not a nested-loop theta join over the fact table;
+    # the only BNLJ allowed is the 1-row mean-threshold broadcast
+    plan = _plan(spark, "join_range_hot_hours")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_events_scan_pushes_event_type(spark):
+    plan = _plan(spark, "join_asof_purchase_click")
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "similarity_lsh_pairs"])
+def test_lsh_candidate_joins_are_equi(spark, name):
+    # LSH pruning only works if the bucket join is a hash equi-join
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
