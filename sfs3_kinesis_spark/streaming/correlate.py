@@ -137,6 +137,23 @@ def _correlate_group(
         yield pd.DataFrame(out)
 
 
+def outcome_metrics(out: DataFrame, name: str = "correlate_metrics") -> DataFrame:
+    """Attach ``observe()`` counters for matched/orphan/timeout rows
+    (SURVEY.md W3: the reference only *logs* dropped orphans,
+    svckinesis.js:178-181 — the engine makes the drop accountable).
+
+    In streaming, the counters surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]``; in batch, pass
+    the returned DataFrame through a ``pyspark.sql.Observation``.
+    """
+    return out.observe(
+        name,
+        F.count(F.when(F.col("outcome") == "matched", 1)).alias("n_matched"),
+        F.count(F.when(F.col("outcome") == "orphan", 1)).alias("n_orphan"),
+        F.count(F.when(F.col("outcome") == "timeout", 1)).alias("n_timeout"),
+    )
+
+
 def correlate(requests: DataFrame, events: DataFrame) -> DataFrame:
     """The correlation operator: streaming in, streaming out.
 
