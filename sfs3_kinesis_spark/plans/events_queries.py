@@ -182,6 +182,49 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "correlate_join_form",
+    """
+    WITH req AS (
+      SELECT CAST(user_id AS VARCHAR) AS txn_id, min(ts) AS submitted_at
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS txn_id,
+             CASE WHEN event_type = 'purchase' THEN 'SUCCEEDED' ELSE 'FAILED' END AS status,
+             ts AS event_time
+      FROM events WHERE event_type IN ('purchase', 'error'))
+    SELECT r.txn_id, e.status,
+           CASE WHEN e.status = 'SUCCEEDED' THEN 200 ELSE 400 END AS http_code,
+           CAST(date_diff('millisecond', r.submitted_at, e.event_time) AS BIGINT) AS latency_ms
+    FROM req r JOIN ev e
+      ON r.txn_id = e.txn_id
+     AND e.event_time >= r.submitted_at
+     AND e.event_time <= r.submitted_at + INTERVAL 72 HOUR
+    """,
+    tags=("join", "correlation", "streaming_semantics"),
+    description=(
+        "join-form correlation (streaming/join.py:correlate_join — the "
+        "declarative stream-stream twin of the T12 state machine; batch "
+        "mode runs the identical plan)"
+    ),
+)
+def correlate_join_form(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.streaming.join import correlate_join
+
+    e = t(spark, sf_dir, "events")
+    req = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").cast("string").alias("txn_id"))
+        .agg(F.min("ts").alias("submitted_at"))
+    )
+    ev = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.col("user_id").cast("string").alias("txn_id"),
+        F.when(F.col("event_type") == "purchase", "SUCCEEDED").otherwise("FAILED").alias("status"),
+        F.col("ts").alias("event_time"),
+    )
+    return correlate_join(req, ev, within="72 hours")
+
+
+@register(
     "correlate_requests_events",
     """
     WITH req AS (

@@ -546,6 +546,54 @@ def set_except_nations(spark: SparkSession, sf_dir: str):
     return c.subtract(s)  # EXCEPT DISTINCT (exceptAll would be multiset semantics)
 
 
+@register(
+    "set_union_all_keys",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION ALL
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop", "multiset"),
+    description="UNION ALL (multiset append, no dedup shuffle)",
+)
+def set_union_all_keys(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.union(s)
+
+
+@register(
+    "set_intersect_all_keys",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop", "multiset"),
+    description="INTERSECT ALL (multiset: min of per-side multiplicities)",
+)
+def set_intersect_all_keys(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all_keys",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop", "multiset"),
+    description="EXCEPT ALL (multiset difference: multiplicity-aware)",
+)
+def set_except_all_keys(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 # ----------------------------------------------------------------- #
 # scalar functions (SURVEY §2.9)                                    #
 # ----------------------------------------------------------------- #

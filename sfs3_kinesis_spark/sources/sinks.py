@@ -116,6 +116,29 @@ class KeyedUpsertSink:
         return stream_df.writeStream.foreachBatch(self.apply_batch).outputMode("update")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    target_file_partitions: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet layout — the engine's scale
+    posture for fact tables: a filter on a partition column becomes
+    directory pruning (zero I/O for excluded partitions) instead of
+    a full scan + row filter.
+
+    ``target_file_partitions`` optionally repartitions by the
+    partition columns first so each directory gets few, large files
+    (many tiny files is the classic 100 TB anti-pattern: NN/S3
+    listing cost + per-file open overhead dominate).
+    """
+    if target_file_partitions is not None:
+        df = df.repartition(target_file_partitions, *partition_by)
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 def kinesis_sink(df: DataFrame, stream_name: str, region: str = "us-east-1"):
     """Publish status events keyed by txn_id (per-key ordering via
     partition key — reference aprocess.js:157)."""
