@@ -182,6 +182,49 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "events_user_gap_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap
+      FROM events)
+    SELECT user_id,
+           count(gap)                 AS n_gaps,
+           CAST(sum(gap) AS BIGINT)   AS sum_gap_us,
+           CAST(max(gap) AS BIGINT)   AS max_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("pandas_udf", "grouped", "streaming_semantics"),
+    description=(
+        "applyInPandas grouped custom logic (per-user inter-event gaps in "
+        "microseconds) — the Arrow grouped-map tier, value-verified exactly"
+    ),
+)
+def events_user_gap_stats(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.grouped import user_gap_stats
+
+    return user_gap_stats(t(spark, sf_dir, "events"))
+
+
+@register(
+    "agg_approx_quantiles",
+    None,  # t-digest style sketch — engine-specific values, rows-only
+    tags=("agg", "approx", "sketch"),
+    description="approx_percentile sketch (p50/p90/p99 per priority)",
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
     "correlate_join_form",
     """
     WITH req AS (
