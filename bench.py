@@ -48,22 +48,32 @@ def main() -> None:
     # the plan, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    per_query: dict[str, float] = {}
+    # Two runs per query: run 1 pays whole-stage-codegen compilation,
+    # JIT and parquet footer reads; run 2 is the steady-state cost —
+    # the number that extrapolates to a long-running job at scale.
+    # `value`/`queries` report steady-state; cold times are included
+    # for transparency.
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.time()
-        df = spec.spark(spark, sf_dir)
-        df.count()
-        per_query[name] = round(time.time() - t0, 3)
+        spec.spark(spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        spec.spark(spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
 
-    total = round(sum(per_query.values()), 3)
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "queries": steady,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

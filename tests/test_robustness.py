@@ -1,0 +1,64 @@
+"""Malformed-input handling: the reference JSON.parses every payload
+and throws on garbage (aprocess.js:24, svckinesis.js:175); the engine
+must degrade to NULL + accounting, never a job failure."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.sources.stream import parse_status_events
+
+
+def test_malformed_event_payloads_become_nulls(spark):
+    t0 = "2024-01-01 12:00:00"
+    raw = spark.createDataFrame(
+        [
+            ('{"txnId": "a", "status": "SUCCEEDED"}', t0),
+            ("not json at all", t0),
+            ('{"txnId": "b"}', t0),  # missing status -> partial row
+            ("", t0),
+            (None, t0),
+        ],
+        "value string, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    parsed = parse_status_events(raw)
+    obs = Observation("parse_health")
+    observed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("txn_id").isNull(), 1)).alias("n_unparseable"),
+    )
+    rows = observed.collect()
+    assert len(rows) == 5  # no row is dropped silently, no exception
+    good = {r["txn_id"]: r["status"] for r in rows if r["txn_id"] is not None}
+    assert good == {"a": "SUCCEEDED", "b": None}
+    health = obs.get
+    assert health["n_unparseable"] == 3  # garbage, empty, NULL
+
+
+def test_corrupt_json_documents_are_quarantined(spark, tmp_path):
+    """Batch JSON source: PERMISSIVE mode routes undecodable lines to
+    a corrupt-record column instead of failing the scan."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "d.json").write_text(
+        '{"txn_id": "ok", "n": 1}\n'
+        "{broken json\n"
+        '{"txn_id": "ok2", "n": 2}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("txn_id", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "{broken json" in corrupt[0]["_corrupt_record"]
+    assert {r["txn_id"] for r in rows if r["txn_id"]} == {"ok", "ok2"}

@@ -161,3 +161,48 @@ def test_incremental_pipeline_checkpoint_restart(spark, tmp_path):
     final = sink.current().select("txn_id").collect()
     txns = sorted(r["txn_id"] for r in final)
     assert txns == ["0", "1", "2", "3", "4"]  # no dupes, no losses
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """session_window (gap-close) in streaming append mode equals the
+    batch plan once the watermark closes the sessions (W4)."""
+    from sfs3_kinesis_spark.streaming.windows import session_counts
+
+    src_dir = tmp_path / "sess"
+    src_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    rows = [
+        (1, ts(0)), (1, ts(2)), (1, ts(500)),   # user 1: 2 sessions (gap > 5 min)
+        (2, ts(1)),                              # user 2: 1 session
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    batch = session_counts(
+        spark.createDataFrame(rows, schema), gap="5 minutes", time_col="ts", key="user_id"
+    )
+    expected = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert len(expected) == 3
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    q = (
+        session_counts(stream, gap="5 minutes", time_col="ts", key="user_id")
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # close every session: event far past the watermark horizon
+        spark.createDataFrame([(9, ts(100000))], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_win").collect()
+        }
+    finally:
+        q.stop()
+    for k, v in expected.items():
+        assert got.get(k) == v, (k, v, got)
