@@ -95,6 +95,85 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path
+    next to :func:`lsh_bucketed_pairs`.
+
+    1. a small centroid set is broadcast (here: deterministic corpus
+       sample — the k-means swap-in point; the distributed shape is
+       identical with trained centroids);
+    2. every corpus vector is assigned to its nearest centroid cell
+       (one codegen'd argmax projection — no shuffle);
+    3. each query probes its ``n_probe`` nearest cells; candidates
+       come from an EQUI-join on cell id, so the scan cost is
+       |probed cells| not |corpus|;
+    4. exact cosine re-scores the candidates; per-query top-k via
+       window.
+
+    ``n_probe == n_centroids`` degrades to exact brute force (used by
+    the tests as the correctness oracle); recall rises with n_probe.
+    """
+    cand = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        "v",
+        "nv",
+    )
+    # deterministic centroid sample: lowest ids (k-means placeholder)
+    cents = [
+        r["v"]
+        for r in cand.orderBy("cand_id").limit(n_centroids).select("v").collect()
+    ]
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    dot_c = DOT.format(a="c", b="v")
+    # cell = argmax over centroid dot products (normalized corpus side
+    # is unnecessary for argmax per vector: norms cancel per-row)
+    assign_expr = (
+        "array_position(transform(cents, c -> " + dot_c + "), "
+        "array_max(transform(cents, c -> " + dot_c + "))) - 1"
+    )
+    cells = cand.withColumn("cents", cent_arr).withColumn(
+        "cell", F.expr(assign_expr).cast("int")
+    ).drop("cents")
+
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        ),
+        "qv",
+        "nq",
+    )
+    dot_q = DOT.format(a="c", b="qv")
+    probe_expr = (
+        f"slice(array_sort(transform(cents, (c, i) -> struct(-({dot_q}) AS negdot, i AS idx))), 1, {n_probe})"
+    )
+    probes = (
+        q.withColumn("cents", cent_arr)
+        .withColumn("probe", F.explode(F.expr(probe_expr + ".idx")))
+        .drop("cents")
+        .select("query_id", "qv", "nq", F.col("probe").cast("int").alias("cell"))
+    )
+    scored = cells.join(F.broadcast(probes), "cell").withColumn(
+        "cos", cosine("v", "qv", "nv", "nq")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", F.round("cos", 4).alias("cosine"))
+    )
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     *,

@@ -243,6 +243,39 @@ def similarity_pairs(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "similarity_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, cand_id, list_cosine_similarity(v, qv) AS cos FROM c, q)
+    SELECT query_id, cand_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk,
+           round(cos, 4) AS cosine
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+    tags=("similarity", "topk", "ivf"),
+    description=(
+        "IVF top-k with n_probe=n_centroids (exhaustive probing == exact, "
+        "so the oracle verifies the cell-assignment + probe-join plan "
+        "value-exactly; production sets n_probe < n_centroids for the "
+        "|probed cells| scan cost)"
+    ),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=8,
+        n_probe=8,
+    )
+
+
+@register(
     "similarity_lsh_pairs",
     None,  # LSH pruning (approximate recall) has no SQL-exact oracle
     tags=("similarity", "lsh"),

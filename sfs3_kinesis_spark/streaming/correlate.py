@@ -15,6 +15,11 @@ Reference behavior (``/root/reference/svcsample/svckinesis.js``):
 Engine form: one keyed stateful operator over the *union* of the
 request stream and the event stream (same key: txn_id), implemented
 with ``applyInPandasWithState`` and a processing-time timeout.
+(Spark 4's ``transformWithStateInPandas`` is the successor API with
+per-key timers and state evolution; it requires a working
+``google.protobuf`` runtime, absent in this container, so the engine
+ships the applyInPandasWithState form — semantics are identical for
+this operator.)
 Keyed state serializes per-txn updates (the reference's per-shard
 ordering guarantee, W7) while scaling horizontally across keys —
 state lives in the state store, partitioned by key, so a 1000-node

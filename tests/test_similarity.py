@@ -1,0 +1,49 @@
+"""ANN operators: IVF exactness under exhaustive probing, recall
+behavior under partial probing, LSH candidate containment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators import similarity
+from sfs3_kinesis_spark.plans.core import t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split(spark):
+    e = t(spark, SF, "embeddings")
+    return e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    corpus, queries = _split(spark)
+    bf = similarity.brute_force_topk(corpus, queries, k=10)
+    ivf = similarity.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=8)
+    assert bf.exceptAll(ivf).count() == 0
+    assert ivf.exceptAll(bf).count() == 0
+
+
+def test_ivf_partial_probe_is_subset_with_recall(spark):
+    corpus, queries = _split(spark)
+    bf = similarity.brute_force_topk(corpus, queries, k=10)
+    part = similarity.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=3)
+    n_q = queries.count()
+    assert part.groupBy("query_id").count().filter("count > 10").count() == 0
+    # partial probing returns genuine neighbors (scored exactly), so
+    # every returned pair's cosine matches brute force's for that pair
+    joined = part.alias("p").join(
+        bf.alias("b"), ["query_id", "cand_id"], "inner"
+    )
+    assert joined.filter("p.cosine != b.cosine").count() == 0
+    # and recall is nontrivial
+    recall = joined.count() / (10 * n_q)
+    assert recall > 0.2, recall
+
+
+def test_lsh_pairs_subset_of_exact_pairs(spark):
+    e = t(spark, SF, "embeddings")
+    exact = similarity.cosine_pairs_above(e, threshold=0.35)
+    lsh = similarity.lsh_bucketed_pairs(e, threshold=0.35, n_planes=8)
+    # LSH may miss pairs (recall < 1) but must never invent one
+    assert lsh.exceptAll(exact).count() == 0

@@ -1,0 +1,81 @@
+"""Streaming deduplication (the exact-dedup operator's streaming
+form): dropDuplicates with keyed state, and
+dropDuplicatesWithinWatermark for bounded-state dedup at scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+SCHEMA = "event_id string, ts timestamp, payload string"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(path))
+
+
+def test_streaming_exact_dedup_unbounded(spark, tmp_path):
+    """dropDuplicates on a stream: duplicates across micro-batches
+    are suppressed by keyed state (unbounded retention)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(spark, src, [("a", ts(0), "p1"), ("b", ts(1), "p2"), ("a", ts(2), "dup-in-batch")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dd_unbounded")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, src, [("a", ts(100), "dup-across-batch"), ("c", ts(101), "p3")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dd_unbounded").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == ["a", "b", "c"]  # both duplicate deliveries suppressed
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: state is EVICTED once the
+    watermark passes — the 100 TB form (bounded memory), at the cost
+    of re-admitting duplicates that arrive later than the watermark
+    delay (exactly the reference's evict-then-orphan trade,
+    svckinesis.js:80-88)."""
+    src = tmp_path / "in2"
+    src.mkdir()
+    _write(spark, src, [("a", ts(0), "first")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        stream.withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dd_wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate within the watermark horizon -> suppressed
+        _write(spark, src, [("a", ts(5), "near-dup")])
+        q.processAllAvailable()
+        # advance watermark far past the 'a' state, then redeliver
+        _write(spark, src, [("z", ts(1000), "advance")])
+        q.processAllAvailable()
+        _write(spark, src, [("a", ts(1001), "late-redelivery")])
+        q.processAllAvailable()
+        rows = [r["payload"] for r in spark.sql("SELECT payload FROM dd_wm").collect()]
+    finally:
+        q.stop()
+    assert "first" in rows and "advance" in rows
+    assert "near-dup" not in rows  # suppressed while state held
+    assert "late-redelivery" in rows  # state evicted -> readmitted
