@@ -571,6 +571,32 @@ def sort_topk_orders(spark: SparkSession, sf_dir: str):
     )
 
 
+@register(
+    "sort_nulls_ordering",
+    """
+    SELECT event_id, CAST(props->>'$.missing' AS BIGINT) AS maybe_null
+    FROM events
+    ORDER BY maybe_null DESC NULLS LAST, event_id
+    LIMIT 100
+    """,
+    tags=("sort", "nulls"),
+    description=(
+        "explicit NULLS LAST ordering — Spark defaults nulls-first on ASC, "
+        "DuckDB nulls-last; explicit placement is the only portable form"
+    ),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.missing").cast("long").alias("maybe_null"),
+        )
+        .orderBy(F.col("maybe_null").desc_nulls_last(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
 # ----------------------------------------------------------------- #
 # set operations (SURVEY §2.8)                                      #
 # ----------------------------------------------------------------- #

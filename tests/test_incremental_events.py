@@ -1,0 +1,51 @@
+"""Incremental pipeline event side-output (reference T9 + S3op in
+streaming mode): terminal SUCCEEDED/FAILED notifications per
+micro-batch with idempotent event ids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+from sfs3_kinesis_spark.streaming.incremental import IncrementalPipeline
+
+
+def test_incremental_emits_failed_and_succeeded_events(spark, tmp_path):
+    req_dir = tmp_path / "req"
+    req_dir.mkdir()
+    collected: list[tuple[str, str, str]] = []
+
+    def on_events(batch_df, epoch_id):
+        collected.extend(
+            (r["txn_id"], r["status"], r["event_id"])
+            for r in batch_df.select("txn_id", "status", "event_id").collect()
+        )
+
+    # fault-inject step C for txn '1' (the reference's per-step catch
+    # -> FAILED notification, aprocess.js:111-115)
+    steps = reference_steps()
+    c = steps[2]
+    steps[2] = Step(c.name, c.output_col, c.result, c.gate_on, fail_if=F.col("txn_id") == "1")
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "store"))
+    pipe = IncrementalPipeline(sink, steps=steps, on_events=on_events)
+
+    spark.createDataFrame(
+        [(str(i), '{"foo": true}') for i in range(3)], "txn_id string, request string"
+    ).coalesce(1).write.mode("append").parquet(str(req_dir))
+    stream = spark.readStream.schema("txn_id string, request string").parquet(str(req_dir))
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    by_txn = {t: (s, e) for t, s, e in collected}
+    assert by_txn["0"][0] == "SUCCEEDED"
+    assert by_txn["1"][0] == "FAILED"
+    assert by_txn["2"][0] == "SUCCEEDED"
+    # idempotency key: txn/stage — replays dedupe at the sink (W6)
+    assert by_txn["1"][1] == "1/step-f"
+    # the failed txn's state row records FAILED with no step-c output
+    state = {r["txn_id"]: r for r in sink.current().collect()}
+    assert state["1"]["status"] == "FAILED"
+    assert state["1"]["step_c_output"] is None
