@@ -1,0 +1,124 @@
+"""Deterministic sampling / splitting / packing operators for
+training-data pipelines.
+
+The reference has no sampling surface (SURVEY.md §2.12 — its only
+"selection" is the keyed point-read, aprocess.js:15-32); these are
+green-field north-star operators.  Design rules for 100 TB:
+
+* **Deterministic by key, never by rng.**  ``rand()`` resamples on
+  every retry/recompute, which silently breaks exactly-once at
+  scale (a recomputed partition draws different rows).  Everything
+  here keys off an arithmetic hash of a stable id, so any executor,
+  any retry, any engine computes the same membership.
+* **No global coordination.**  Sampling/splitting are pure row-local
+  predicates (embarrassingly parallel, no shuffle at all); shard
+  packing shuffles once on the bucket key and does all sequencing
+  inside each bucket partition — the global-ORDER-BY
+  single-reducer bottleneck never appears.
+* The arithmetic hash (Knuth multiplicative, mod a large prime) is
+  chosen so the DuckDB oracle can reproduce values exactly.  A
+  production deployment with >2**26-ish keys would swap in
+  ``xxhash64`` (same operator shape, overflow-proof); the swap is
+  one expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant, a prime offset, and a large prime
+#: modulus — identical arithmetic on BIGINT in Spark and DuckDB.
+HASH_MULT = 2654435761
+HASH_OFFSET = 104729
+HASH_MOD = 1_000_000_007
+
+#: the same hash as ANSI SQL text, for oracle queries.
+def hash_sql(key: str) -> str:
+    return f"(({key} * {HASH_MULT} + {HASH_OFFSET}) % {HASH_MOD})"
+
+
+def hash_key(key: Column) -> Column:
+    """Deterministic pseudo-random BIGINT in [0, HASH_MOD)."""
+    return F.pmod(key * F.lit(HASH_MULT) + F.lit(HASH_OFFSET), F.lit(HASH_MOD))
+
+
+def sample_by_hash(df: DataFrame, key: Column, keep_of: int = 10, bucket: int = 0) -> DataFrame:
+    """Keep rows whose hash bucket (mod ``keep_of``) == ``bucket`` —
+    a deterministic 1/keep_of sample.  Pure row-local filter: no
+    shuffle, no rng, stable under retries and re-runs."""
+    return df.filter(F.pmod(hash_key(key), F.lit(keep_of)) == bucket)
+
+
+def split_assign(df: DataFrame, key: Column, train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Assign each row a ``split`` label (train/val/test) from its
+    hash bucket in [0,100).  Membership is a function of the key
+    alone, so the split is reproducible across runs, engines, and
+    cluster sizes — the property a training pipeline actually needs."""
+    b = F.pmod(hash_key(key), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train").when(b < train_pct + val_pct, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key: Column, n_per_stratum: int) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in hash order —
+    an equal-allocation stratified sample.  One shuffle on the
+    stratum key; within each stratum the window is a partial
+    top-k (rank <= n prunes before the final sort at scale)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(hash_key(key).asc(), key.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_shards(
+    df: DataFrame, key: Column, tokens_col: str, n_buckets: int = 8, capacity: int = 2048
+) -> DataFrame:
+    """Pack documents into ~``capacity``-token training shards.
+
+    Scale design: a single global running sum would serialize 100 TB
+    through one reducer.  Instead rows are hashed into ``n_buckets``
+    independent streams and packed *within* each bucket by a running
+    token total — one shuffle on the bucket key, then fully parallel.
+    ``shard_id`` = floor(tokens-before-this-doc / capacity), i.e.
+    sequential fill in deterministic hash order.  Adds columns
+    ``bucket``, ``shard_id``."""
+    from pyspark.sql import Window
+
+    h = hash_key(key)
+    df = df.withColumn("bucket", F.pmod(h, F.lit(n_buckets)))
+    w = Window.partitionBy("bucket").orderBy(h.asc(), key.asc())
+    cum_before = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return df.withColumn("shard_id", F.floor(cum_before / F.lit(capacity)))
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 32) -> DataFrame:
+    """Split each document into fixed-size token chunks (sequence
+    packing / context-window pre-chunking).  One row in, ceil(n/K)
+    rows out via a generator — no driver round-trip, no Python.
+    Note: Catalyst inlines the token-array alias into the Generate
+    and its downstream projection, so ``split`` re-evaluates ~k×
+    per doc; at k = a few chunks that costs less than materializing
+    the array, so we keep the narrow single-pass plan."""
+    k = chunk_tokens
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(id_col, toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    e = d.select(
+        id_col,
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_idx") * k + 1, k)
+    return e.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

@@ -14,3 +14,4 @@ from sfs3_kinesis_spark.plans import events_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import pipeline_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import llm_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import temporal_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import sampling_queries  # noqa: F401,E402

@@ -1,0 +1,240 @@
+"""Training-data curation corpus: deterministic sampling, dataset
+splitting, stratification, shuffle ordering, token-shard packing,
+sequence chunking, and quality-based dedup survivor selection.
+
+The reference has no sampling/splitting surface at all (SURVEY.md
+§2.12); this family is the north-star "what a 100 TB training-data
+pipeline actually runs".  Everything is keyed off the arithmetic
+hash in ``operators.sampling`` so the DuckDB oracle verifies every
+value exactly — no rng anywhere (rng breaks retry determinism at
+scale; see the module docstring of ``operators/sampling.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators import sampling
+from sfs3_kinesis_spark.operators.sampling import hash_sql
+from sfs3_kinesis_spark.plans.core import register, t
+
+_H = hash_sql("doc_id")  # ((doc_id * 2654435761 + 104729) % 1000000007)
+
+
+@register(
+    "sample_hash_bucket",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE ({_H} % 10) = 3
+    """,
+    tags=("sampling", "dedup_adjacent"),
+    description=(
+        "deterministic 10% sample via multiplicative hash — row-local "
+        "filter, no shuffle, stable under retries (rand() is not)"
+    ),
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return sampling.sample_by_hash(d, F.col("doc_id"), keep_of=10, bucket=3).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_train_val_test",
+    f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN ({_H} % 100) < 80 THEN 'train'
+                  WHEN ({_H} % 100) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+    tags=("sampling", "split"),
+    description=(
+        "reproducible 80/10/10 train/val/test split by hash bucket — "
+        "membership is a pure function of doc_id, so any engine, run, "
+        "or cluster size yields the identical split"
+    ),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str):
+    d = sampling.split_assign(t(spark, sf_dir, "documents"), F.col("doc_id"), 80, 10)
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rn
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM r WHERE rn <= 20
+    """,
+    tags=("sampling", "stratified"),
+    description=(
+        "equal-allocation stratified sample: first 20 docs per language "
+        "in hash order (one shuffle on the stratum key; per-stratum "
+        "top-k, not a global sort)"
+    ),
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", F.col("doc_id"), 20).select("doc_id", "lang")
+
+
+@register(
+    "sample_global_shuffle",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({_H} AS BIGINT)   AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+    tags=("sampling", "shuffle_order"),
+    description=(
+        "deterministic global shuffle order (training-epoch ordering): "
+        "ORDER BY hash(key) — top-k planned as TakeOrderedAndProject, "
+        "full-epoch form is a range-partitioned sort, both scale-safe"
+    ),
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", sampling.hash_key(F.col("doc_id")).cast("long").alias("shuffle_key")
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "pack_token_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_H}                         AS h
+      FROM documents),
+    p AS (
+      SELECT (h % 8) AS bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY (h % 8) ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM d)
+    SELECT CAST(bucket AS BIGINT)            AS bucket,
+           CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+           count(*)                          AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)     AS shard_tokens
+    FROM p GROUP BY 1, 2
+    """,
+    tags=("sampling", "packing", "window"),
+    description=(
+        "pack documents into ~2048-token training shards: hash into 8 "
+        "independent buckets (ONE shuffle), running token total within "
+        "each bucket — the global-order single-reducer bottleneck never "
+        "exists; buckets scale with the cluster"
+    ),
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    packed = sampling.pack_shards(d, F.col("doc_id"), "n_tokens", n_buckets=8, capacity=2048)
+    return packed.groupBy(
+        F.col("bucket").cast("long").alias("bucket"), "shard_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
+@register(
+    "text_chunking",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 32.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM tok)
+    SELECT CAST(doc_id AS BIGINT)    AS doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
+           CAST(len(toks[chunk_idx*32+1 : chunk_idx*32+32]) AS BIGINT)  AS n_chunk_tokens
+    FROM ex
+    """,
+    tags=("sampling", "chunking", "generator"),
+    description=(
+        "fixed-32-token sequence chunking (context-window pre-chunking): "
+        "1 doc row -> ceil(n/32) chunk rows via a generator, no Python, "
+        "no driver round-trip"
+    ),
+)
+def text_chunking(spark: SparkSession, sf_dir: str):
+    return sampling.chunk_text(t(spark, sf_dir, "documents"), "doc_id", "text", 32)
+
+
+_STOP_EN_SQL = "['the','a','of','and','to','in']"
+
+
+@register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             array_to_string(toks[1:3], ' ')                AS dedup_key,
+             len(toks)                                      AS n_tokens,
+             round(len(list_distinct(toks)) / len(toks), 4) AS dr,
+             round(len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) / len(toks), 4)
+                                                            AS sr
+      FROM d),
+    q AS (
+      SELECT doc_id, dedup_key,
+             round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END
+                    + least(dr * 2, 1.0)
+                    + CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END) / 3, 4) AS quality_score
+      FROM s),
+    r AS (
+      SELECT doc_id, dedup_key, quality_score,
+             row_number() OVER (PARTITION BY dedup_key
+                                ORDER BY quality_score DESC, doc_id) AS rn,
+             count(*)    OVER (PARTITION BY dedup_key)               AS n_members
+      FROM q)
+    SELECT dedup_key,
+           CAST(doc_id AS BIGINT)    AS keeper_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score
+    FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "quality", "sampling"),
+    description=(
+        "dedup survivor selection by quality, not min-id: within each "
+        "near-dup group (3-token prefix key) keep the highest-quality "
+        "member — the curation policy real pipelines use"
+    ),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.text import with_quality_score
+
+    d = with_quality_score(t(spark, sf_dir, "documents"))
+    d = d.withColumn("dedup_key", F.concat_ws(" ", F.slice(F.col("toks"), 1, 3)))
+    w = Window.partitionBy("dedup_key").orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("dedup_key")).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("dedup_key", F.col("doc_id").alias("keeper_doc_id"), "n_members", "quality_score")
+    )

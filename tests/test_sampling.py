@@ -1,0 +1,76 @@
+"""Property tests for the training-data curation operators
+(operators/sampling.py): determinism, partition-coverage, capacity
+and reconstruction invariants that the row-hash oracle can't state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators import sampling
+from sfs3_kinesis_spark.plans.core import t
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_is_total_and_deterministic(spark):
+    d = t(spark, SF, "documents")
+    s1 = sampling.split_assign(d, F.col("doc_id"))
+    # every row gets exactly one label; two evaluations agree row-for-row
+    assert s1.count() == d.count()
+    s2 = sampling.split_assign(d, F.col("doc_id")).withColumnRenamed("split", "split2")
+    joined = s1.select("doc_id", "split").join(s2.select("doc_id", "split2"), "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+    # splits partition the data (no doc in two splits by construction;
+    # check the three labels cover everything)
+    labels = {r["split"] for r in s1.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+
+
+def test_sample_disjoint_buckets_cover_everything(spark):
+    d = t(spark, SF, "documents")
+    total = d.count()
+    sizes = [
+        sampling.sample_by_hash(d, F.col("doc_id"), keep_of=4, bucket=b).count()
+        for b in range(4)
+    ]
+    assert sum(sizes) == total  # buckets partition the table
+    assert all(s > 0 for s in sizes)
+
+
+def test_pack_shards_capacity_and_order(spark):
+    d = t(spark, SF, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    packed = sampling.pack_shards(d, F.col("doc_id"), "n_tokens", n_buckets=4, capacity=512)
+    per_shard = packed.groupBy("bucket", "shard_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    max_doc = d.agg(F.max("n_tokens")).first()[0]
+    # a shard closes only when it crosses capacity, so it never exceeds
+    # capacity + the doc that crossed the line
+    assert per_shard.filter(F.col("tok") > 512 + max_doc).count() == 0
+    # shard ids are dense from 0 within each bucket
+    ids = per_shard.groupBy("bucket").agg(
+        F.min("shard_id").alias("lo"), F.max("shard_id").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    bad = ids.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    assert bad.count() == 0
+
+
+def test_chunking_reconstructs_documents(spark):
+    d = t(spark, SF, "documents")
+    chunks = sampling.chunk_text(d, "doc_id", "text", 32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))).getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("n_chunk_tokens").alias("tok_sum"),
+        )
+    )
+    j = rebuilt.join(d.select("doc_id", "text"), "doc_id")
+    assert j.filter(F.col("rebuilt") != F.col("text")).count() == 0
+    # token conservation
+    tok = d.select(F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
+    assert chunks.agg(F.sum("n_chunk_tokens")).first()[0] == tok
