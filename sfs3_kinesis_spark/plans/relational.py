@@ -422,6 +422,207 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+    description=(
+        "TPC-H Q10 shape: returned-item revenue by customer — fact-fact "
+        "join with pushed-down flag/date filters, broadcast dim, top-20"
+    ),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-05-01'
+    """,
+    tags=("join", "agg", "conditional"),
+    description=(
+        "TPC-H Q14 shape: promo revenue share — conditional aggregation "
+        "over a fact-dim join; the date filter prunes the fact scan"
+    ),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-05-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2)          AS total_price,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "semi", "agg", "topk"),
+    description=(
+        "TPC-H Q18 shape: large-volume orders — aggregate-HAVING subquery "
+        "planned as a semi join on the grouped fact, then re-join + top-k"
+    ),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q19_bracketed_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "disjunctive"),
+    description=(
+        "TPC-H Q19 shape: disjunction of cross-table predicate brackets — "
+        "Catalyst extracts the common equi-key so the OR does not force a "
+        "nested-loop join"
+    ),
+)
+def q19_bracketed_predicates(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    """
+    SELECT c_nationkey,
+           count(*)                  AS n_cust,
+           round(sum(c_acctbal), 2)  AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+    tags=("subquery", "anti", "agg"),
+    description=(
+        "TPC-H Q22 shape: above-average balances with no recent orders — "
+        "scalar-subquery threshold (1-row broadcast) + anti join"
+    ),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("thr"))
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "subquery_above_global_avg",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total_price
@@ -543,6 +744,42 @@ def window_running_total(spark: SparkSession, sf_dir: str):
             "running_total"
         ),
         F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT)                         AS quartile,
+           CAST(floor((percent_rank() OVER w) * 10000) AS BIGINT)  AS pr_bp,
+           CAST(floor((cume_dist() OVER w) * 10000) AS BIGINT)     AS cd_bp,
+           first_value(o_totalprice) OVER w                        AS part_min_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS part_max_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+    description=(
+        "distribution window functions — ntile quartiles, percent_rank / "
+        "cume_dist in basis points (floor, not round: floor is identical "
+        "across engines, round ties are not), first/last_value frames"
+    ),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 10000).alias("pr_bp"),
+        F.floor(F.cume_dist().over(w) * 10000).alias("cd_bp"),
+        F.first("o_totalprice").over(w).alias("part_min_price"),
+        F.last("o_totalprice").over(wf).alias("part_max_price"),
     )
 
 
@@ -732,6 +969,35 @@ def scalar_string_customer(spark: SparkSession, sf_dir: str):
         F.regexp_replace("c_name", "#", "").alias("name_nohash"),
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "scalar_regexp_documents",
+    r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_extract(text, '^(\w+)', 1)                       AS first_word,
+           CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS BIGINT)
+                                                                   AS n_double_vowel,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS masked_prefix,
+           CAST(regexp_matches(text, 'spark') AS INT)               AS mentions_spark
+    FROM documents
+    """,
+    tags=("scalar", "regexp", "text"),
+    description=(
+        "regexp scalar family: extract / count / global replace / match "
+        "(DuckDB regexp_replace needs the 'g' flag to match Spark's "
+        "replace-all semantics)"
+    ),
+)
+def scalar_regexp_documents(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit("[aeiou][aeiou]")).cast("long").alias("n_double_vowel"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("masked_prefix"),
+        F.col("text").rlike("spark").cast("int").alias("mentions_spark"),
     )
 
 
