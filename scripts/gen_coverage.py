@@ -70,6 +70,7 @@ registry by `scripts/gen_coverage.py`.
 | skewed equi-join | `operators/scale.py:salted_join` | `tests/test_scale_ops.py` |
 | stream-state lookup (J1) | `streaming/correlate.py` | `test_streaming_correlate.py` |
 | scalar / correlated subqueries | Catalyst de-correlation | `subquery_above_global_avg`, `subquery_correlated_cust_max` |
+| TPC-H join/agg shapes | Q1/Q3/Q4/Q5/Q7/Q10/Q14/Q18/Q19/Q22 | `q01..q22_*` (HAVING-subquery semi join, disjunctive brackets, scalar-threshold anti join) |
 
 ## §2.5 Aggregations
 
@@ -90,13 +91,16 @@ orphan / timeout / late-orphan / 2000-pair throughput.
 
 `window_topk_orders_per_customer` (row_number top-k),
 `window_rank_dense` (rank/dense_rank), `window_running_total`
-(running sum + sliding frame), `events_lag_lead` (lag/lead),
-`events_sessionization` (gap sessionization via windows).
+(running sum + sliding frame), `window_distribution_funcs`
+(ntile / percent_rank / cume_dist / first_value / last_value),
+`events_lag_lead` (lag/lead), `events_sessionization` (gap
+sessionization via windows).
 
 ## §2.7 Sorts / limits / top-k
 
 `sort_topk_orders` — planned as TakeOrderedAndProject (asserted
-shuffle-free in `tests/test_plans.py`).
+shuffle-free in `tests/test_plans.py`); `sort_nulls_ordering`
+(explicit NULLS LAST placement).
 
 ## §2.8 Set operations
 
@@ -104,7 +108,8 @@ shuffle-free in `tests/test_plans.py`).
 
 ## §2.9 Scalar functions
 
-string (`scalar_string_customer`), date (`scalar_date_orders`),
+string (`scalar_string_customer`), regexp
+(`scalar_regexp_documents`), date (`scalar_date_orders`),
 math (`scalar_math_lineitem`), JSON (`scalar_json_events`), array
 (`scalar_array_embeddings`), map (`scalar_map_props`), CASE WHEN
 (`case_when_order_status`).
@@ -147,6 +152,24 @@ Python UDF exists in the engine.
 | multimodal metadata | byte-len + sha256 (JVM-side) | `multimodal_metadata` |
 | multimodal decode/featurize | `mapInPandas` Arrow (STUB codec) | `multimodal_features` |
 | frame sampling | fixed-stride explode | `multimodal_frame_sample` |
+
+## Training-data curation (sampling / splitting / packing)
+
+All deterministic by arithmetic key-hash — no rng, so membership
+survives task retries and re-runs (`operators/sampling.py`); every
+entry value-verified against the DuckDB oracle; invariants
+(split totality, bucket coverage, shard capacity, chunk
+reconstruction) in `tests/test_sampling.py`.
+
+| op | engine | corpus |
+|---|---|---|
+| deterministic sample | hash-bucket row filter (no shuffle) | `sample_hash_bucket` |
+| train/val/test split | hash-range labels, pure function of key | `sample_train_val_test` |
+| stratified sample | per-stratum hash-order top-k | `sample_stratified_lang` |
+| epoch shuffle order | ORDER BY hash(key) | `sample_global_shuffle` |
+| token-shard packing | running sum inside hash buckets (no global-order reducer) | `pack_token_shards` |
+| sequence chunking | generator: 1 doc → ceil(n/32) chunk rows | `text_chunking` |
+| quality-keeper dedup | survivor = max quality per near-dup group | `dedup_keep_best_quality` |
 
 ## Query registry (generated)
 
