@@ -80,3 +80,39 @@ def test_lsh_candidate_joins_are_equi(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_pushes_flag_filter_and_broadcasts_nation(spark):
+    plan = _plan(spark, "q10_returned_revenue")
+    # the returnflag filter reaches the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "BroadcastHashJoin" in plan  # nation dim
+    assert "TakeOrderedAndProject" in plan  # top-20, not global sort
+
+
+def test_q18_having_subquery_is_semi_join(spark):
+    # the IN (GROUP BY ... HAVING) subquery must plan as a join on the
+    # pre-aggregated keys, never a per-row re-aggregation
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    # the OR of brackets shares the l_partkey = p_partkey equi-key;
+    # Catalyst must keep the hash join and evaluate the disjunction
+    # as a post-join filter (a nested-loop here is 1000x at scale)
+    plan = _plan(spark, "q19_bracketed_predicates")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_threshold_broadcast_and_anti_join(spark):
+    plan = _plan(spark, "q22_dormant_rich_customers")
+    # 1-row scalar threshold: broadcast, not shuffle
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row threshold
+    # the recent-orders date filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
