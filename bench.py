@@ -6,7 +6,9 @@
 
 ``value`` is the total wall time of the headline set (the driver
 compares it against BASELINE.md).  Each query is fully materialized
-(count + a tiny collect) so lazy plans can't fake speed.
+through the noop sink — ``count()`` would let Catalyst prune every
+unreferenced expression column, so narrow projections would measure
+the parquet row count instead of the actual compute.
 """
 
 from __future__ import annotations
@@ -36,7 +38,18 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "text_token_stats",
+    # training-data curation family
+    "sample_train_val_test",
+    "pack_token_shards",
+    "text_chunking",
+    "dedup_keep_best_quality",
 ]
+
+
+def materialize(df) -> None:
+    """Evaluate every output column without collecting to the driver
+    (noop sink = full computation, zero write cost)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -58,10 +71,10 @@ def main() -> None:
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.time()
-        spec.spark(spark, sf_dir).count()
+        materialize(spec.spark(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
-        spec.spark(spark, sf_dir).count()
+        materialize(spec.spark(spark, sf_dir))
         steady[name] = round(time.time() - t0, 3)
 
     total = round(sum(steady.values()), 3)
