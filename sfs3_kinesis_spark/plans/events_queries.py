@@ -320,3 +320,42 @@ def correlate_requests_events(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("latency_s"),
     )
+
+
+@register(
+    "agg_modal_event_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id,
+           event_type       AS modal_event_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "mode", "window"),
+    description=(
+        "deterministic mode: most frequent event_type per user — "
+        "count + windowed argmax with a total tie-break (the built-in "
+        "mode() is tie-nondeterministic in both engines, so this is "
+        "the portable form)"
+    ),
+)
+def agg_modal_event_type(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event_type"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )

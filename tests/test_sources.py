@@ -59,3 +59,37 @@ def test_rate_limited_stream_batches(spark, tmp_path):
     # swallow the whole input
     assert len(batches) == 4
     assert all(b["numInputRows"] < 40 for b in batches)
+
+
+def test_binaryfile_source_feeds_multimodal_ops(spark, tmp_path):
+    """Raw media ingestion via the built-in binaryFile source: files
+    land as (path, modificationTime, length, content BINARY) rows —
+    the 100 TB pattern for image/audio corpora (one row per object,
+    no decode on the scan).  The rows feed the same multimodal
+    operators as the parquet fixtures."""
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"clip_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for fname, data in payloads.items():
+        (media / fname).write_bytes(data)
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.multimodal import with_binary_metadata
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(media))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    out = {r["media_id"]: r for r in with_binary_metadata(df).collect()}
+    assert set(out) == set(payloads)
+    for fname, data in payloads.items():
+        assert out[fname]["byte_len"] == len(data)
+    # partition-size control: binaryFile honors maxPartitionBytes, so
+    # a 100 TB ingest splits by files, not one task per directory
+    assert df.rdd.getNumPartitions() >= 1
