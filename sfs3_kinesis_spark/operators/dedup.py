@@ -215,3 +215,105 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: i
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Cluster the near-duplicate pair graph: assign every vertex the
+    minimum doc_id reachable from it (label propagation to fixpoint).
+
+    This is the step that turns pairwise near-dup evidence into
+    dedup DECISIONS (keep one doc per cluster) — pairs alone
+    over-delete when A~B and B~C but A!~C.  The reference has no
+    analog (it has no joins at all, SURVEY.md §2.4); this is the
+    standard large-scale formulation: iterate
+
+        label(v) <- min(label(v), min over neighbors u of label(u))
+
+    Each round is one join + one groupBy (two key shuffles); rounds
+    needed = graph diameter in label-space, which for near-dup
+    clusters (small, dense cliques from LSH buckets) is almost
+    always <= 3.  Convergence is detected by a changed-vertex count
+    — one tiny driver scalar per round, not a collect of the data.
+    Labels persist per round and the previous round unpersists, so
+    peak storage is 2 label tables regardless of round count.
+
+    Returns (vertex, component) with component = min doc_id of the
+    cluster; singleton vertices (no pair) are absent — callers union
+    them back as their own components if needed.
+    """
+    f = F
+    # undirected edge list, both orientations, in ONE pass over the
+    # pair table (a union of two selects would compute the upstream
+    # pair plan twice — for LSH pairs that is the dominant cost)
+    edges = (
+        pairs.select(
+            f.explode(
+                f.array(
+                    f.struct(f.col(a_col).alias("src"), f.col(b_col).alias("dst")),
+                    f.struct(f.col(b_col).alias("src"), f.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+
+    # initialize each vertex at its neighborhood minimum — one
+    # groupBy that is exactly the first propagation round for free;
+    # pure cliques (the common LSH-cluster shape) converge at the
+    # first convergence check
+    labels = (
+        edges.groupBy(f.col("src").alias("vertex"))
+        .agg(f.min("dst").alias("_nbr_min"))
+        .select("vertex", f.least(f.col("vertex"), f.col("_nbr_min")).alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: for each vertex, the smallest label among
+        # itself and its neighbors
+        nbr = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .select(f.col("src").alias("vertex"), f.col("component"))
+            .unionByName(labels)
+            .groupBy("vertex")
+            .agg(f.min("component").alias("new_component"))
+        )
+        joined = labels.join(nbr, "vertex").persist()
+        changed = joined.filter(f.col("component") != f.col("new_component")).count()
+        new_labels = joined.select("vertex", f.col("new_component").alias("component")).persist()
+        labels.unpersist()
+        joined.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Full dedup decision table: every doc_id mapped to its cluster
+    representative (the minimum doc_id of its connected component;
+    singletons map to themselves).  ``is_keeper`` marks the one row
+    per cluster that survives deletion."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.vertex, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
+    return out

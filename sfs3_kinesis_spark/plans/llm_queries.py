@@ -400,3 +400,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
+
+
+@register(
+    "dedup_cluster_assign",
+    None,  # xxhash64-based pairs: engine-specific, rows-only check
+    tags=("dedup", "clustering", "iterative"),
+    description=(
+        "near-dup clusters via distributed connected components over "
+        "the MinHash-LSH pair graph (iterative min-label propagation; "
+        "the step that turns pairwise evidence into keep/delete "
+        "decisions without over-deleting on non-transitive similarity)"
+    ),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.dedup_clusters(docs, pairs)

@@ -1,0 +1,81 @@
+"""Connected-components dedup clustering: validity against a
+driver-side union-find oracle, plus the structural invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators import dedup
+from sfs3_kinesis_spark.plans.core import t
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lsh_pairs(spark):
+    p = dedup.minhash_lsh_pairs(
+        t(spark, SF, "documents"), jaccard_threshold=0.3
+    ).persist()
+    p.count()
+    yield p
+    p.unpersist()
+
+
+def _union_find_oracle(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {v: find(v) for v in parent}
+
+
+def test_components_match_union_find(spark, lsh_pairs):
+    pairs = lsh_pairs
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert pair_rows, "fixture should contain near-dup pairs"
+    oracle = _union_find_oracle(pair_rows)
+
+    comp = {
+        r["vertex"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == oracle
+
+
+def test_cluster_table_invariants(spark, lsh_pairs):
+    docs = t(spark, SF, "documents")
+    pairs = lsh_pairs
+    out = dedup.dedup_clusters(docs, pairs).persist()
+
+    # total: every doc appears exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+    # cluster id is the minimum member (so keepers are well-defined)
+    agg = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("lo"), F.sum("is_keeper").alias("k")
+    )
+    assert agg.filter(F.col("cluster_id") != F.col("lo")).count() == 0
+    # exactly one keeper per cluster
+    assert agg.filter(F.col("k") != 1).count() == 0
+
+    # every near-dup pair landed in one cluster
+    lab = out.select("doc_id", "cluster_id")
+    a = lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca")
+    b = lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb")
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert j.filter(F.col("ca") != F.col("cb")).count() == 0
+    out.unpersist()
