@@ -359,3 +359,102 @@ def agg_modal_event_type(spark: SparkSession, sf_dir: str):
             F.col("n").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b)
+    SELECT g.event_type,
+           g.hr                            AS hour_start,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+    FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+    """,
+    tags=("window_agg", "hypertable", "gapfill"),
+    description=(
+        "time-series gap fill: dense per-type hourly grid (sequence + "
+        "explode — generated, never materialized as input) left-joined "
+        "to the rollup, missing counts filled with 0 and values carried "
+        "forward (LOCF) — the continuous-aggregate read path of a "
+        "hypertable"
+    ),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    h = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    grid = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w = (
+        W.partitionBy(grid.event_type)
+        .orderBy(grid.hr)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(h, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.col("hr").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )
+
+
+@register(
+    "window_running_distinct",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM f
+    """,
+    tags=("window", "distinct", "streaming_semantics"),
+    description=(
+        "running COUNT DISTINCT per key without set state: first-seen "
+        "flag (row_number = 1 over key+value) summed over the event-time "
+        "window — O(1) state per row where collect_set would hold the "
+        "whole distinct set in every window frame"
+    ),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn(
+            "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+    )
