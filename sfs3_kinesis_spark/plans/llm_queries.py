@@ -417,3 +417,53 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs)
     return dedup.dedup_clusters(docs, pairs)
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term FROM d),
+    tc AS (SELECT doc_id, n_toks, term, count(*) AS tc FROM t GROUP BY 1, 2, 3),
+    df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tc.doc_id,
+           tc.term,
+           CAST(tc.tc AS BIGINT) AS term_count,
+           CAST(df.df AS BIGINT) AS doc_freq,
+           CAST(floor(10000.0 * tc.tc * (n.n_docs + 1) / (tc.n_toks * (df.df + 1)))
+                AS BIGINT)       AS tfidf_bp
+    FROM tc JOIN df USING (term) CROSS JOIN n
+    """,
+    tags=("text", "tfidf", "corpus_stats"),
+    description=(
+        "TF-IDF: the corpus-statistic join pattern — explode terms, "
+        "aggregate document frequency, broadcast the (small) term table "
+        "and the 1-row corpus size back onto per-doc counts; idf kept in "
+        "exact integer arithmetic (basis points) so both engines agree "
+        "bit-for-bit (ln() is not cross-engine stable at the last ulp)"
+    ),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str):
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    terms = d.select(
+        "doc_id", F.size("toks").alias("n_toks"), F.explode("toks").alias("term")
+    )
+    tc = terms.groupBy("doc_id", "n_toks", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tc.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tc").cast("long").alias("term_count"),
+            F.col("df").cast("long").alias("doc_freq"),
+            F.floor(
+                F.lit(10000.0) * F.col("tc") * (F.col("n_docs") + 1)
+                / (F.col("n_toks") * (F.col("df") + 1))
+            ).cast("long").alias("tfidf_bp"),
+        )
+    )
