@@ -116,3 +116,44 @@ def test_q22_threshold_broadcast_and_anti_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row threshold
     # the recent-orders date filter reaches the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_runtime_bloom_filter_prunes_big_join(spark):
+    """At 100 TB the probe side of a selective fact-fact join should
+    be pre-filtered by a runtime bloom filter built from the filtered
+    build side (Catalyst's InjectRuntimeFilter) — the scan then skips
+    most rows before the shuffle.  Broadcast joins don't need it, so
+    the test forces the sort-merge path the big-big case takes."""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        from pyspark.sql import functions as F
+
+        from sfs3_kinesis_spark.plans.core import t
+
+        o = t(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        li = t(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built from the filtered side
+        assert "might_contain" in plan  # applied on the probe-side scan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
