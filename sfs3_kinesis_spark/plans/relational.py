@@ -1115,3 +1115,37 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str):
         F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+@register(
+    "agg_histogram_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bin_id,
+           CAST(floor(o_totalprice / 30000) AS BIGINT) * 30000 AS bin_lo,
+           count(*)                                    AS n_orders,
+           round(min(o_totalprice), 2)                 AS bin_min,
+           round(max(o_totalprice), 2)                 AS bin_max
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+    description=(
+        "equi-width histogram via floor-division binning — one partial+ "
+        "final aggregate, the building block for distribution profiling "
+        "at scale (floor, not width_bucket: identical across engines)"
+    ),
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / 30000).cast("long")
+    return (
+        o.groupBy(
+            bin_id.alias("bin_id"),
+            (bin_id * 30000).alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
