@@ -149,9 +149,13 @@ Python UDF exists in the engine.
 | language ID | stopword vote | `text_lang_id` |
 | token stats | counts/ratios | `text_token_stats` |
 | quality score | composite filter score | `text_quality_score` |
+| near-dup clustering | distributed connected components (iterative min-label propagation) | `dedup_cluster_assign` |
+| TF-IDF / corpus stats | explode → doc-freq agg → broadcast join-back | `text_tfidf` |
+| time-series gap fill | dense grid (sequence+explode) + LOCF window | `events_gapfill_locf` |
 | multimodal metadata | byte-len + sha256 (JVM-side) | `multimodal_metadata` |
 | multimodal decode/featurize | `mapInPandas` Arrow (STUB codec) | `multimodal_features` |
 | frame sampling | fixed-stride explode | `multimodal_frame_sample` |
+| raw media ingestion | built-in `binaryFile` source (decode deferred) | `tests/test_sources.py` |
 
 ## Training-data curation (sampling / splitting / packing)
 
