@@ -206,3 +206,36 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         q.stop()
     for k, v in expected.items():
         assert got.get(k) == v, (k, v, got)
+
+
+def test_continuous_rollup_updates_in_place(spark, tmp_path):
+    """The materialized-rollup write path: a late-arriving second
+    batch lands in an already-materialized window and must UPDATE
+    that row (merge by window/status key), not append a duplicate."""
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.windows import continuous_rollup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write(spark, src, [("1", "SUCCEEDED", ts(0)), ("2", "FAILED", ts(0.5))])
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "rollup"), key_col="rollup_key")
+    stream = spark.readStream.schema("txn_id string, status string, event_time timestamp").parquet(
+        str(src)
+    )
+    q = continuous_rollup(stream, sink, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        first = {r["rollup_key"]: r["n"] for r in sink.current().collect()}
+        assert list(first.values()) == [1, 1] or set(first.values()) == {1}
+
+        # two more SUCCEEDED in the SAME minute window: the succeeded
+        # row must update to 3, the failed row stay at 1, total rows 2
+        _write(spark, src, [("3", "SUCCEEDED", ts(0.2)), ("4", "SUCCEEDED", ts(0.7))])
+        q.processAllAvailable()
+        rows = sink.current().collect()
+        assert len(rows) == 2
+        by_status = {r["status"]: r["n"] for r in rows}
+        assert by_status == {"SUCCEEDED": 3, "FAILED": 1}
+    finally:
+        q.stop()
