@@ -1149,3 +1149,70 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str):
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@register(
+    "reshape_unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    WHERE l_orderkey <= 1000
+    """,
+    tags=("reshape", "unpivot"),
+    description=(
+        "unpivot/melt: wide measure columns to (measure, value) rows via "
+        "the native unpivot operator (an Expand node — one scan, no "
+        "self-union re-reads; the SQL twin spells it as UNION ALL)"
+    ),
+)
+def reshape_unpivot_lineitem(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("substring(measure, 3)").alias("measure"),  # l_quantity -> quantity
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "scalar_null_handling",
+    """
+    SELECT event_id,
+           coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1)
+                                                            AS k_or_default,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT DISTINCT FROM 1
+                                                            AS k_is_one_nullsafe,
+           nullif(event_type, 'click')                       AS type_no_click,
+           CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS INT) AS value_missing
+    FROM events
+    """,
+    tags=("scalar", "nulls"),
+    description=(
+        "null-handling family: coalesce defaults, null-safe equality "
+        "(<=> / IS NOT DISTINCT FROM), nullif, explicit missingness flag"
+    ),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)).alias(
+            "k_or_default"
+        ),
+        k.eqNullSafe(F.lit(1)).alias("k_is_one_nullsafe"),
+        F.nullif("event_type", F.lit("click")).alias("type_no_click"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("value_missing"),
+    )
