@@ -63,3 +63,42 @@ def correlate_join(
             (F.unix_millis("event_time") - F.unix_millis("submitted_at"))
         ).alias("latency_ms"),
     )
+
+
+def correlate_join_outer(
+    requests: DataFrame,
+    events: DataFrame,
+    *,
+    within: str = "20 seconds",
+    request_watermark: str = "30 seconds",
+    event_watermark: str = "30 seconds",
+) -> DataFrame:
+    """Left-outer variant: every request emits exactly once — matched
+    rows as soon as the event arrives, unmatched rows with NULL
+    status once the watermark proves no in-window event can still
+    come.  This is the reference's request-timeout path
+    (pollingsvc.js:67-75: respond 400 and evict) expressed entirely
+    declaratively: Spark's join-state expiry IS the timeout timer, so
+    there is no user-managed state at any scale.
+    """
+    r = requests.select(F.col("txn_id").alias("r_txn_id"), F.col("submitted_at"))
+    e = events.select(F.col("txn_id").alias("e_txn_id"), F.col("status"), F.col("event_time"))
+    if r.isStreaming:
+        r = r.withWatermark("submitted_at", request_watermark)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", event_watermark)
+    cond = (
+        (F.col("r_txn_id") == F.col("e_txn_id"))
+        & (F.col("event_time") >= F.col("submitted_at"))
+        & (F.col("event_time") <= F.col("submitted_at") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = r.join(e, cond, "left_outer")
+    return joined.select(
+        F.col("r_txn_id").alias("txn_id"),
+        "status",
+        F.when(F.col("status").isNull(), "timeout")
+        .when(F.col("status") == "SUCCEEDED", "matched")
+        .otherwise("failed")
+        .alias("outcome"),
+        F.when(F.col("status") == "SUCCEEDED", 200).otherwise(400).alias("http_code"),
+    )
