@@ -70,7 +70,7 @@ registry by `scripts/gen_coverage.py`.
 | skewed equi-join | `operators/scale.py:salted_join` | `tests/test_scale_ops.py` |
 | stream-state lookup (J1) | `streaming/correlate.py` | `test_streaming_correlate.py` |
 | scalar / correlated subqueries | Catalyst de-correlation | `subquery_above_global_avg`, `subquery_correlated_cust_max` |
-| TPC-H join/agg shapes | Q1/Q3/Q4/Q5/Q7/Q10/Q14/Q18/Q19/Q22 | `q01..q22_*` (HAVING-subquery semi join, disjunctive brackets, scalar-threshold anti join) |
+| TPC-H join/agg shapes | **all 22** (Q2/Q11/Q16/Q20 adapted: lineitem stands in for partsupp; Q12/Q21 lateness from shipdate−orderdate) | `q01..q22_*` (correlated-min/avg subqueries, HAVING semi joins, NOT-IN anti join, unique-offender decomposition, two-level agg, scalar-max argmax) |
 
 ## §2.5 Aggregations
 
@@ -95,6 +95,14 @@ orphan / timeout / late-orphan / 2000-pair throughput.
 (ntile / percent_rank / cume_dist / first_value / last_value),
 `events_lag_lead` (lag/lead), `events_sessionization` (gap
 sessionization via windows).
+
+## Product analytics / data quality (green-field, `plans/analytics_queries.py`)
+
+Funnel conversion (`funnel_conversion_stages`), weekly cohort
+retention (`cohort_weekly_retention`), exact heavy hitters
+(`heavy_hitters_tokens`), blocked fuzzy edit-distance join
+(`fuzzy_join_blocked_names`), referential-integrity audit
+(`quality_referential_audit`).
 
 ## §2.7 Sorts / limits / top-k
 

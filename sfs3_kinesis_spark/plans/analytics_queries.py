@@ -1,0 +1,253 @@
+"""Product-analytics and data-quality operators.
+
+The operator families a pipeline team runs daily on the event stream
+and the curated corpus, beyond the relational/TPC-H shapes: funnel
+conversion, cohort retention, exact heavy hitters, blocked fuzzy
+(edit-distance) joins, and referential-integrity audits.  All are
+SQL-exact against the DuckDB oracle; outputs are integer counts or
+date-truncated keys, so no float-accumulation hazards exist.
+
+Scale notes (100 TB posture):
+
+* funnel/cohort shuffle once on ``user_id`` and once on the
+  (small) aggregate key — no per-user driver loops, no collect;
+* the fuzzy join never goes quadratic: candidate pairs come from an
+  equi-join on a blocking key (prefix), the expensive
+  ``levenshtein`` runs only inside blocks;
+* the audit counts use left-anti joins, which Catalyst plans as
+  broadcast-anti where the clean side is small, and stay
+  shuffle-hash otherwise — never a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+
+@register(
+    "funnel_conversion_stages",
+    """
+    WITH s AS (
+        SELECT user_id, min(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(ts) AS t_view
+        FROM events e JOIN s USING (user_id)
+        WHERE event_type = 'view' AND ts > t_signup GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+    )
+    SELECT stage, count(*) AS n_users FROM (
+        SELECT '1_signup' AS stage, user_id FROM s
+        UNION ALL SELECT '2_view', user_id FROM v
+        UNION ALL SELECT '3_click', user_id FROM c
+        UNION ALL SELECT '4_purchase', user_id FROM p
+    ) GROUP BY stage
+    """,
+    tags=("funnel", "join", "agg", "events"),
+    description=(
+        "ordered conversion funnel (signup -> view -> click -> purchase): "
+        "each stage is the earliest qualifying event strictly after the "
+        "previous stage's time — four min-aggregates chained by equi-join "
+        "on user_id, one count per stage; no sequence scan, no state"
+    ),
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_col: str, out_col: str):
+        stage = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return stage.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    s = first_after("signup", None, "", "t_signup")
+    v = first_after("view", s, "t_signup", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    stages = (
+        s.select(F.lit("1_signup").alias("stage"), "user_id")
+        .unionByName(v.select(F.lit("2_view").alias("stage"), "user_id"))
+        .unionByName(c.select(F.lit("3_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("4_purchase").alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM first_seen JOIN active USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("cohort", "retention", "agg", "events"),
+    description=(
+        "weekly cohort retention matrix: cohort = ISO week of each "
+        "user's first event, cell = users of that cohort active in week "
+        "offset N — two aggregations plus one equi-join on user_id, the "
+        "standard retention query at any scale"
+    ),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "heavy_hitters", "topk"),
+    description=(
+        "exact corpus heavy hitters: top-20 most frequent tokens — "
+        "explode + partial/final count + TakeOrderedAndProject; the "
+        "exact tier that an approximate (count-min / freqItems) pass "
+        "would be validated against"
+    ),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "fuzzy_join_blocked_names",
+    """
+    WITH blocked AS (
+        SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+        FROM customer
+    )
+    SELECT a.blk AS blk, count(*) AS n_pairs
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.blk
+    """,
+    tags=("join", "fuzzy", "blocking", "dedup_adjacent"),
+    description=(
+        "blocked fuzzy join (entity resolution): candidate pairs from an "
+        "equi-join on a prefix blocking key, edit-distance verified "
+        "inside blocks only — the O(n^2) all-pairs comparison never "
+        "exists; at 100 TB the block key is what keeps this tractable"
+    ),
+)
+def fuzzy_join_blocked_names(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "quality_referential_audit",
+    """
+    SELECT 'lineitem_orphan_order' AS check_name, count(*) AS violations
+    FROM lineitem WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_customer', count(*)
+    FROM orders WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'orders_duplicate_key', count(*)
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_null_shipdate', count(*)
+    FROM lineitem WHERE l_shipdate IS NULL
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    """,
+    tags=("quality", "audit", "anti", "agg"),
+    description=(
+        "referential-integrity and constraint audit over the star "
+        "schema: orphan foreign keys via anti join, duplicate primary "
+        "keys, null and range violations — one (check, count) row each; "
+        "the pre-training sanity gate every ingest should run"
+    ),
+)
+def quality_referential_audit(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def count_row(name: str, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    orphan_li = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    orphan_o = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    dup_o = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    null_ship = li.filter(F.col("l_shipdate").isNull())
+    bad_qty = li.filter(F.col("l_quantity") <= 0)
+    return (
+        count_row("lineitem_orphan_order", orphan_li)
+        .unionByName(count_row("orders_orphan_customer", orphan_o))
+        .unionByName(count_row("orders_duplicate_key", dup_o))
+        .unionByName(count_row("lineitem_null_shipdate", null_ship))
+        .unionByName(count_row("lineitem_nonpositive_qty", bad_qty))
+    )
