@@ -467,3 +467,72 @@ def text_tfidf(spark: SparkSession, sf_dir: str):
             ).cast("long").alias("tfidf_bp"),
         )
     )
+
+
+@register(
+    "scalar_lambda_arrays",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_sum(list_transform(v, x -> x * 2.0 + 1.0)), 4) AS sum_affine,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER)          AS n_pos,
+           len(list_filter(v, x -> abs(x) > 2.0)) > 0                AS has_large,
+           len(list_filter(v, x -> abs(x) >= 10.0)) = 0              AS all_small,
+           round(list_dot_product(v, list_reverse(v)), 4)            AS dot_rev,
+           round(list_sort(v)[1] + list_sort(v)[len(v)], 4)          AS minmax_sum,
+           CAST(len(list_distinct(v)) AS INTEGER)                    AS n_distinct
+    FROM e
+    """,
+    tags=("scalar", "array", "lambda"),
+    description=(
+        "higher-order (lambda) array family: transform / filter / exists "
+        "/ forall / zip_with / array_sort / array_distinct — all "
+        "JVM-side Catalyst lambda expressions, evaluated left-to-right "
+        "per row so float folds are bit-identical across engines (the "
+        "oracle spells exists/forall as list_filter cardinalities and "
+        "zip_with as list_dot_product)"
+    ),
+)
+def scalar_lambda_arrays(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings").withColumn("v", F.col("embedding").cast("array<double>"))
+    return e.select(
+        "vec_id",
+        F.round(F.expr("aggregate(transform(v, x -> x * 2.0D + 1.0D), 0D, (a, x) -> a + x)"), 4).alias(
+            "sum_affine"
+        ),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        F.exists("v", lambda x: F.abs(x) > 2.0).alias("has_large"),
+        F.forall("v", lambda x: F.abs(x) < 10.0).alias("all_small"),
+        F.round(
+            F.expr("aggregate(zip_with(v, reverse(v), (x, y) -> x * y), 0D, (a, x) -> a + x)"), 4
+        ).alias("dot_rev"),
+        F.round(
+            F.element_at(F.array_sort("v"), 1) + F.element_at(F.array_sort("v"), F.size("v")), 4
+        ).alias("minmax_sum"),
+        F.size(F.array_distinct("v")).alias("n_distinct"),
+    )
+
+
+@register(
+    "generator_outer_mentions",
+    r"""
+    SELECT doc_id,
+           unnest(CASE WHEN len(ms) = 0 THEN [NULL] ELSE ms END) AS mention
+    FROM (SELECT doc_id, regexp_extract_all(text, '\bspark\w*') AS ms
+          FROM documents)
+    """,
+    tags=("generator", "outer", "text"),
+    description=(
+        "null-preserving generator (explode_outer): keyword mentions per "
+        "document (~77% of docs match, the rest survive as a NULL row) — "
+        "the outer-generator semantics a plain explode/unnest silently "
+        "drops (the oracle pads empty lists with [NULL]; DuckDB string "
+        "literals keep backslashes raw, Spark SQL ones are escaped)"
+    ),
+)
+def generator_outer_mentions(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.expr(r"regexp_extract_all(text, '\\bspark\\w*', 0)")).alias("mention"),
+    )
