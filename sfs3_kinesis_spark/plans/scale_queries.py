@@ -1,0 +1,67 @@
+"""Skew-mitigation operators as corpus queries.
+
+``operators/scale.py`` implements explicit salting (the declarative
+counterpart of AQE's runtime skew-join splitting, for plans AQE
+can't rebalance).  These entries pin the *correctness* contract: a
+salted plan must be value-identical to the plain plan — the oracle
+is the unsalted SQL.  The plan-shape contract (hot key spread over
+``salt`` reducers, small side replicated) is asserted in
+``tests/test_scale_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.operators.scale import salted_groupby_count, salted_join
+from sfs3_kinesis_spark.plans.core import register, t
+
+
+@register(
+    "join_salted_revenue_by_nation",
+    """
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "skew", "salting", "agg"),
+    description=(
+        "salted equi-join (hot-key mitigation): big side salted "
+        "round-robin, small side replicated salt-x, join on (key, salt) "
+        "— value-identical to the plain join (the oracle), but each hot "
+        "key's rows land on `salt` reducers instead of one; the "
+        "declarative fallback when AQE skew splitting can't apply"
+    ),
+)
+def join_salted_revenue_by_nation(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey", salt=8
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "agg_salted_heavy_key",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting"),
+    description=(
+        "two-phase salted aggregation over a 3-value (pathologically "
+        "heavy) key: partial counts on (key, salt), final on key — "
+        "value-identical to the plain groupBy; matters for payload "
+        "aggregations (collect_list-like) where map-side combine can't "
+        "shrink the hot key's data"
+    ),
+)
+def agg_salted_heavy_key(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return salted_groupby_count(li, "l_returnflag", salt=16)
