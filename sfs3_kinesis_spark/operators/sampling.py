@@ -122,3 +122,42 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 32
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def global_row_index(
+    df: DataFrame, key: Column, *, n_buckets: int = 64, out_col: str = "global_idx"
+) -> DataFrame:
+    """Contiguous 1-based global row ids in deterministic hash order,
+    without a single-reducer global sort.
+
+    ``ROW_NUMBER() OVER (ORDER BY h)`` serializes every row through
+    one partition.  Instead the hash space is *range*-bucketed (all
+    of bucket i precedes bucket i+1 in hash order), so:
+
+    1. per-bucket row counts (one partial+final aggregate);
+    2. exclusive prefix-sum of the counts — a window over
+       ``n_buckets`` rows, trivially small;
+    3. broadcast the offsets back, id = bucket offset + intra-bucket
+       row_number (one shuffle on the bucket key).
+
+    The result is identical to the global ROW_NUMBER (ties broken by
+    key), but the only data-sized shuffle partitions by bucket —
+    at 100 TB every bucket sorts in parallel.  Raise ``n_buckets``
+    with the cluster (it only needs to exceed executor count)."""
+    from pyspark.sql import Window
+
+    width = HASH_MOD // n_buckets + 1
+    b = df.withColumn("_h", hash_key(key)).withColumn(
+        "_bucket", F.expr(f"_h DIV {width}").cast("int")
+    )
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(F.col("_h").asc(), key.asc())
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_offset") + F.row_number().over(w_in)).cast("long"))
+        .drop("_h", "_bucket", "_offset")
+    )

@@ -458,3 +458,31 @@ def window_running_distinct(spark: SparkSession, sf_dir: str):
             F.sum("is_first").over(w_run).cast("long").alias("distinct_types_so_far"),
         )
     )
+
+
+@register(
+    "scalar_variant_props",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT))  AS sum_k,
+           count(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50)
+               AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+    description=(
+        "semi-structured access via Spark 4 VariantType: parse_json "
+        "once into the binary Variant encoding, then typed variant_get "
+        "paths — at scale this replaces per-access string re-parsing "
+        "(get_json_object) with a single decode; the oracle reads the "
+        "same paths with DuckDB json_extract"
+    ),
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_big"),
+    )

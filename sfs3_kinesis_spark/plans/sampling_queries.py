@@ -238,3 +238,24 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") == 1)
         .select("dedup_key", F.col("doc_id").alias("keeper_doc_id"), "n_members", "quality_score")
     )
+
+
+@register(
+    "sample_global_row_index",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY {_H}, doc_id) AS global_idx
+    FROM documents
+    """,
+    tags=("sampling", "indexing", "window"),
+    description=(
+        "contiguous global row ids in deterministic hash order WITHOUT "
+        "the single-reducer global ROW_NUMBER: hash space range-bucketed, "
+        "per-bucket counts prefix-summed (a 64-row window), offsets "
+        "broadcast back, id = offset + intra-bucket row_number — the "
+        "oracle is the global ROW_NUMBER it must equal"
+    ),
+)
+def sample_global_row_index(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.global_row_index(d, F.col("doc_id"))
