@@ -536,3 +536,84 @@ def generator_outer_mentions(spark: SparkSession, sf_dir: str):
         "doc_id",
         F.explode_outer(F.expr(r"regexp_extract_all(text, '\\bspark\\w*', 0)")).alias("mention"),
     )
+
+
+@register(
+    "dedup_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+            FROM toks WHERE len(tk) >= 5)
+    ),
+    eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+    train_g AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_shared
+    FROM train_g JOIN eval_g USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "decontamination", "text", "join"),
+    description=(
+        "benchmark decontamination: training docs sharing any 5-gram "
+        "with the held-out eval slice (doc_id %% 10 == 0), with the "
+        "shared-gram count — distinct grams per side, eval gram set "
+        "broadcast into the probe join; the train-side explode is the "
+        "only data-sized shuffle (the op every pretraining pipeline "
+        "runs before shipping a corpus)"
+    ),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    g = shingles(d, n=5, out_col="grams").select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    eval_g = g.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    train_g = g.filter(F.col("doc_id") % 10 != 0).distinct()
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "text_repetition_rate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, len(tk) - 2 AS n_grams,
+             array_to_string(tk[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(10000 - (10000 * count(DISTINCT gram)) // n_grams AS BIGINT)
+               AS rep_bp
+    FROM g GROUP BY doc_id, n_grams
+    """,
+    tags=("text", "quality", "repetition"),
+    description=(
+        "intra-document repetition rate (Gopher-style quality signal): "
+        "duplicate-3-gram fraction in basis points, kept in exact "
+        "integer arithmetic (10000 - floor-div) so both engines agree "
+        "bit-for-bit; distinct-gram count per doc via the zip_with "
+        "shingle fold, no O(tokens^2) lambda re-evaluation"
+    ),
+)
+def text_repetition_rate(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 3)
+    sh = shingles(d, n=3, out_col="grams")
+    return sh.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) - 2).cast("long").alias("n_grams"),
+        (
+            F.lit(10000)
+            - F.expr("(10000 * size(grams)) DIV (size(split(text, ' ')) - 2)")
+        ).cast("long").alias("rep_bp"),
+    )
