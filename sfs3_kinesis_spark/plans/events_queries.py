@@ -486,3 +486,88 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str):
         F.sum(k).alias("sum_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_big"),
     )
+
+
+@register(
+    "window_range_interval_frame",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           round(sum(value) OVER w, 2)     AS v_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range_interval", "streaming_semantics"),
+    description=(
+        "time-range window frame (RANGE BETWEEN INTERVAL 24 HOURS "
+        "PRECEDING): trailing per-user rolling count/sum — the batch "
+        "twin of a sliding stream aggregation, evaluated as one "
+        "partition-by-user window with a time-bounded frame, no "
+        "self-join against time buckets; both engines accumulate the "
+        "frame in ts order so the rounded sums agree"
+    ),
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_ev_range_frame")
+    return spark.sql(
+        """
+        SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_24h,
+               round(sum(value) OVER w, 2)     AS v_24h
+        FROM _ev_range_frame
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "agg_winsorized_values",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) FILTER (WHERE value < lo OR value > hi) AS n_clipped,
+           round(avg(CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi ELSE value END), 4)
+               AS winsorized_mean,
+           round(avg(value), 4) AS raw_mean
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("agg", "percentile", "quality", "outliers"),
+    description=(
+        "winsorized mean per group (outlier-robust statistics for "
+        "feature/quality columns): exact interpolated p05/p95 per "
+        "event_type, values clipped to the band, clipped-count + "
+        "robust vs raw mean — the percentile table is tiny and joins "
+        "back broadcast; both engines use the same (n-1)*p linear "
+        "interpolation so the clip thresholds are bit-identical"
+    ),
+)
+def agg_winsorized_values(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+    )
