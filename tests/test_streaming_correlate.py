@@ -164,3 +164,89 @@ def test_correlation_throughput_smoke(spark, tmp_path):
     elapsed = time.time() - start
     assert matched == n
     assert n / elapsed > 33  # 10x the reference ceiling, conservatively
+
+
+def test_correlation_checkpoint_restart(spark, tmp_path):
+    """Keyed state survives stop + restart from checkpoint (W6): a
+    request registered before the stop matches an event delivered
+    after the restart — exactly once, with the original latency.
+    This is the stateful-operator half of the delivery guarantee
+    (the pipeline half is
+    test_streaming_windows.py::test_incremental_pipeline_checkpoint_restart)."""
+    import datetime as dt
+    import os
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def start(name):
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # into parquet is the restartable test sink
+        stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+        return (
+            _correlated(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def read_out():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    phase1 = unioned_input(
+        _requests_df(spark, [("t-restart", t0, 3_600_000)]),
+        _events_df(spark, []),
+    )
+    schema = phase1.schema
+    phase1.write.mode("append").parquet(str(stream_dir))
+
+    q1 = start("corr_restart1")
+    try:
+        # wait until the request batch is committed (state persisted)
+        deadline = time.time() + 60
+        commits = os.path.join(ckpt, "commits")
+        while time.time() < deadline and not (
+            os.path.isdir(commits) and len(os.listdir(commits)) >= 1
+        ):
+            time.sleep(0.2)
+        assert os.path.isdir(commits) and len(os.listdir(commits)) >= 1
+    finally:
+        q1.stop()
+
+    # event arrives while the query is DOWN; restart must recover the
+    # pending-request state from the checkpoint and match it
+    late_event = unioned_input(
+        _requests_df(spark, []),
+        _events_df(spark, [("t-restart", "SUCCEEDED", t0 + dt.timedelta(seconds=5))]),
+    )
+    late_event.write.mode("append").parquet(str(stream_dir))
+
+    q2 = start("corr_restart2")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not read_out():
+            time.sleep(0.3)
+        assert read_out(), "no output after restart"
+        time.sleep(1.0)  # allow a duplicate to surface if one would
+        rows = read_out()
+    finally:
+        q2.stop()
+
+    matched = [r for r in rows if r["txn_id"] == "t-restart"]
+    assert len(matched) == 1, f"expected exactly one emission, got {matched}"
+    assert matched[0]["outcome"] == "matched"
+    assert matched[0]["http_code"] == 200
+    assert matched[0]["latency_ms"] == 5000
