@@ -1216,3 +1216,77 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str):
         F.nullif("event_type", F.lit("click")).alias("type_no_click"),
         F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("value_missing"),
     )
+
+
+@register(
+    "join_lateral_topn_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) AS o ON true
+    WHERE c_custkey < 200
+    """,
+    tags=("join", "lateral", "topk"),
+    description=(
+        "correlated LATERAL join (top-2 orders per customer): the "
+        "correlated-subquery spelling of per-group top-k — Catalyst "
+        "de-correlates the lateral limit instead of probing orders "
+        "once per customer row; the window row_number form "
+        "(window_topk_orders_per_customer) is its plan-shape twin"
+    ),
+)
+def join_lateral_topn_per_customer(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM _lat_customer JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM _lat_orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) AS o
+        WHERE c_custkey < 200
+        """
+    )
+
+
+@register(
+    "join_null_aware_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM customer
+                               WHERE c_custkey < 20))       AS n_with_null_set,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_custkey < 20 AND c_custkey <> 7))
+                                                            AS n_null_free_set
+    """,
+    tags=("join", "anti", "null_semantics", "subquery"),
+    description=(
+        "null-aware anti join (the NOT IN trap): a single NULL in the "
+        "subquery set makes NOT IN unsatisfiable (0 rows), while the "
+        "null-free set anti-joins normally — Spark plans the former as "
+        "a null-aware anti join, and both engines must agree on the "
+        "three-valued logic"
+    ),
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_naa_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_naa_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM _naa_orders
+           WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM _naa_customer
+                                   WHERE c_custkey < 20))   AS n_with_null_set,
+          (SELECT count(*) FROM _naa_orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM _naa_customer
+                                   WHERE c_custkey < 20 AND c_custkey <> 7))
+                                                            AS n_null_free_set
+        """
+    )
