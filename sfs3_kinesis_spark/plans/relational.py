@@ -1290,3 +1290,43 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str):
                                                             AS n_null_free_set
         """
     )
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE ptr AS (
+  SELECT o_custkey, o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS nxt,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {orders} WHERE o_custkey < 50
+),
+walk AS (
+  SELECT o_custkey, o_orderkey, nxt, CAST(1 AS BIGINT) AS hop
+  FROM ptr WHERE rn = 1
+  UNION ALL
+  SELECT p.o_custkey, p.o_orderkey, p.nxt, w.hop + 1
+  FROM walk w JOIN ptr p ON p.o_orderkey = w.nxt
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       count(*) AS n_orders, max(hop) AS chain_len
+FROM walk GROUP BY o_custkey
+"""
+
+
+@register(
+    "recursive_cte_order_chains",
+    _RECURSIVE_WALK_SQL.format(orders="orders"),
+    tags=("recursion", "cte", "iterative"),
+    description=(
+        "WITH RECURSIVE linked-list traversal: each customer's orders "
+        "chained by next-pointer (lead), walked from the head to "
+        "variable depth — the fixed-point iteration only recursion "
+        "expresses declaratively; each recursion step is one equi-join "
+        "of the frontier against the pointer table, so depth = longest "
+        "chain, not row count (Spark 4 recursive CTE vs DuckDB's)"
+    ),
+)
+def recursive_cte_order_chains(spark: SparkSession, sf_dir: str):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
+    return spark.sql(_RECURSIVE_WALK_SQL.format(orders="_rec_orders"))
