@@ -251,3 +251,32 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str):
         .unionByName(count_row("lineitem_null_shipdate", null_ship))
         .unionByName(count_row("lineitem_nonpositive_qty", bad_qty))
     )
+
+
+@register(
+    "heavy_hitters_sketch",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    tags=("text", "heavy_hitters", "sketch", "approx"),
+    description=(
+        "sketch-tier heavy hitters via approx_top_k: one bounded-memory "
+        "aggregate instead of a full groupBy — with k >= vocabulary the "
+        "sketch degenerates to exact counts, which is what lets the "
+        "DuckDB oracle value-verify it; at corpus scale k << vocab "
+        "trades exactness for O(k) state per partition"
+    ),
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sketch = toks.agg(F.expr("approx_top_k(token, 256)").alias("tk"))
+    return sketch.select(F.inline("tk")).select(
+        F.col("item").alias("token"), F.col("count").cast("long").alias("cnt")
+    )
