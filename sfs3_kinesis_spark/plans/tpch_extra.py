@@ -228,7 +228,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str):
     )
     SELECT l_partkey AS p_partkey, round(part_value, 2) AS part_value
     FROM pv
-    WHERE part_value > (SELECT sum(l_extendedprice * l_quantity) * 0.0006
+    WHERE part_value > (SELECT 1.2 * sum(l_extendedprice * l_quantity)
+                              / count(DISTINCT l_partkey)
                         FROM lineitem)
     ORDER BY part_value DESC, p_partkey
     LIMIT 100
@@ -244,7 +245,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
     val = F.col("l_extendedprice") * F.col("l_quantity")
     pv = li.groupBy("l_partkey").agg(F.sum(val).alias("part_value"))
-    thr = li.agg((F.sum(val) * 0.0006).alias("thr"))
+    # relative threshold (1.2x the average part value) keeps the
+    # query non-degenerate at every scale factor — a fixed fraction
+    # of the total value selects nothing once the part count grows
+    thr = li.agg((1.2 * F.sum(val) / F.countDistinct("l_partkey")).alias("thr"))
     return (
         pv.join(F.broadcast(thr))
         .filter(F.col("part_value") > F.col("thr"))
