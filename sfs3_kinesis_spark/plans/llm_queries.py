@@ -479,7 +479,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str):
            len(list_filter(v, x -> abs(x) > 2.0)) > 0                AS has_large,
            len(list_filter(v, x -> abs(x) >= 10.0)) = 0              AS all_small,
            round(list_dot_product(v, list_reverse(v)), 4)            AS dot_rev,
-           round(list_sort(v)[1] + list_sort(v)[len(v)], 4)          AS minmax_sum,
+           round(list_sort(v)[1] + list_sort(v)[len(v)], 4) + CAST(0 AS DOUBLE)
+                                                                     AS minmax_sum,
            CAST(len(list_distinct(v)) AS INTEGER)                    AS n_distinct
     FROM e
     """,
@@ -506,8 +507,16 @@ def scalar_lambda_arrays(spark: SparkSession, sf_dir: str):
         F.round(
             F.expr("aggregate(zip_with(v, reverse(v), (x, y) -> x * y), 0D, (a, x) -> a + x)"), 4
         ).alias("dot_rev"),
-        F.round(
-            F.element_at(F.array_sort("v"), 1) + F.element_at(F.array_sort("v"), F.size("v")), 4
+        # + 0.0 normalizes IEEE negative zero: DuckDB's round keeps
+        # -0.0 where Spark's yields 0.0, and the driver's canonical
+        # float formatting distinguishes them
+        (
+            F.round(
+                F.element_at(F.array_sort("v"), 1)
+                + F.element_at(F.array_sort("v"), F.size("v")),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("minmax_sum"),
         F.size(F.array_distinct("v")).alias("n_distinct"),
     )
