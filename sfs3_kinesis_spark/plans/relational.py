@@ -1330,3 +1330,41 @@ FROM walk GROUP BY o_custkey
 def recursive_cte_order_chains(spark: SparkSession, sf_dir: str):
     t(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
     return spark.sql(_RECURSIVE_WALK_SQL.format(orders="_rec_orders"))
+
+
+@register(
+    "agg_argmax_bool",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 10, '0')
+                               || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS top_order,
+           arg_min(o_orderkey, lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 10, '0')
+                               || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS bottom_order,
+           bool_or(o_totalprice > 400000) AS has_big,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "argmax", "boolean"),
+    description=(
+        "argmax/argmin and boolean aggregates: the order with the "
+        "highest/lowest price per priority (max_by/min_by over a "
+        "fixed-width cents||key string so ties have a total order — "
+        "price alone is tie-nondeterministic in both engines), plus "
+        "bool_or/bool_and existence flags; all single-pass "
+        "partial+final aggregates, no window, no join"
+    ),
+)
+def agg_argmax_bool(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    key = F.concat(
+        F.lpad(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 10, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.min_by("o_orderkey", key).alias("bottom_order"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("has_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.count(F.lit(1)).alias("n"),
+    )
