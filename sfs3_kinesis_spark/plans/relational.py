@@ -1368,3 +1368,35 @@ def agg_argmax_bool(spark: SparkSession, sf_dir: str):
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_collect_sorted_list",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort(array_agg(s_name)), ',') AS suppliers,
+           count(*) AS n_supp
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    tags=("agg", "collect", "nested"),
+    description=(
+        "nested-result aggregation: per-nation supplier roster via "
+        "collect_list — Spark's collect order is partition-dependent, "
+        "so the list is sorted before serialization (the only "
+        "deterministic form); rendered as a joined string so both "
+        "engines hash identically. The payload-heavy aggregate shape "
+        "that motivates the salted two-phase variant at scale"
+    ),
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
