@@ -571,3 +571,38 @@ def agg_winsorized_values(spark: SparkSession, sf_dir: str):
             F.round(F.avg("value"), 4).alias("raw_mean"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("window", "path_analysis", "agg", "events"),
+    description=(
+        "behavioral transition matrix (path analysis): counts of "
+        "adjacent event-type pairs per user in event-time order — one "
+        "keyed window for lag, one aggregate; the Markov-chain input "
+        "that funnels and next-action models start from, with "
+        "(ts, event_id) as the total tie-break order"
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
