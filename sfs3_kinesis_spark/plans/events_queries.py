@@ -606,3 +606,43 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_daily_active_users",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS dau,
+           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+               AS purchasers,
+           count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+               AS error_users
+    FROM events
+    GROUP BY day
+    """,
+    tags=("agg", "distinct", "dashboard", "events"),
+    description=(
+        "daily-active-users dashboard rollup: several conditional "
+        "COUNT DISTINCTs in ONE pass — Spark plans the multi-distinct "
+        "via the Expand operator (one row replicated per distinct "
+        "group) so the scan happens once, not once per metric; NULLs "
+        "from the CASE filters fall out of the distinct count in both "
+        "engines"
+    ),
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("purchasers"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "error", F.col("user_id"))
+            ).alias("error_users"),
+        )
+    )
