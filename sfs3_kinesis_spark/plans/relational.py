@@ -1400,3 +1400,32 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_supp"),
         )
     )
+
+
+@register(
+    "set_union_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    )
+    """,
+    tags=("setop", "schema_evolution", "union"),
+    description=(
+        "schema-evolution union (unionByName + allowMissingColumns): "
+        "two table versions with different column sets appended by "
+        "NAME, absent columns null-filled — the ingest-time staple "
+        "when upstream schemas drift; positional UNION ALL would "
+        "silently misalign the columns (DuckDB spells it UNION ALL "
+        "BY NAME)"
+    ),
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderpriority")
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
