@@ -626,3 +626,50 @@ def text_repetition_rate(spark: SparkSession, sf_dir: str):
             - F.expr("(10000 * size(grams)) DIV (size(split(text, ' ')) - 2)")
         ).cast("long").alias("rep_bp"),
     )
+
+
+@register(
+    "similarity_quantize_int8",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(v,
+                x -> CAST(floor(127 * x / nrm) AS BIGINT))) AS BIGINT) AS code_sum,
+           CAST(len(list_filter(v, x -> abs(127 * x / nrm) >= 127)) AS BIGINT)
+               AS n_saturated
+    FROM n
+    """,
+    tags=("similarity", "quantization", "array"),
+    description=(
+        "int8 vector quantization (storage/ANN-prep): l2-normalize "
+        "then floor-quantize each coordinate to [-127, 127] — pure "
+        "per-row lambda arithmetic from identical operands, so the "
+        "code checksum and saturation count are bit-identical across "
+        "engines; at 100 TB this is the 4x shrink applied before "
+        "vectors enter the index"
+    ),
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    n = e.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    )
+    return n.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(v, x -> CAST(floor(127 * x / nrm) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("code_sum"),
+        F.expr("CAST(size(filter(v, x -> abs(127 * x / nrm) >= 127D)) AS BIGINT)").alias(
+            "n_saturated"
+        ),
+    )
