@@ -157,3 +157,13 @@ def test_runtime_bloom_filter_prunes_big_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_global_row_index_has_no_data_sized_single_partition(spark):
+    # two-phase global indexing: the only SinglePartition exchange
+    # allowed is the 64-row bucket-counts window; row data must flow
+    # through the bucket-partitioned window + broadcast offsets join
+    plan = _plan(spark, "sample_global_row_index")
+    assert "BroadcastHashJoin" in plan  # offsets broadcast back
+    assert "row_number" in plan and "_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
