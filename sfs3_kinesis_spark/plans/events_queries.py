@@ -646,3 +646,43 @@ def events_daily_active_users(spark: SparkSession, sf_dir: str):
             ).alias("error_users"),
         )
     )
+
+
+@register(
+    "window_ratio_to_report",
+    """
+    WITH day_type AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_cents
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, v_cents,
+           CAST(floor(10000.0 * v_cents / sum(v_cents) OVER (PARTITION BY day))
+                AS BIGINT) AS share_bp
+    FROM day_type
+    """,
+    tags=("window", "ratio_to_report", "agg", "events"),
+    description=(
+        "ratio-to-report: each event type's share of its day's total "
+        "value — an un-ordered window aggregate (whole-partition "
+        "frame) over a pre-aggregated table; sums kept in exact cents "
+        "and shares in floor basis points so both engines agree "
+        "bit-for-bit"
+    ),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    day_type = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v_cents"))
+    w = Window.partitionBy("day")
+    return day_type.select(
+        "day",
+        "event_type",
+        "v_cents",
+        F.floor(10000.0 * F.col("v_cents") / F.sum("v_cents").over(w))
+        .cast("bigint")
+        .alias("share_bp"),
+    )
