@@ -686,3 +686,34 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("share_bp"),
     )
+
+
+@register(
+    "events_time_bucket_15min",
+    """
+    SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900))
+                AS TIMESTAMP) AS bucket_start,
+           count(*) AS n,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS v_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY bucket_start
+    """,
+    tags=("window_agg", "hypertable", "time_bucket"),
+    description=(
+        "custom-width time bucketing (15 min via epoch floor-division) "
+        "— the arbitrary-width form of the tumbling window when the "
+        "width isn't one of window()'s calendar units; pure arithmetic "
+        "on the epoch, so the bucket key is engine-independent and the "
+        "aggregate is one partial+final pass"
+    ),
+)
+def events_time_bucket_15min(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / 900)).cast("bigint") * 900
+    ).alias("bucket_start")
+    return e.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v_cents"),
+    )
