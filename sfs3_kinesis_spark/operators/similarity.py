@@ -174,6 +174,95 @@ def ivf_topk(
     )
 
 
+SQDIST_INT = "aggregate(zip_with({c}, {v}, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+
+
+def _quantized(embeddings: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
+    """Vectors quantized to exact integer coordinates: float→double is
+    an exact IEEE widening, `* scale` a correctly-rounded mult, and
+    `floor(x+0.5)` exact — so every engine computes the identical
+    bigint grid and all downstream k-means arithmetic is associative
+    (order-independent) integer math, which is what makes a
+    distributed iterative algorithm value-verifiable at all."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), "
+            f"x -> cast(floor(x * {scale}D + 0.5D) as bigint))"
+        ).alias("vi"),
+    )
+
+
+def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Broadcast the (tiny) centroid set as literal arrays and assign
+    each vector to its nearest centroid with one codegen'd argmin
+    projection — no shuffle, no Python in the loop.  Ties break to the
+    lowest cell id (centroids are ordered by cell).  A parallel id
+    array keeps cell identity stable when clusters empty out."""
+    ids_arr = F.array(*[F.lit(int(c)) for c, _ in cents])
+    vals_arr = F.array(*[F.array(*[F.lit(int(x)) for x in vec]) for _, vec in cents])
+    d = SQDIST_INT.format(c="c", v="vi")
+    return (
+        dfv.withColumn("cvals", vals_arr)
+        .withColumn("cids", ids_arr)
+        .withColumn("dists", F.expr(f"transform(cvals, c -> {d})"))
+        .withColumn("dist", F.expr("array_min(dists)"))
+        .withColumn("cell", F.expr("element_at(cids, cast(array_position(dists, array_min(dists)) as int))"))
+        .drop("cvals", "cids", "dists")
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    iterative algorithm that trains the IVF centroids (:func:`ivf_topk`
+    ships a placeholder sample; this is the swap-in).
+
+    Spark-first shape (the same one MLlib uses): centroids live on the
+    driver (k×dim ints — tiny), each iteration is one broadcast-argmin
+    projection plus ONE shuffle (groupBy cell with per-coordinate
+    sums); per-coordinate `sum` is a map-side-combined bigint
+    aggregate, so the shuffle moves k×dim partials per partition, not
+    rows.  At 100 TB the per-iteration cost is a single scan +
+    k×dim×partitions bytes of shuffle — the canonical scalable k-means.
+
+    Everything is exact integer arithmetic (quantized grid, bigint
+    sums, floor-div centroid update), so the final assignment is
+    bit-identical regardless of partitioning, engine, or summation
+    order — verified value-exactly against a DuckDB oracle running the
+    same unrolled iterations (empty clusters drop out on both sides).
+
+    Returns (cell, n_members, inertia) ordered by cell, where inertia
+    is the exact integer sum of squared distances to the final
+    centroid set.
+    """
+    dfv = _quantized(embeddings, vec_col, id_col, scale).cache()
+    init = dfv.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+    sums = [F.sum(F.element_at("vi", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(iterations):
+        rows = _assign_cells(dfv, cents).groupBy("cell").agg(F.count("*").alias("n"), *sums).collect()
+        cents = sorted(
+            (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]) for r in rows
+        )
+    out = (
+        _assign_cells(dfv, cents)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_members"), F.sum("dist").alias("inertia"))
+        .orderBy("cell")
+        .select(F.col("cell").cast("int").alias("cell"), "n_members", "inertia")
+    )
+    return out
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     *,

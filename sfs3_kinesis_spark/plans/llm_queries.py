@@ -673,3 +673,63 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str):
             "n_saturated"
         ),
     )
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64, scale: int = 10000) -> str:
+    """Unrolled Lloyd iterations in ANSI SQL (exploded-coordinate
+    form).  Exact integer arithmetic end-to-end — quantized grid,
+    bigint distance sums, floor-div centroid update — so the oracle
+    agrees with the distributed Spark run bit-for-bit."""
+    sq = "(v.val - c.cval) * (v.val - c.cval)"
+    blocks = [
+        f"""
+    v AS (
+      SELECT vec_id AS id, r.i AS idx,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
+      FROM embeddings, range(1, {dim + 1}) r(i)),
+    seed AS (
+      SELECT vec_id AS id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    c0 AS (SELECT seed.cell, v.idx, v.val AS cval FROM seed JOIN v ON v.id = seed.id)"""
+    ]
+    for it in range(iterations):
+        blocks.append(f"""
+    d{it} AS (SELECT v.id, c.cell, sum({sq}) AS dist
+          FROM v JOIN c{it} c ON v.idx = c.idx GROUP BY v.id, c.cell),
+    a{it} AS (SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM d{it}) s WHERE rn = 1),
+    c{it + 1} AS (SELECT a{it}.cell, v.idx,
+              CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+          FROM a{it} JOIN v ON v.id = a{it}.id GROUP BY a{it}.cell, v.idx)""")
+    n = iterations
+    blocks.append(f"""
+    dF AS (SELECT v.id, c.cell, sum({sq}) AS dist
+          FROM v JOIN c{n} c ON v.idx = c.idx GROUP BY v.id, c.cell),
+    aF AS (SELECT id, cell, dist FROM (
+            SELECT id, cell, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM dF) s WHERE rn = 1)""")
+    return (
+        "WITH" + ",".join(blocks) + """
+    SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM aF GROUP BY cell ORDER BY cell
+    """
+    )
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    _kmeans_oracle(),
+    tags=("similarity", "clustering", "iterative", "kmeans"),
+    description=(
+        "distributed Lloyd's k-means (2 iterations, k=8) over the embedding "
+        "column — per iteration ONE broadcast-argmin projection (no shuffle) "
+        "+ ONE map-side-combined groupBy moving k*dim bigint partials, the "
+        "canonical scalable shape; exact integer arithmetic (quantized grid, "
+        "floor-div update) makes the iterative algorithm value-verifiable "
+        "against the oracle's unrolled iterations, summation order be damned"
+    ),
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str):
+    return similarity.kmeans_lloyd(t(spark, sf_dir, "embeddings"), k=8, iterations=2)

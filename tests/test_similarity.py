@@ -47,3 +47,25 @@ def test_lsh_pairs_subset_of_exact_pairs(spark):
     lsh = similarity.lsh_bucketed_pairs(e, threshold=0.35, n_planes=8)
     # LSH may miss pairs (recall < 1) but must never invent one
     assert lsh.exceptAll(exact).count() == 0
+
+
+def test_kmeans_partitioning_invariance(spark):
+    """The integer-exact update must make the result independent of
+    physical partitioning (the property that lets the driver verify a
+    distributed iterative algorithm against a single-threaded oracle)."""
+    e = t(spark, SF, "embeddings")
+    a = similarity.kmeans_lloyd(e, k=4, iterations=2)
+    b = similarity.kmeans_lloyd(e.repartition(13), k=4, iterations=2)
+    assert a.collect() == b.collect()
+
+
+def test_kmeans_covers_all_vectors_and_improves_inertia(spark):
+    e = t(spark, SF, "embeddings")
+    n = e.count()
+    one = similarity.kmeans_lloyd(e, k=4, iterations=1)
+    two = similarity.kmeans_lloyd(e, k=4, iterations=3)
+    rows1, rows3 = one.collect(), two.collect()
+    assert sum(r["n_members"] for r in rows1) == n
+    assert sum(r["n_members"] for r in rows3) == n
+    # Lloyd monotonically decreases (never increases) total inertia
+    assert sum(r["inertia"] for r in rows3) <= sum(r["inertia"] for r in rows1)
