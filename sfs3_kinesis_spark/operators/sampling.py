@@ -161,3 +161,37 @@ def global_row_index(
         .withColumn(out_col, (F.col("_offset") + F.row_number().over(w_in)).cast("long"))
         .drop("_h", "_bucket", "_offset")
     )
+
+
+def temperature_resample(df: DataFrame, key: Column, stratum_col: str) -> DataFrame:
+    """Temperature-balanced undersampling across strata (the
+    multilingual-corpus rebalancing step: majority languages are
+    downsampled toward the minority, exponent alpha = 0.5).
+
+    Stratum ``l`` keeps each row with probability
+    ``sqrt(n_min / n_l)`` where ``n_min`` is the smallest stratum —
+    keep probability 1 for the minority, shrinking as a stratum's
+    share grows.  Membership is the deterministic hash-u01 of the
+    key compared against the stratum's keep probability, so the
+    sample is stable under retries, and because ``/`` and ``sqrt``
+    are correctly-rounded IEEE ops, every engine computes the
+    bit-identical threshold (that is why alpha is 1/2 and not an
+    arbitrary ``pow``, which is NOT cross-engine bit-stable).
+
+    Scale shape: the stratum table is |strata| rows — aggregated
+    with map-side combine, then broadcast back onto the fact; the
+    filter itself is row-local.  No fact-side shuffle anywhere.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_l"))
+    counts = counts.withColumn("n_min", F.min("n_l").over(Window.partitionBy()))
+    counts = counts.withColumn(
+        "keep_p", F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+    )
+    u = (hash_key(key).cast("double") / F.lit(float(HASH_MOD))).alias("u")
+    return (
+        df.join(F.broadcast(counts.drop("n_min")), stratum_col)
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_p"))
+    )

@@ -259,3 +259,44 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str):
 def sample_global_row_index(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents").select("doc_id")
     return sampling.global_row_index(d, F.col("doc_id"))
+
+
+@register(
+    "sample_temperature_lang",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    k AS (SELECT lang, n_l,
+                 sqrt(CAST(min(n_l) OVER () AS DOUBLE) / CAST(n_l AS DOUBLE)) AS keep_p
+          FROM c),
+    s AS (SELECT d.lang, d.doc_id, k.n_l, k.keep_p,
+                 CAST({hash_sql('d.doc_id')} AS DOUBLE) / 1000000007.0 AS u
+          FROM documents d JOIN k USING (lang))
+    SELECT lang,
+           CAST(max(n_l) AS BIGINT)  AS n_before,
+           CAST(count(*) AS BIGINT)  AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM s WHERE u < keep_p
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "temperature", "balance", "multilingual"),
+    description=(
+        "temperature-balanced language resampling (alpha=0.5): each language "
+        "kept with probability sqrt(n_min/n_l) via the deterministic hash-u01 "
+        "— majority languages shrink toward the minority; sqrt and divide are "
+        "correctly-rounded IEEE so the keep thresholds are bit-identical "
+        "across engines (pow would not be); stratum table broadcast back, "
+        "zero fact-side shuffle"
+    ),
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str):
+    docs = t(spark, sf_dir, "documents")
+    kept = sampling.temperature_resample(docs, F.col("doc_id"), "lang")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_l").cast("long").alias("n_before"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -74,3 +74,24 @@ def test_chunking_reconstructs_documents(spark):
     # token conservation
     tok = d.select(F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
     assert chunks.agg(F.sum("n_chunk_tokens")).first()[0] == tok
+
+
+def test_temperature_resample_balances_and_is_deterministic(spark):
+    d = t(spark, SF, "documents")
+    kept = sampling.temperature_resample(d, F.col("doc_id"), "lang")
+    before = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(before.values())
+    minority = min(before, key=before.get)
+    # minority stratum keeps everything (keep_p == 1)
+    assert after[minority] == before[minority]
+    # majority strata shrink, and shrink MORE the bigger they are:
+    # expected share after resampling is sqrt(n_min * n_l)
+    for lang, n_l in before.items():
+        exp = (n_min * n_l) ** 0.5
+        assert after[lang] <= n_l
+        assert abs(after[lang] - exp) < 0.35 * n_l + 10, (lang, after[lang], exp)
+    # deterministic: re-evaluation yields the identical kept set
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sampling.temperature_resample(d, F.col("doc_id"), "lang").select("doc_id").collect())
+    assert a == b
