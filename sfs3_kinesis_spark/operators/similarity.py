@@ -104,13 +104,14 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path
     next to :func:`lsh_bucketed_pairs`.
 
-    1. a small centroid set is broadcast (here: deterministic corpus
-       sample — the k-means swap-in point; the distributed shape is
-       identical with trained centroids);
+    1. a small centroid set is broadcast (default: deterministic
+       corpus sample; pass ``centroids=train_ivf_centroids(...)`` for
+       k-means-trained cells — the distributed shape is identical);
     2. every corpus vector is assigned to its nearest centroid cell
        (one codegen'd argmax projection — no shuffle);
     3. each query probes its ``n_probe`` nearest cells; candidates
@@ -129,11 +130,14 @@ def ivf_topk(
         "v",
         "nv",
     )
-    # deterministic centroid sample: lowest ids (k-means placeholder)
-    cents = [
-        r["v"]
-        for r in cand.orderBy("cand_id").limit(n_centroids).select("v").collect()
-    ]
+    if centroids is not None:
+        cents = [list(c) for c in centroids]
+    else:
+        # deterministic centroid sample: lowest ids (cheap default)
+        cents = [
+            r["v"]
+            for r in cand.orderBy("cand_id").limit(n_centroids).select("v").collect()
+        ]
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     dot_c = DOT.format(a="c", b="v")
     # cell = argmax over centroid dot products (normalized corpus side
@@ -212,6 +216,43 @@ def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
     )
 
 
+def _lloyd_centroids(
+    dfv: DataFrame, k: int, iterations: int
+) -> list[tuple[int, list[int]]]:
+    """The Lloyd loop over quantized vectors: init from the k
+    lowest-id vectors, then per iteration one broadcast-argmin
+    projection + one map-side-combined groupBy whose shuffle payload
+    is k×dim bigint partials per partition (not rows).  Centroids are
+    driver-side ints (tiny); empty cells drop out."""
+    init = dfv.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+    sums = [F.sum(F.element_at("vi", i + 1)).alias(f"s{i}") for i in range(dim)]
+    for _ in range(iterations):
+        rows = _assign_cells(dfv, cents).groupBy("cell").agg(F.count("*").alias("n"), *sums).collect()
+        cents = sorted(
+            (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]) for r in rows
+        )
+    return cents
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    k: int = 16,
+    iterations: int = 2,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """k-means-trained centroids for :func:`ivf_topk`, de-quantized
+    back to doubles.  Centroid quality only affects IVF recall, never
+    correctness (candidates are exactly re-scored), so the quantized
+    grid's rounding is irrelevant downstream."""
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    return [[x / float(scale) for x in vec] for _, vec in _lloyd_centroids(dfv, k, iterations)]
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     *,
@@ -244,15 +285,7 @@ def kmeans_lloyd(
     centroid set.
     """
     dfv = _quantized(embeddings, vec_col, id_col, scale).cache()
-    init = dfv.orderBy("id").limit(k).collect()
-    cents = [(i, list(r["vi"])) for i, r in enumerate(init)]
-    dim = len(cents[0][1])
-    sums = [F.sum(F.element_at("vi", i + 1)).alias(f"s{i}") for i in range(dim)]
-    for _ in range(iterations):
-        rows = _assign_cells(dfv, cents).groupBy("cell").agg(F.count("*").alias("n"), *sums).collect()
-        cents = sorted(
-            (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]) for r in rows
-        )
+    cents = _lloyd_centroids(dfv, k, iterations)
     out = (
         _assign_cells(dfv, cents)
         .groupBy("cell")

@@ -717,3 +717,56 @@ def events_time_bucket_15min(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v_cents"),
     )
+
+
+@register(
+    "events_scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type),
+    versioned AS (
+      SELECT user_id, event_type, ts,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM changes)
+    SELECT user_id, version, event_type,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(next_ts) AS valid_to_ms,
+           CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM versioned
+    """,
+    tags=("scd2", "cdc", "dimension", "window", "streaming_semantics"),
+    description=(
+        "SCD type-2 dimension history built from a change stream: collapse "
+        "consecutive same-state rows per key, then [valid_from, valid_to) "
+        "intervals + version + is_current via lead — all three windows share "
+        "one user_id partitioning so Catalyst plans a SINGLE shuffle; the "
+        "batch twin of a CDC MERGE pipeline (epoch_ms on both sides: "
+        "identical floor semantics)"
+    ),
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w).cast("long"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.unix_millis("ts").alias("valid_from_ms"),
+            F.unix_millis("next_ts").alias("valid_to_ms"),
+            F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        )
+    )

@@ -69,3 +69,27 @@ def test_kmeans_covers_all_vectors_and_improves_inertia(spark):
     assert sum(r["n_members"] for r in rows3) == n
     # Lloyd monotonically decreases (never increases) total inertia
     assert sum(r["inertia"] for r in rows3) <= sum(r["inertia"] for r in rows1)
+
+
+def test_ivf_with_trained_centroids_exact_under_exhaustive_probe(spark):
+    corpus, queries = _split(spark)
+    cents = similarity.train_ivf_centroids(corpus, k=8, iterations=2)
+    bf = similarity.brute_force_topk(corpus, queries, k=10)
+    ivf = similarity.ivf_topk(
+        corpus, queries, k=10, n_centroids=8, n_probe=8, centroids=cents
+    )
+    assert bf.exceptAll(ivf).count() == 0
+    assert ivf.exceptAll(bf).count() == 0
+
+
+def test_ivf_trained_centroids_beat_or_match_sample_recall(spark):
+    corpus, queries = _split(spark)
+    bf = similarity.brute_force_topk(corpus, queries, k=10)
+    cents = similarity.train_ivf_centroids(corpus, k=8, iterations=2)
+    def recall(df):
+        return df.join(bf, ["query_id", "cand_id"], "inner").count()
+    trained = similarity.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=2, centroids=cents)
+    sampled = similarity.ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=2)
+    # trained cells partition the space better than an id-ordered
+    # sample; at worst they tie on this fixture
+    assert recall(trained) >= recall(sampled) - 5
