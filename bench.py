@@ -43,6 +43,9 @@ HEADLINE = [
     "pack_token_shards",
     "text_chunking",
     "dedup_keep_best_quality",
+    "sample_temperature_lang",
+    "cluster_kmeans_lloyd",
+    "events_cdc_latest_state",
 ]
 
 

@@ -770,3 +770,103 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str):
             F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("long").alias("is_current"),
         )
     )
+
+
+@register(
+    "events_zscore_anomalies",
+    """
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+      FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(max(s.n) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE
+             (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
+               > 9 * (s.n * s.s2 - s.s1 * s.s1)) AS BIGINT) AS n_anomalies,
+           CAST(coalesce(sum(c.event_id) FILTER (WHERE
+             (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
+               > 9 * (s.n * s.s2 - s.s1 * s.s1)), 0) AS BIGINT) AS anomaly_id_sum
+    FROM c JOIN s USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    tags=("quality", "anomaly", "agg", "exact_arithmetic"),
+    description=(
+        "per-type z-score anomaly flags (|z| > 3) computed WITHOUT floats: "
+        "|z|>3 is algebraically rewritten to the integer comparison "
+        "(n*x - s1)^2 > 9*(n*s2 - s1^2) over exact cent sums, so the flag "
+        "set is bit-identical across engines and partitionings (sqrt/stddev "
+        "never enter); stats table is |event_type| rows broadcast back — "
+        "one fact shuffle for the stats, row-local flagging (BIGINT bounds "
+        "hold to ~1e6 rows/group at cent scale; production swaps the two "
+        "products to DECIMAL(38,0) — same plan shape)"
+    ),
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    j = c.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    is_anom = (dev * dev) > F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.when(is_anom, 1)).cast("long").alias("n_anomalies"),
+            F.coalesce(F.sum(F.when(is_anom, F.col("event_id"))), F.lit(0)).cast("long").alias("anomaly_id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           event_type AS last_type,
+           cents      AS last_value_cents,
+           epoch_ms(ts) AS updated_at_ms,
+           CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS is_deleted
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("cdc", "merge", "upsert", "window", "streaming_semantics"),
+    description=(
+        "CDC apply / latest-wins MERGE: collapse a keyed changelog to final "
+        "table state (newest row per key via one partition-by-key top-1 "
+        "window — no self-join max-ts probe), with tombstone semantics "
+        "(terminal 'error' = delete marker).  The batch twin of the "
+        "KeyedUpsertSink foreachBatch MERGE; at scale this is the standard "
+        "compaction query over a Delta/Iceberg change feed"
+    ),
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("last_value_cents"),
+            F.unix_millis("ts").alias("updated_at_ms"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long").alias("is_deleted"),
+        )
+    )
