@@ -79,6 +79,10 @@ def main() -> None:
         t0 = time.time()
         materialize(spec.spark(spark, sf_dir))
         steady[name] = round(time.time() - t0, 3)
+        # a few operators persist shared intermediates (minhash shingle
+        # table, kmeans quantized grid); drop them so one query's cache
+        # never skews the next query's measurement
+        spark.catalog.clearCache()
 
     total = round(sum(steady.values()), 3)
     print(

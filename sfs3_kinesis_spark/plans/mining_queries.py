@@ -1,0 +1,313 @@
+"""Data-mining query corpus: co-occurrence (market basket),
+gaps-and-islands streaks, exact grouped median, largest-remainder
+integer allocation, and the point-in-time (feature-store) join.
+
+None of these exist in the reference (it has no relational layer at
+all — SURVEY.md §2.4/§2.12); they are engine-side additions a
+training-data/analytics team runs daily.  Every entry is SQL-exact
+against the DuckDB oracle: outputs are integers (counts, cents,
+day-grid arithmetic) so no float-accumulation hazard exists.
+
+Scale notes (100 TB posture):
+
+* market basket self-joins on the order key AFTER a distinct that
+  shrinks each basket to unique items; pair blowup is quadratic in
+  basket size, so production adds a basket-size cap — the join
+  itself is a plain equi-shuffle on the key, never a cross join;
+* streaks shuffle once on (user, day) for the distinct and once on
+  user for the window — both are map-side-combinable;
+* the exact median uses one window pass (row_number + count over
+  the group), not a per-group sort-collect to the driver;
+* largest-remainder ranks |groups| rows — a single-partition window
+  over an already-aggregated (tiny) table, never over fact rows;
+* the point-in-time join is an equi-join on the entity key with the
+  interval predicate as a post-join filter — Catalyst keeps the
+  equi part in the shuffle key, so per-key interval lists stay
+  local; this is the leakage-free feature-store lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+
+@register(
+    "mine_market_basket_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+        GROUP BY a.pk, b.pk)
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("mining", "join", "topk", "cooccurrence"),
+    description=(
+        "market-basket pair mining: co-occurring part pairs within an "
+        "order — distinct items first (dedupes multi-line parts AND bounds "
+        "the quadratic pair blowup), then a self equi-join on the order "
+        "key (shuffle on okey, pairs generated key-locally), one count "
+        "aggregate, top-20 with a total (count, part_a, part_b) order so "
+        "ties hash identically; production adds a basket-size cap before "
+        "the join — the plan is TakeOrdered, never a global sort"
+    ),
+)
+def mine_market_basket_pairs(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            "n_orders",
+        )
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "mine_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di
+        FROM events),
+    r AS (
+        SELECT user_id, di,
+               di - row_number() OVER (PARTITION BY user_id ORDER BY di) AS anchor
+        FROM days),
+    s AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY user_id, anchor)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+    tags=("mining", "window", "gaps_islands", "events"),
+    description=(
+        "gaps-and-islands: longest run of consecutive active days per "
+        "user via the day-index-minus-row_number anchor trick — one "
+        "distinct on (user, day), one keyed window, two integer "
+        "aggregates; no self-join, no sequence generation, and the "
+        "day grid is integer epoch-days so both engines agree exactly"
+    ),
+)
+def mine_activity_streaks(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("di")
+    runs = days.withColumn("anchor", F.col("di") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+    ).select(F.col("user_id").cast("long").alias("user_id"), "longest_streak", "n_active_days", "n_streaks")
+
+
+@register(
+    "agg_median_exact",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                         THEN cents END) AS BIGINT) AS median_x2_cents
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "median", "window", "exact_arithmetic"),
+    description=(
+        "exact grouped median without approx_percentile: one keyed window "
+        "(row_number + group count in the same pass) then pick the one or "
+        "two middle rows — median reported as the SUM of the two middle "
+        "cents values (x2) so even-sized groups stay integer-exact; "
+        "row_number ties on equal cents are harmless (interchangeable "
+        "values).  The scalable exact-median shape: one shuffle on the "
+        "group key, no per-group collect"
+    ),
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    wn = W.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count("*").over(wn))
+    mid = (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.sum(F.when(mid, F.col("cents"))).cast("long").alias("median_x2_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "alloc_largest_remainder",
+    """
+    WITH rev AS (
+        SELECT n_name,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+    tot AS (SELECT SUM(cents) AS total FROM rev),
+    q AS (
+        SELECT n_name, cents,
+               (1000000 * cents) // total AS fl,
+               (1000000 * cents) % total AS rem
+        FROM rev, tot),
+    r AS (
+        SELECT n_name, cents, fl, rem,
+               row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+               SUM(fl) OVER () AS allocated
+        FROM q)
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(fl + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END
+                AS BIGINT) AS units
+    FROM r ORDER BY n_name
+    """,
+    tags=("alloc", "window", "exact_arithmetic", "join"),
+    description=(
+        "largest-remainder (Hamilton) apportionment: allocate 1,000,000 "
+        "budget units across nations proportional to order revenue, in "
+        "pure integer arithmetic — floor shares via bigint floor-div, the "
+        "leftover units going to the largest remainders (total (rem, "
+        "name) tie-break order).  The fact-table shuffle happens once "
+        "(revenue rollup); the single-partition window runs over "
+        "|nations| pre-aggregated rows, never over fact rows — the "
+        "correct place for a global window at any scale"
+    ),
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)")).alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    q = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr("(1000000 * cents) DIV total").alias("fl"),
+        F.expr("(1000000 * cents) % total").alias("rem"),
+    )
+    w = W.orderBy(F.desc("rem"), "n_name")
+    r = q.withColumn("rk", F.row_number().over(w)).withColumn(
+        "allocated", F.sum("fl").over(W.partitionBy())
+    )
+    return r.select(
+        "n_name",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.lit(1000000) - F.col("allocated"), 1).otherwise(0)
+        ).cast("long").alias("units"),
+    ).orderBy("n_name")
+
+
+@register(
+    "join_point_in_time",
+    """
+    WITH st AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type <> 'purchase'),
+    p AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase')
+    SELECT st.event_type AS state_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS purchase_cents
+    FROM p JOIN st ON p.user_id = st.user_id
+               AND p.ts >= st.valid_from
+               AND (st.valid_to IS NULL OR p.ts < st.valid_to)
+    GROUP BY st.event_type ORDER BY st.event_type
+    """,
+    tags=("join", "temporal", "feature_store", "scd2"),
+    description=(
+        "point-in-time (feature-store) join: each purchase looks up the "
+        "user state valid AT its timestamp — SCD2-style [valid_from, "
+        "valid_to) intervals built with one lead() window over non-"
+        "purchase events, then an equi-join on user_id with the interval "
+        "predicate as a post-join filter (the shuffle key stays the "
+        "entity key; per-key interval lists are evaluated locally).  "
+        "This is the leakage-free training-feature lookup: no future "
+        "state ever attaches to a past label"
+    ),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    st = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("st_user_id"),
+            F.col("event_type").alias("state_type"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("st_user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+        .drop("event_id")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    joined = p.join(
+        st,
+        (F.col("user_id") == F.col("st_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("state_type")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("purchase_cents"),
+        )
+        .orderBy("state_type")
+    )
