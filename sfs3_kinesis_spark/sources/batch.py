@@ -24,7 +24,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LONG
     nanos, converted here via integer division (``div`` — a double
-    division would lose precision above 2^53 ns)."""
+    division would lose precision above 2^53 ns).  The conf is set
+    here (runtime-settable) rather than only in our session builder
+    so externally-created sessions can read the fixtures too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
