@@ -1,7 +1,9 @@
 """Run the full corpus against the DuckDB oracle at a given sf dir —
 the local twin of the driver's CORRECTNESS gate.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+(extra args restrict the run to queries whose name starts with any
+of the given prefixes)
 """
 
 from __future__ import annotations
@@ -18,10 +20,14 @@ from tests.oracle import compare, duck_connection  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+    names = sorted(
+        n for n in REGISTRY if not prefixes or n.startswith(prefixes)
+    )
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failures = 0
-    for name in sorted(REGISTRY):
+    for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
         try:
@@ -37,7 +43,7 @@ def main() -> int:
         if not ok:
             failures += 1
         print(f"  {name:40s} {status} {detail} [{time.time()-t0:.1f}s]")
-    print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(REGISTRY) - failures}/{len(REGISTRY)}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(names) - failures}/{len(names)}")
     return 1 if failures else 0
 
 

@@ -181,17 +181,27 @@ def temperature_resample(df: DataFrame, key: Column, stratum_col: str) -> DataFr
     Scale shape: the stratum table is |strata| rows — aggregated
     with map-side combine, then broadcast back onto the fact; the
     filter itself is row-local.  No fact-side shuffle anywhere.
+
+    The output schema is exactly the input schema: helper columns
+    live under collision-safe ``_tr_*`` names and are dropped before
+    returning, so a caller's own ``u``/``n_l``/``keep_p`` columns
+    pass through untouched.
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_l"))
-    counts = counts.withColumn("n_min", F.min("n_l").over(Window.partitionBy()))
-    counts = counts.withColumn(
-        "keep_p", F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_tr_n_l"))
+    counts = counts.withColumn("_tr_n_min", F.min("_tr_n_l").over(Window.partitionBy()))
+    counts = counts.select(
+        stratum_col,
+        F.sqrt(F.col("_tr_n_min").cast("double") / F.col("_tr_n_l").cast("double")).alias(
+            "_tr_keep_p"
+        ),
     )
-    u = (hash_key(key).cast("double") / F.lit(float(HASH_MOD))).alias("u")
+    u = (hash_key(key).cast("double") / F.lit(float(HASH_MOD))).alias("_tr_u")
     return (
-        df.join(F.broadcast(counts.drop("n_min")), stratum_col)
-        .withColumn("u", u)
-        .filter(F.col("u") < F.col("keep_p"))
+        df.join(F.broadcast(counts), stratum_col)
+        .withColumn("_tr_u", u)
+        .filter(F.col("_tr_u") < F.col("_tr_keep_p"))
+        .drop("_tr_u", "_tr_keep_p")
+        .select(*df.columns)
     )

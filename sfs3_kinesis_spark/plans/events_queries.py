@@ -780,18 +780,24 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str):
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events),
     s AS (
-      SELECT event_type, count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
-      FROM c GROUP BY event_type)
-    SELECT c.event_type,
-           CAST(max(s.n) AS BIGINT) AS n_events,
-           CAST(count(*) FILTER (WHERE
-             (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
-               > 9 * (s.n * s.s2 - s.s1 * s.s1)) AS BIGINT) AS n_anomalies,
-           CAST(coalesce(sum(c.event_id) FILTER (WHERE
-             (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
-               > 9 * (s.n * s.s2 - s.s1 * s.s1)), 0) AS BIGINT) AS anomaly_id_sum
-    FROM c JOIN s USING (event_type)
-    GROUP BY c.event_type ORDER BY c.event_type
+      SELECT event_type, count(*) AS n, sum(cents) AS s1,
+             sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s2
+      FROM c GROUP BY event_type),
+    d AS (
+      SELECT c.event_type, c.event_id,
+             CAST(s.n AS DECIMAL(19,0)) * CAST(c.cents AS DECIMAL(19,0))
+               - CAST(s.s1 AS DECIMAL(19,0)) AS dev,
+             CAST(9 AS DECIMAL(2,0)) *
+               (CAST(s.n AS DECIMAL(19,0)) * s.s2
+                - CAST(s.s1 AS DECIMAL(19,0)) * CAST(s.s1 AS DECIMAL(19,0))) AS nine_var,
+             s.n
+      FROM c JOIN s USING (event_type))
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE dev * dev > nine_var) AS BIGINT) AS n_anomalies,
+           CAST(coalesce(sum(event_id) FILTER (WHERE dev * dev > nine_var), 0)
+                AS BIGINT) AS anomaly_id_sum
+    FROM d GROUP BY event_type ORDER BY event_type
     """,
     tags=("quality", "anomaly", "agg", "exact_arithmetic"),
     description=(
@@ -800,9 +806,11 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str):
         "(n*x - s1)^2 > 9*(n*s2 - s1^2) over exact cent sums, so the flag "
         "set is bit-identical across engines and partitionings (sqrt/stddev "
         "never enter); stats table is |event_type| rows broadcast back — "
-        "one fact shuffle for the stats, row-local flagging (BIGINT bounds "
-        "hold to ~1e6 rows/group at cent scale; production swaps the two "
-        "products to DECIMAL(38,0) — same plan shape)"
+        "one fact shuffle for the stats, row-local flagging.  All products "
+        "run in DECIMAL(19,0)-operand arithmetic (DECIMAL(38,0) results) "
+        "on BOTH engines, so the comparison stays exact far past the "
+        "bigint bound instead of wrapping (Spark) or erroring (DuckDB) "
+        "at ~1e6 rows/group"
     ),
 )
 def events_zscore_anomalies(spark: SparkSession, sf_dir: str):
@@ -812,14 +820,17 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str):
         "event_id",
         F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )
+    cD = F.col("cents").cast("decimal(19,0)")
     s = c.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(cD * cD).alias("s2"),
     )
     j = c.join(F.broadcast(s), "event_type")
-    dev = F.col("n") * F.col("cents") - F.col("s1")
-    is_anom = (dev * dev) > F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    nD = F.col("n").cast("decimal(19,0)")
+    s1D = F.col("s1").cast("decimal(19,0)")
+    dev = nD * cD - s1D
+    is_anom = (dev * dev) > F.lit(9).cast("decimal(2,0)") * (nD * F.col("s2") - s1D * s1D)
     return (
         j.groupBy("event_type")
         .agg(

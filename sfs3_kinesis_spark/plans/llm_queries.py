@@ -675,18 +675,40 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str):
     )
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64, scale: int = 10000) -> str:
+# One shared parameter set for the Spark callable AND the DuckDB
+# oracle below — they must never drift independently (ADVICE r1).
+KMEANS_K = 8
+KMEANS_ITERATIONS = 2
+KMEANS_DIM = 64  # embeddings fixture dim; the oracle ERRORS on mismatch
+KMEANS_SCALE = 10000
+
+
+def _kmeans_oracle(
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERATIONS,
+    dim: int = KMEANS_DIM,
+    scale: int = KMEANS_SCALE,
+) -> str:
     """Unrolled Lloyd iterations in ANSI SQL (exploded-coordinate
     form).  Exact integer arithmetic end-to-end — quantized grid,
-    bigint distance sums, floor-div centroid update — so the oracle
-    agrees with the distributed Spark run bit-for-bit."""
+    bigint distance sums, integer floor-div centroid update (the
+    ``- ((s % n) + n) % n`` adjustment makes truncating division
+    floor toward -inf for negative sums, matching Python ``//``
+    exactly at ANY magnitude; a double-cast floor would lose
+    exactness past 2^53).  The ``chk`` guard CTE makes a fixture
+    dim change a hard error instead of a silently-NULL oracle."""
     sq = "(v.val - c.cval) * (v.val - c.cval)"
     blocks = [
         f"""
+    chk AS (
+      SELECT CASE WHEN min(len(embedding)) = {dim}
+                   AND max(len(embedding)) = {dim} THEN 1
+             ELSE CAST(error('embeddings dim <> {dim}') AS INT) END AS ok
+      FROM embeddings),
     v AS (
       SELECT vec_id AS id, r.i AS idx,
              CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
-      FROM embeddings, range(1, {dim + 1}) r(i)),
+      FROM embeddings, range(1, {dim + 1}) r(i), chk WHERE chk.ok = 1),
     seed AS (
       SELECT vec_id AS id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
@@ -700,7 +722,8 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64, scale: int = 
             SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
             FROM d{it}) s WHERE rn = 1),
     c{it + 1} AS (SELECT a{it}.cell, v.idx,
-              CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+              CAST((sum(v.val) - ((sum(v.val) % count(*)) + count(*)) % count(*))
+                   // count(*) AS BIGINT) AS cval
           FROM a{it} JOIN v ON v.id = a{it}.id GROUP BY a{it}.cell, v.idx)""")
     n = iterations
     blocks.append(f"""
@@ -732,4 +755,9 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64, scale: int = 
     ),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str):
-    return similarity.kmeans_lloyd(t(spark, sf_dir, "embeddings"), k=8, iterations=2)
+    return similarity.kmeans_lloyd(
+        t(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iterations=KMEANS_ITERATIONS,
+        scale=KMEANS_SCALE,
+    )

@@ -138,16 +138,18 @@ def mine_activity_streaks(spark: SparkSession, sf_dir: str):
         FROM c)
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                         THEN cents END) AS BIGINT) AS median_x2_cents
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                + sum(CASE WHEN rn = (n + 2) // 2 THEN cents END)
+                AS BIGINT) AS median_x2_cents
     FROM r GROUP BY event_type ORDER BY event_type
     """,
     tags=("agg", "median", "window", "exact_arithmetic"),
     description=(
         "exact grouped median without approx_percentile: one keyed window "
         "(row_number + group count in the same pass) then pick the one or "
-        "two middle rows — median reported as the SUM of the two middle "
-        "cents values (x2) so even-sized groups stay integer-exact; "
+        "two middle rows — reported as TWO independent middle-row sums "
+        "added together (the middle row counts twice when n is odd), so "
+        "the value is always exactly 2x the median and stays integer-exact; "
         "row_number ties on equal cents are harmless (interchangeable "
         "values).  The scalable exact-median shape: one shuffle on the "
         "group key, no per-group collect"
@@ -161,12 +163,15 @@ def agg_median_exact(spark: SparkSession, sf_dir: str):
     w = W.partitionBy("event_type").orderBy("cents")
     wn = W.partitionBy("event_type")
     r = c.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count("*").over(wn))
-    mid = (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    lo = F.col("rn") == F.expr("(n + 1) DIV 2")
+    hi = F.col("rn") == F.expr("(n + 2) DIV 2")
     return (
         r.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_rows"),
-            F.sum(F.when(mid, F.col("cents"))).cast("long").alias("median_x2_cents"),
+            (F.sum(F.when(lo, F.col("cents"))) + F.sum(F.when(hi, F.col("cents"))))
+            .cast("long")
+            .alias("median_x2_cents"),
         )
         .orderBy("event_type")
     )

@@ -291,12 +291,14 @@ def sample_global_row_index(spark: SparkSession, sf_dir: str):
 def sample_temperature_lang(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents")
     kept = sampling.temperature_resample(docs, F.col("doc_id"), "lang")
+    before = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_before"))
     return (
         kept.groupBy("lang")
         .agg(
-            F.max("n_l").cast("long").alias("n_before"),
             F.count("*").cast("long").alias("n_kept"),
             F.sum("doc_id").cast("long").alias("doc_id_sum"),
         )
+        .join(F.broadcast(before), "lang")
+        .select("lang", "n_before", "n_kept", "doc_id_sum")
         .orderBy("lang")
     )
