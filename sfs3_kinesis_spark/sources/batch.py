@@ -21,16 +21,25 @@ import sfs3_kinesis_spark as pkg
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (pushdown-capable).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LONG
-    nanos, converted here via integer division (``div`` — a double
-    division would lose precision above 2^53 ns).  The conf is set
-    here (runtime-settable) rather than only in our session builder
-    so externally-created sessions can read the fixtures too."""
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (round-1 fixtures)
+    and TIMESTAMP(MICROS, not UTC-adjusted) (round-2): the former
+    needs ``spark.sql.legacy.parquet.nanosAsLong`` (arrives as LONG
+    nanos, converted via integer division — a double division would
+    lose precision above 2^53 ns), the latter reads natively as
+    TIMESTAMP_NTZ.  Both are normalized to the session-TZ TIMESTAMP
+    (LTZ) here, with the session pinned to UTC first so the NTZ→LTZ
+    reinterpretation is value-preserving on any host.  Confs are set
+    at runtime (not only in our session builder) so externally-
+    created sessions read the fixtures identically."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
