@@ -761,3 +761,150 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str):
         iterations=KMEANS_ITERATIONS,
         scale=KMEANS_SCALE,
     )
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+#: marks — the split every byte-pair tokenizer applies before merges,
+#: so its match count tracks (and upper-bounds) the real BPE token
+#: count far better than whitespace words do.  ASCII classes only:
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' '))                    AS ws_tokens,
+             len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS bpe_tokens
+      FROM documents)
+    SELECT lang,
+           count(*)                                     AS n_docs,
+           sum(ws_tokens)                               AS ws_tokens,
+           sum(bpe_tokens)                              AS bpe_tokens,
+           sum(bpe_tokens) * 10000 // sum(ws_tokens)    AS bpe_per_ws_bp
+    FROM d GROUP BY lang
+    """,
+    tags=("text", "tokenization", "bpe", "quality"),
+    description=(
+        "BPE-ish token counting (context-budget estimation): per doc, "
+        "regex pre-tokenizer matches (letter runs | digit runs | "
+        "punctuation) alongside whitespace tokens, rolled up per "
+        "language with the BPE-to-whitespace inflation ratio in floor "
+        "basis points — row-local regexp_count, one aggregate, no "
+        "Python; the cheap estimator pipelines use to budget context "
+        "windows before paying for a real tokenizer pass"
+    ),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE)).cast("long").alias("bpe_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.expr("sum(bpe_tokens) * 10000 div sum(ws_tokens)").alias("bpe_per_ws_bp"),
+    )
+
+
+@register(
+    "text_normalize_dedup",
+    """
+    WITH n AS (
+      SELECT doc_id, lang, length(text) AS raw_len,
+             trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS canonical
+      FROM documents)
+    SELECT lang,
+           count(*)                                  AS n_docs,
+           count(DISTINCT md5(canonical))            AS n_canonical,
+           count(*) - count(DISTINCT md5(canonical)) AS n_collapsed,
+           sum(raw_len) - sum(length(canonical))     AS chars_stripped
+    FROM n GROUP BY lang
+    """,
+    tags=("text", "dedup", "normalization"),
+    description=(
+        "normalization-canonical dedup accounting: lowercase, strip "
+        "non-alphanumerics, collapse whitespace — the canonical form "
+        "that catches case/punctuation near-dups exact hashing misses; "
+        "per language: docs, distinct canonical forms (via their "
+        "16-byte md5 digest, so the distinct shuffle moves hashes, "
+        "never document bodies), docs a canonical dedup would drop, "
+        "and characters stripped (both regexp_replaces are global: "
+        "Spark replaces all matches by default, DuckDB needs 'g')"
+    ),
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("raw_len"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ).alias("canonical"),
+    )
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("canonical")).alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("canonical"))).alias("n_collapsed"),
+        (F.sum("raw_len") - F.sum(F.length("canonical"))).alias("chars_stripped"),
+    )
+
+
+@register(
+    "text_pii_scrub_stats",
+    """
+    WITH s AS (
+      SELECT source,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS n_digit_chars,
+             len(regexp_extract_all(text, '[0-9]{3,}')) AS n_long_runs,
+             CASE WHEN regexp_matches(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                 THEN 1 ELSE 0 END AS has_email
+      FROM documents)
+    SELECT source,
+           count(*)          AS n_docs,
+           sum(n_digit_chars) AS digit_chars_redacted,
+           sum(n_long_runs)   AS long_digit_runs,
+           sum(has_email)     AS docs_with_email
+    FROM s GROUP BY source
+    """,
+    tags=("text", "pii", "quality", "regexp"),
+    description=(
+        "PII scrub accounting: per source, characters a digit-"
+        "redaction pass would rewrite (length delta of the global "
+        "replace — the redaction itself, measured without "
+        "materializing the scrubbed corpus twice), 3+-digit runs "
+        "(phone/account-number shaped), and email-pattern hits — all "
+        "row-local regexp work that fuses into the scan projection; "
+        "the audit report a compliance scrub emits alongside the "
+        "cleaned corpus"
+    ),
+)
+def text_pii_scrub_stats(spark: SparkSession, sf_dir: str):
+    s = t(spark, sf_dir, "documents").select(
+        "source",
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("long").alias("n_digit_chars"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]{3,}")).cast("long").alias("n_long_runs"),
+        F.when(
+            F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), 1
+        ).otherwise(0).alias("has_email"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_digit_chars").alias("digit_chars_redacted"),
+        F.sum("n_long_runs").alias("long_digit_runs"),
+        F.sum("has_email").alias("docs_with_email"),
+    )

@@ -316,3 +316,161 @@ def join_point_in_time(spark: SparkSession, sf_dir: str):
         )
         .orderBy("state_type")
     )
+
+
+@register(
+    "mine_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000        AS s,
+             epoch_us(ts) // 1000000 + 900  AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM marked),
+    merged AS (
+      SELECT user_id, island_id, max(e) - min(s) AS covered_s
+      FROM islands GROUP BY user_id, island_id)
+    SELECT user_id,
+           count(*)       AS n_islands,
+           sum(covered_s) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+    tags=("mining", "intervals", "window", "gaps_islands", "events"),
+    description=(
+        "overlapping-interval merge (coverage analysis): each event "
+        "claims a 15-minute activity window; per user the windows are "
+        "merged into maximal islands via the running-max-of-ends trick "
+        "(an interval starts a new island iff it begins after every "
+        "prior interval has ended), then coverage = sum of island "
+        "spans — one keyed window + one aggregate, no self-join, no "
+        "grid materialization; integer epoch seconds end to end"
+    ),
+)
+def mine_interval_coverage(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        F.expr("unix_micros(ts) div 1000000 + 900").alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias("is_new"),
+    )
+    w_run = W.partitionBy("user_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+    islands = marked.withColumn("island_id", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("covered_s")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered_s").alias("covered_seconds"),
+    )
+
+
+@register(
+    "agg_mad_anomalies",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*)     OVER (PARTITION BY event_type)                AS n
+      FROM c),
+    med AS (
+      SELECT event_type,
+             sum(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+           + sum(CASE WHEN rn = (n + 2) // 2 THEN cents END) AS med2
+      FROM r GROUP BY event_type),
+    dev AS (
+      SELECT c.event_type, c.cents, m.med2,
+             abs(2 * c.cents - m.med2) AS dev2
+      FROM c JOIN med m USING (event_type)),
+    dr AS (
+      SELECT event_type, med2, dev2,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+             count(*)     OVER (PARTITION BY event_type)               AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+           + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
+      FROM dr GROUP BY event_type)
+    SELECT d.event_type, d.med2, m.mad4,
+           count(*)                                           AS n,
+           sum(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                                                              AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med2, m.mad4
+    """,
+    tags=("agg", "median", "mad", "anomaly", "quality", "exact_arithmetic"),
+    description=(
+        "median-absolute-deviation anomaly flags — the robust twin of "
+        "the z-score detector (events_zscore_anomalies): per-type exact "
+        "median (2x-scaled middle-pair sum), per-row deviation, exact "
+        "median of deviations (4x-scaled), flag = 2*dev2 > 3*mad4 — "
+        "pure integer arithmetic throughout, so the flag set is "
+        "bit-identical across engines and partitionings where "
+        "mean/stddev detectors drown in float summation order.  Both "
+        "median passes partition on event_type, so the fact table "
+        "shuffles ONCE and the tiny per-type tables broadcast back"
+    ),
+)
+def agg_mad_anomalies(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
+    )
+    wt = W.partitionBy("event_type")
+
+    def middle_pair_sum(df, col, out):
+        r = df.withColumn("rn", F.row_number().over(wt.orderBy(col))).withColumn(
+            "n", F.count(F.lit(1)).over(wt)
+        )
+        return r.groupBy("event_type").agg(
+            (
+                F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)))
+                + F.sum(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col(col)))
+            ).alias(out)
+        )
+
+    med = middle_pair_sum(c, "cents", "med2")
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", "med2", F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2")
+    )
+    mad = middle_pair_sum(dev, "dev2", "mad4")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )

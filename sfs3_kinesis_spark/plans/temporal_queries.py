@@ -127,3 +127,119 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str):
                                 (date_trunc('day', ts), date_trunc('hour', ts)))
         """
     )
+
+
+@register(
+    "events_ohlc_bars",
+    """
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#' ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+      FROM events)
+    SELECT event_type, hour_s,
+           arg_min(cents, ord_key) AS open_cents,
+           max(cents)              AS high_cents,
+           min(cents)              AS low_cents,
+           arg_max(cents, ord_key) AS close_cents,
+           count(*)                AS n_trades
+    FROM c
+    GROUP BY event_type, hour_s
+    """,
+    tags=("agg", "ohlc", "hypertable", "argmax", "events"),
+    description=(
+        "hourly OHLC candlestick bars per event type (the hypertable "
+        "downsample every metrics store materializes): open/close via "
+        "min_by/max_by over a fixed-width (epoch_us, event_id) key so "
+        "intra-hour ties have a total order, high/low as plain min/max "
+        "— ONE partial+final aggregate pass, values in exact cents"
+    ),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_s"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lit("#"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"),
+    )
+    return c.groupBy("event_type", "hour_s").agg(
+        F.min_by("cents", "ord_key").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "ord_key").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+@register(
+    "join_asof_forward",
+    """
+    WITH u AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    nxt AS (
+      SELECT *,
+             min(CASE WHEN is_p = 1
+                      THEN s * 100000000 + event_id END)
+               OVER (PARTITION BY user_id ORDER BY s
+                     RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS p_key
+      FROM u)
+    SELECT user_id, event_id AS click_id,
+           p_key // 100000000       AS purchase_s,
+           p_key % 100000000        AS purchase_id,
+           p_key // 100000000 - s   AS wait_s
+    FROM nxt WHERE is_p = 0
+    """,
+    tags=("join", "asof", "forward", "window"),
+    description=(
+        "forward as-of join: each click matched to the user's NEXT "
+        "purchase strictly after it (earliest by (ts, event_id), "
+        "encoded into one bigint key so the argmin is a plain window "
+        "min) — implemented as a union + RANGE-frame window over the "
+        "merged stream, ONE shuffle on the user key, cost independent "
+        "of the time gap; unmatched clicks survive with NULLs.  The "
+        "time-reversed twin of the backward as-of operator "
+        "(operators/temporal.py:asof_join)"
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    p_key = F.min(
+        F.when(F.col("is_p") == 1, F.col("s") * 100000000 + F.col("event_id"))
+    ).over(w)
+    return (
+        u.withColumn("p_key", p_key)
+        .filter(F.col("is_p") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            # integer floor-div: the key is ~1e17, past double's 2^53
+            # exact range, so a float division here would corrupt ids
+            F.expr("p_key div 100000000").alias("purchase_s"),
+            (F.col("p_key") % 100000000).alias("purchase_id"),
+            F.expr("p_key div 100000000 - s").alias("wait_s"),
+        )
+    )
