@@ -46,6 +46,12 @@ HEADLINE = [
     "sample_temperature_lang",
     "cluster_kmeans_lloyd",
     "events_cdc_latest_state",
+    # round 2: time-series, bitmap-distinct, iterative graph
+    "events_ohlc_bars",
+    "join_asof_forward",
+    "mine_interval_coverage",
+    "agg_bitmap_distinct",
+    "graph_pagerank_parts",
 ]
 
 

@@ -70,3 +70,58 @@ def salted_groupby_count(
     agg = agg_col if agg_col is not None else F.count(F.lit(1))
     partial = salted.groupBy(key, "_salt").agg(agg.alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias("n"))
+
+
+def zorder_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """SQL expression interleaving the low ``bits`` of two integer
+    columns into one Z-order (Morton) key — the multi-dimensional
+    clustering key that makes range predicates on EITHER dimension
+    prune row groups after a sort by the key (Delta/Iceberg OPTIMIZE
+    ZORDER does exactly this before writing).
+
+    Pure unrolled bit arithmetic (``&``, ``<<``, ``|``-as-sum): the
+    identical expression runs on Spark and DuckDB, so the key — and
+    therefore the layout — is engine-independent and exactly
+    testable.  Sum is safe as OR because the shifted operands occupy
+    disjoint bit positions.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+):
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files (the maintenance job every
+    streaming ingest needs — thousands of per-trigger micro-files
+    ruin scan parallelism bookkeeping and NameNode/listing cost at
+    100 TB).  Optionally re-sorts within partitions (e.g. by a
+    Z-order key) so compaction doubles as layout optimization.
+    Returns (files_before, files_after).
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(src_path)
+    src_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    )
+    n_out = max(1, -(-src_bytes // target_file_bytes))  # ceil-div
+    out = df.repartition(n_out)
+    if sort_cols:
+        # accept SQL expressions (e.g. a zorder_key_sql string), not
+        # just column names
+        out = out.sortWithinPartitions(*[F.expr(c) if isinstance(c, str) else c for c in sort_cols])
+    out.write.mode("overwrite").parquet(dest_path)
+    files_before = len(glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True))
+    files_after = len(glob.glob(os.path.join(dest_path, "*.parquet")))
+    return files_before, files_after

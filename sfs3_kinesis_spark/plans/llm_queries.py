@@ -908,3 +908,38 @@ def text_pii_scrub_stats(spark: SparkSession, sf_dir: str):
         F.sum("n_long_runs").alias("long_digit_runs"),
         F.sum("has_email").alias("docs_with_email"),
     )
+
+
+@register(
+    "agg_hll_partition_merge",
+    None,  # sketch bytes & estimates are engine-specific — rows-only
+    tags=("agg", "approx", "sketch", "hll", "incremental"),
+    description=(
+        "HLL sketch build + merge (the incremental-distinct pattern): "
+        "per-day HyperLogLog sketches of user_id built in one pass "
+        "(hll_sketch_agg — Apache DataSketches, lgConfigK=14), then "
+        "merged across days with hll_union_agg and estimated — at "
+        "100 TB this is how daily distincts roll up to monthly "
+        "without re-scanning history: sketches are tiny (≤16 KB), "
+        "associative, and mergeable, so each partition ships one "
+        "sketch, not its keys.  Emits per-day estimate vs exact "
+        "distinct plus the merged-month row (day = NULL)"
+    ),
+)
+def agg_hll_partition_merge(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+        "exact_distinct",
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    ).select(F.lit(None).cast("date").alias("day"), "estimate", "exact_distinct")
+    return per_day.unionByName(merged)

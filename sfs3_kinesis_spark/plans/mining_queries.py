@@ -474,3 +474,106 @@ def agg_mad_anomalies(spark: SparkSession, sf_dir: str):
             ).alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    WITH b AS (
+      SELECT event_type,
+             user_id // 62 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS mask
+      FROM events GROUP BY event_type, bucket)
+    SELECT event_type,
+           count(*)             AS n_buckets,
+           sum(bit_count(mask)) AS exact_distinct_users
+    FROM b GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "bitmap", "exact_arithmetic"),
+    description=(
+        "bitmap-index exact distinct (the ClickHouse/Doris groupBitmap "
+        "trick): dense integer keys packed 62-per-bucket via bit_or of "
+        "shifted masks (bit 62+ would overflow a signed shift in the "
+        "oracle), distinct count = popcount sum — two map-side-"
+        "combinable aggregates whose partial state is ONE int64 per "
+        "62 keys, vs a hash set per group for count(DISTINCT); the "
+        "mergeable exact-distinct representation incremental rollups "
+        "store at 100 TB, value-identical to count(DISTINCT) by "
+        "construction"
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    b = (
+        e.groupBy(
+            "event_type", F.expr("user_id div 62").alias("bucket")
+        ).agg(
+            F.expr("bit_or(shiftleft(1L, CAST(user_id % 62 AS INT)))").alias("mask")
+        )
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.bit_count("mask")).alias("exact_distinct_users"),
+    )
+
+
+@register(
+    "mine_association_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM li),
+    item AS (SELECT pk, count(*) AS n_pk FROM li GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+      FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           p.n_ab * 10000 // ia.n_pk                            AS conf_a_to_b_bp,
+           p.n_ab * n.n_orders * 10000 // (ia.n_pk * ib.n_pk)   AS lift_bp
+    FROM pair p
+    JOIN item ia ON ia.pk = p.part_a
+    JOIN item ib ON ib.pk = p.part_b
+    CROSS JOIN n
+    ORDER BY lift_bp DESC, part_a, part_b LIMIT 50
+    """,
+    tags=("mining", "association_rules", "join", "topk", "exact_arithmetic"),
+    description=(
+        "association-rule mining over co-purchase pairs: support "
+        "(pair count with a min-support HAVING prune — the Apriori "
+        "step that keeps the pair table sparse at scale), confidence "
+        "a→b and lift in floor basis points against the per-item "
+        "counts (broadcast join-back: the item table is |parts| "
+        "rows) and the 1-row order total; all-integer derived "
+        "metrics, total (lift, a, b) order for the top-50"
+    ),
+)
+def mine_association_lift(spark: SparkSession, sf_dir: str):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()
+    )
+    n = li.agg(F.countDistinct("okey").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
+    pair = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    return (
+        pair.join(F.broadcast(item.withColumnRenamed("pk", "part_a").withColumnRenamed("n_pk", "n_a")), "part_a")
+        .join(F.broadcast(item.withColumnRenamed("pk", "part_b").withColumnRenamed("n_pk", "n_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 10000 div n_a").alias("conf_a_to_b_bp"),
+            F.expr("n_ab * n_orders * 10000 div (n_a * n_b)").alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), "part_a", "part_b")
+        .limit(50)
+    )

@@ -65,3 +65,45 @@ def join_salted_revenue_by_nation(spark: SparkSession, sf_dir: str):
 def agg_salted_heavy_key(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
     return salted_groupby_count(li, "l_returnflag", salt=16)
+
+
+from sfs3_kinesis_spark.operators.scale import zorder_key_sql  # noqa: E402
+
+_ZK = zorder_key_sql("l_partkey", "l_suppkey", bits=16)
+
+
+@register(
+    "layout_zorder_locality",
+    f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey, {_ZK} AS zkey
+      FROM lineitem),
+    b AS (SELECT *, zkey // 65536 AS zbucket FROM z)
+    SELECT zbucket,
+           count(*)        AS n_rows,
+           max(l_partkey) - min(l_partkey) AS partkey_span,
+           max(l_suppkey) - min(l_suppkey) AS suppkey_span
+    FROM b GROUP BY zbucket
+    """,
+    tags=("layout", "zorder", "data_skipping", "exact_arithmetic"),
+    description=(
+        "Z-order (Morton) clustering key + locality audit: interleave "
+        "the low 16 bits of (l_partkey, l_suppkey) with unrolled "
+        "bit arithmetic — identical expression on both engines — then "
+        "measure per-key-range min/max spans of BOTH dimensions, i.e. "
+        "exactly the row-group statistics data skipping would use "
+        "after OPTIMIZE ZORDER: each 2^16 key range covers a bounded "
+        "square in (partkey, suppkey) space, so predicates on either "
+        "column prune ranges.  The write path is "
+        "operators/scale.py:compact_small_files(sort_cols=[zkey])"
+    ),
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    z = li.select("l_partkey", "l_suppkey", F.expr(_ZK).alias("zkey"))
+    b = z.withColumn("zbucket", F.expr("zkey div 65536"))
+    return b.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("partkey_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("suppkey_span"),
+    )

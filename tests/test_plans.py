@@ -167,3 +167,55 @@ def test_global_row_index_has_no_data_sized_single_partition(spark):
     assert "BroadcastHashJoin" in plan  # offsets broadcast back
     assert "row_number" in plan and "_bucket" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_forward_asof_is_single_keyed_window(spark):
+    # union + RANGE-frame window: one shuffle on user_id, no join at
+    # all — cost independent of the click→purchase gap
+    plan = _plan(spark, "join_asof_forward")
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_coverage_single_shuffle(spark):
+    # both windows and both aggregates share the user_id
+    # partitioning — Catalyst must plan ONE data-sized exchange
+    plan = _plan(spark, "mine_interval_coverage")
+    assert plan.count("Exchange") <= 2  # keyed window + final agg combine
+    assert "Join" not in plan
+
+
+def test_mad_shares_event_type_partitioning(spark):
+    # two median passes + flag pass all partition on event_type; the
+    # per-type stats tables must come back as broadcast joins, never
+    # shuffling the fact side again
+    plan = _plan(spark, "agg_mad_anomalies")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_broadcast_rank_table(spark):
+    # the per-node rank table is |nodes| rows — every iteration must
+    # join it broadcast against the edge table, and the co-purchase
+    # pair generation must be an equi-join on the order key
+    plan = _plan(spark, "graph_pagerank_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_one_aggregate_pass(spark):
+    # OHLC bars: partial+final hash aggregate, exactly one shuffle,
+    # no window and no self-join
+    plan = _plan(spark, "events_ohlc_bars")
+    assert plan.count("Exchange") <= 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_bitmap_distinct_two_level_aggregate(spark):
+    # bucket masks then popcount rollup: two hash aggregates, no
+    # Expand (the count-distinct rewrite this pattern replaces)
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2

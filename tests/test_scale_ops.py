@@ -55,3 +55,40 @@ def test_salt_actually_spreads_hot_key(spark):
     assert n_buckets == 8  # the hot key occupies every salt bucket
     assert replicate(spark.createDataFrame([("hot", 1)], "k string, d int"), 8).count() == 8
     assert with_salt(df, 8).select("_salt").distinct().count() == 8
+
+
+def test_compact_small_files_and_zorder_layout(spark, tmp_path):
+    """Compaction rewrites a fragmented directory into few files; with
+    a Z-order sort the rewritten row groups get bounded spans in BOTH
+    clustered dimensions (the stats data skipping prunes on)."""
+    from sfs3_kinesis_spark.operators.scale import compact_small_files, zorder_key_sql
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li.repartition(64).write.parquet(src)  # simulate micro-batch litter
+
+    zk = zorder_key_sql("l_partkey", "l_suppkey")
+    before, after = compact_small_files(
+        spark, src, dst, target_file_bytes=8 * 1024 * 1024, sort_cols=[zk]
+    )
+    assert before >= 64
+    assert after < before / 8
+
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count()
+    # layout quality: per output file, the partkey span must be far
+    # below the global span (Z-order clusters both dimensions)
+    spans = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("l_partkey") - F.min("l_partkey")).alias("span"))
+        .agg(F.avg("span").alias("avg_span"))
+        .collect()[0]
+    )
+    global_span = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    if after > 1:
+        assert spans.avg_span < global_span
