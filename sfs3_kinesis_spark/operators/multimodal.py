@@ -118,3 +118,54 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 16)
         )
         .withColumn("frame_len", F.octet_length("frame_bytes").cast("long"))
     )
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Resize images/frames to (out_w, out_h) via ``mapInPandas``.
+
+    STUB codec (PIL/cv2 absent in this container): the "resize"
+    deterministically re-samples the payload byte stream to exactly
+    ``out_w * out_h`` bytes by striding, so output size, schema, and
+    Arrow batch shape match what a real thumbnailer produces — the
+    Spark-side plumbing (binary-in/binary-out columns, per-partition
+    batching, no driver collect, stable output schema for a
+    downstream parquet write) is the part under test.  Swap the body
+    of ``_fake_resize`` for ``PIL.Image.resize`` in production.
+    """
+    n_out = out_w * out_h
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if payload is None:
+            raise NotImplementedError("real codec path not available in this container")
+        if len(payload) == 0:
+            return b"\x00" * n_out
+        # deterministic nearest-neighbor stride over the byte stream
+        step = max(len(payload) // n_out, 1)
+        out = (payload[::step])[:n_out]
+        return out + b"\x00" * (n_out - len(out))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": resized,
+                    "resized_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_RESIZED_SCHEMA)

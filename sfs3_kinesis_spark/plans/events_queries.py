@@ -881,3 +881,107 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str):
             F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long").alias("is_deleted"),
         )
     )
+
+
+@register(
+    "window_topk_types_per_hour",
+    """
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+             count(*) AS n
+      FROM events GROUP BY hour_idx, event_type),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY hour_idx
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM h)
+    SELECT hour_idx, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("window", "topk", "agg", "events", "streaming_semantics"),
+    description=(
+        "windowed top-k (trending items per hour): aggregate FIRST, "
+        "rank the tiny per-window rollup SECOND — the window function "
+        "runs over |hours|x|types| pre-aggregated rows, never the fact "
+        "table, so the only data-sized operation is one map-side-"
+        "combined count; (n DESC, event_type) gives rank ties a total "
+        "order.  The batch twin of a per-window streaming leaderboard"
+    ),
+)
+def window_topk_types_per_hour(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("hour_idx").orderBy(F.desc("n"), "event_type")
+    return (
+        h.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "events_session_conversion",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > {{gap}} THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT CASE WHEN n_events >= 3 THEN 'multi'
+                WHEN n_events = 2  THEN 'pair'
+                ELSE 'single' END           AS session_len_band,
+           count(*)                         AS n_sessions,
+           sum(converted)                   AS n_converted,
+           sum(converted) * 10000 // count(*) AS conversion_bp
+    FROM per_session GROUP BY session_len_band
+    """.replace("{gap}", "1800"),
+    tags=("session", "funnel", "window", "agg", "events", "streaming_semantics"),
+    description=(
+        "session-level conversion: gap-sessionize (30 min), collapse "
+        "each session to (length band, converted?) — one keyed window "
+        "+ two aggregates — then conversion rate per band in floor "
+        "basis points; the e-commerce KPI that joins the "
+        "sessionization operator to a business metric, sharing the "
+        "single user_id shuffle with events_sessionization"
+    ),
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    return (
+        per_session.withColumn(
+            "session_len_band",
+            F.when(F.col("n_events") >= 3, "multi")
+            .when(F.col("n_events") == 2, "pair")
+            .otherwise("single"),
+        )
+        .groupBy("session_len_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.expr("sum(converted) * 10000 div count(*)").alias("conversion_bp"),
+        )
+    )

@@ -92,3 +92,25 @@ def test_compact_small_files_and_zorder_layout(spark, tmp_path):
     global_span = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
     if after > 1:
         assert spans.avg_span < global_span
+
+
+def test_resize_media_stub_plumbing(spark):
+    """resize op: binary-in/binary-out mapInPandas with a fixed output
+    size — every row yields exactly out_w*out_h bytes, schema stable,
+    deterministic across runs."""
+    from sfs3_kinesis_spark.operators.multimodal import documents_as_media, resize_media
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    media = documents_as_media(docs)
+    out = resize_media(media, out_w=16, out_h=8)
+    assert out.schema["resized"].dataType.typeName() == "binary"
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("resized_bytes").alias("mn"),
+        F.max("resized_bytes").alias("mx"),
+    ).collect()[0]
+    assert stats.n == 200 and stats.mn == 128 and stats.mx == 128
+    a = {r.media_id: bytes(r.resized) for r in out.collect()}
+    b = {r.media_id: bytes(r.resized) for r in resize_media(media, 16, 8).collect()}
+    assert a == b
