@@ -71,3 +71,33 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("und")
     )
     return df.withColumn("detected_lang", detected).drop("toks")
+
+
+def chunk_udtf(max_tokens: int = 32):
+    """Text chunker as a Spark 4 Python UDTF (user-defined TABLE
+    function) — the lateral-generator spelling of
+    :func:`sampling.chunk_text`.
+
+    The reference's entire compute layer is user-defined functions
+    composed by config (SURVEY.md §2.11); the engine's UDx surface is
+    Column expressions (Step), pandas UDFs (multimodal), stateful
+    pandas (correlate) — and this adds the table-function tier: one
+    input row expands to N output rows with per-row Python logic,
+    invocable from SQL as ``chunk(text)``.  The built-in generator
+    form (sampling.chunk_text — pure Catalyst, codegen'd) remains
+    the hot-path implementation; the UDTF exists for custom
+    expansion logic that built-ins can't express (tokenizer-aware
+    splits, sentence boundaries), and its per-partition batching is
+    the real plumbing under test.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx BIGINT, chunk_text STRING, n_chunk_tokens BIGINT")
+    class ChunkUdtf:
+        def eval(self, text: str):  # noqa: A002
+            toks = text.split(" ") if text else []
+            for i in range(0, max(len(toks), 1), max_tokens):
+                chunk = toks[i : i + max_tokens]
+                yield (i // max_tokens, " ".join(chunk), len(chunk))
+
+    return ChunkUdtf
