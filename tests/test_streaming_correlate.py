@@ -250,3 +250,55 @@ def test_correlation_checkpoint_restart(spark, tmp_path):
     assert matched[0]["outcome"] == "matched"
     assert matched[0]["http_code"] == 200
     assert matched[0]["latency_ms"] == 5000
+
+
+def test_pydatasource_feeds_correlation_end_to_end(spark, tmp_path):
+    """Full path: custom Python DataSource (status_jsonl, paced) →
+    correlation state machine → memory sink.  The engine twin of the
+    reference's Kinesis-consumer→pending-map→HTTP-response chain
+    (svckinesis.js:173-212), with a declarative connector instead of
+    a hand-rolled iterator loop."""
+    import datetime as dt
+    import json
+
+    from sfs3_kinesis_spark.sources import pydatasource
+    from sfs3_kinesis_spark.sources.stream import stream_from_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    txns = [f"0x{i:04x}" for i in range(12)]
+
+    path = str(tmp_path / "status.jsonl")
+    with open(path, "w") as fh:
+        for i, txn in enumerate(txns):
+            fh.write(json.dumps({"txnId": txn, "status": "SUCCEEDED" if i % 4 else "FAILED"}) + "\n")
+
+    pydatasource.register(spark)
+    event_stream = (
+        spark.readStream.format("status_jsonl")
+        .option("path", path)
+        .option("maxRecordsPerBatch", "5")
+        .load()
+        .select(
+            "txn_id",
+            "status",
+            (F.lit(t0) + F.make_interval(secs=F.col("seq"))).alias("event_time"),
+        )
+    )
+    requests = _requests_df(spark, [(txn, t0, 3_600_000) for txn in txns])
+    out = correlate(stream_from_batch(requests, tmp_path / "req"), event_stream)
+    q = run_stateful_to_memory(out, "pyds_correlated", trigger_ms=200)
+    try:
+        n = wait_for_rows(
+            spark,
+            "SELECT count(*) FROM pyds_correlated WHERE outcome = 'matched'",
+            12,
+            timeout_s=90,
+        )
+        assert n >= 12
+        rows = spark.table("pyds_correlated").collect()
+        by_txn = {r.txn_id: r for r in rows if r.outcome == "matched"}
+        assert len(by_txn) == 12
+        assert by_txn["0x0000"].http_code == 400  # FAILED -> 400
+        assert by_txn["0x0001"].http_code == 200
+    finally:
+        q.stop()
