@@ -29,7 +29,7 @@ registry by `scripts/gen_coverage.py`.
 | S1 | S3 JSON point read, predicate-gated | `sources/batch.py:read_json_documents` (schema-fixed JSON), keyed lookup = filter on `process_state`; predicate gating in `operators/pipeline.py` Step gates | `tests/test_sources.py`, `tests/test_pipeline.py` |
 | S2 | S3 JSON whole-doc upsert | `sources/sinks.py:KeyedUpsertSink` (keyed MERGE per micro-batch, idempotent) | `tests/test_streaming_windows.py::test_incremental_pipeline_checkpoint_restart` |
 | S3op | Kinesis producer (keyed append) | `sources/sinks.py:kinesis_sink` (connector-gated); tests use memory/file sinks with `partitionKey=txn_id` shape | corpus `pipeline_run` events; `tests/test_pipeline.py::test_status_events_shape` |
-| S4-S6 | Kinesis consumer (shards, LATEST iterator, paced getRecords) | `sources/stream.py:kinesis_stream` (connector-gated; `startingPosition=LATEST` default); pacing = `maxFilesPerTrigger` / trigger intervals | `tests/test_sources.py::test_rate_limited_stream_batches` |
+| S4-S6 | Kinesis consumer (shards, LATEST iterator, paced getRecords) | `sources/stream.py:kinesis_stream` (connector-gated; `startingPosition=LATEST` default); pacing = `maxFilesPerTrigger` / trigger intervals; **plus a full Python DataSource** `sources/pydatasource.py` (`status_jsonl`): batch line-range partitions + `SimpleDataSourceStreamReader` with `maxRecordsPerBatch=5` pacing and checkpointed exactly-once restart (the reference's LATEST iterator drops history on restart, `svckinesis.js:215-219`) | `tests/test_sources.py::test_python_datasource_batch_read` / `::test_python_datasource_paced_stream`; end-to-end into the correlate operator: `tests/test_streaming_correlate.py::test_pydatasource_feeds_correlation_end_to_end` |
 | S7 | HTTP POST ingress | engine ingress = request rows into a stream (`stream_from_batch`, `rate_stream`) | streaming tests |
 | S8 | HTTP response egress | emitted rows of the correlate operator (`outcome`, `http_code`) | `tests/test_streaming_correlate.py` |
 | S9/S10 | Step Functions start / status read | pipeline launch = rows entering `IncrementalPipeline`; status view = `process_state.status` | `tests/test_streaming_windows.py` |
@@ -138,9 +138,12 @@ math (`scalar_math_lineitem`), JSON (`scalar_json_events`), array
 ## §2.11 UDF surface
 
 Stage API (`Step`) = arbitrary Column transforms; `mapInPandas`
-(multimodal featurize), `applyInPandasWithState` (correlate) — the
-Python boundary is Arrow-vectorized everywhere; no row-at-a-time
-Python UDF exists in the engine.
+(multimodal featurize/resize), `applyInPandasWithState` (correlate),
+and a Python **UDTF** (`operators/text.py:chunk_udtf` — SQL-invocable
+lateral table function, row-to-N-rows expansion, verified equal to the
+Catalyst generator chunker) — the hot-path Python boundary is
+Arrow-vectorized everywhere; no row-at-a-time Python UDF exists in
+the engine.
 
 ## LLM-data operators (task north star)
 

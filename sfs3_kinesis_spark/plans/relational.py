@@ -1429,3 +1429,83 @@ def set_union_schema_evolution(spark: SparkSession, sf_dir: str):
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@register(
+    "agg_grouping_id_cube",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n,
+           CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "grouping_id"),
+    description=(
+        "GROUPING/GROUPING_ID diagnostics on a CUBE: the bitmask that "
+        "lets a consumer tell a real NULL group key from a rollup "
+        "subtotal row — without it, cube output is ambiguous the "
+        "moment a grouping column is nullable; both engines assign "
+        "the first grouping column the most-significant bit"
+    ),
+)
+def agg_grouping_id_cube(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gid")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5D) AS BIGINT) AS total_cents
+        FROM orders_gid
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    )
+
+
+@register(
+    "agg_decimal_exact_products",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38, 0))
+                 AS cents
+      FROM orders)
+    SELECT o_orderpriority,
+           count(*)            AS n,
+           sum(cents)          AS sum_cents,
+           sum(cents * cents)  AS sum_sq_cents
+    FROM c GROUP BY o_orderpriority
+    """,
+    tags=("agg", "decimal", "exact_arithmetic", "overflow_safe"),
+    description=(
+        "DECIMAL(38,0) overflow-safe exact aggregation: per-priority "
+        "sum of cents and of squared cents — the second moment that "
+        "powers variance/z-score detectors.  cents^2 is ~1e13 per "
+        "row, so a BIGINT sum wraps silently (non-ANSI) or errors "
+        "(ANSI/DuckDB) around 1e6 rows/group; DECIMAL(38,0) partials "
+        "carry the same map-side-combine plan shape with 4x the "
+        "headroom digits — the production arithmetic the z-score "
+        "query's docstring promises (round-1 ADVICE), shipped as a "
+        "first-class operator"
+    ),
+)
+def agg_decimal_exact_products(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT) AS DECIMAL(38, 0))").alias("cents"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sum_sq_cents"),
+    )
