@@ -85,7 +85,24 @@ class KeyedUpsertSink:
         self.spark = spark
         self.path = path
         self.key_col = key_col
-        self._version = 0
+        # restart-safe: resume from the latest snapshot already on
+        # disk (the reference's restart loses its in-memory map
+        # entirely, svckinesis.js:66; a Delta/Iceberg table would
+        # give us this via its log — versioned directories are the
+        # dependency-free equivalent)
+        self._version = self._latest_on_disk()
+
+    def _latest_on_disk(self) -> int:
+        import re
+
+        if not os.path.isdir(self.path):
+            return 0
+        versions = [
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := re.fullmatch(r"v(\d+)", d))
+        ]
+        return max(versions, default=0)
 
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
@@ -94,6 +111,14 @@ class KeyedUpsertSink:
         if self._version == 0:
             return None
         return self.spark.read.parquet(self._snapshot_dir(self._version))
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read: the table AS OF snapshot ``version``
+        (1-based; every micro-batch MERGE produced one snapshot) —
+        the audit/debug affordance a CDC-compacted table needs."""
+        if not 1 <= version <= self._version:
+            raise ValueError(f"version {version} not in [1, {self._version}]")
+        return self.spark.read.parquet(self._snapshot_dir(version))
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.withColumn("_epoch", F.lit(int(epoch_id)))

@@ -49,3 +49,30 @@ def test_incremental_emits_failed_and_succeeded_events(spark, tmp_path):
     state = {r["txn_id"]: r for r in sink.current().collect()}
     assert state["1"]["status"] == "FAILED"
     assert state["1"]["step_c_output"] is None
+
+
+def test_upsert_sink_time_travel_and_restart_resume(spark, tmp_path):
+    """KeyedUpsertSink: each micro-batch MERGE yields a readable
+    snapshot version (time travel), and a NEW sink instance over the
+    same path resumes from the on-disk latest instead of version 0
+    (restart durability the reference's in-memory map lacks)."""
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "state")
+    sink = KeyedUpsertSink(spark, path, key_col="txn_id")
+    b1 = spark.createDataFrame([("a", "RUNNING"), ("b", "RUNNING")], "txn_id string, status string")
+    b2 = spark.createDataFrame([("a", "SUCCEEDED")], "txn_id string, status string")
+    sink.apply_batch(b1, epoch_id=0)
+    sink.apply_batch(b2, epoch_id=1)
+
+    v1 = {r.txn_id: r.status for r in sink.read_version(1).collect()}
+    v2 = {r.txn_id: r.status for r in sink.read_version(2).collect()}
+    assert v1 == {"a": "RUNNING", "b": "RUNNING"}
+    assert v2 == {"a": "SUCCEEDED", "b": "RUNNING"}
+
+    resumed = KeyedUpsertSink(spark, path, key_col="txn_id")
+    assert resumed._version == 2
+    b3 = spark.createDataFrame([("b", "FAILED")], "txn_id string, status string")
+    resumed.apply_batch(b3, epoch_id=2)
+    final = {r.txn_id: r.status for r in resumed.current().collect()}
+    assert final == {"a": "SUCCEEDED", "b": "FAILED"}
