@@ -280,3 +280,157 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str):
     return sketch.select(F.inline("tk")).select(
         F.col("item").alias("token"), F.col("count").cast("long").alias("cnt")
     )
+
+
+@register(
+    "events_latency_log2_histogram",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events),
+    b AS (
+      SELECT CASE WHEN gap_s <= 0 THEN 0
+                  ELSE length(bin(CAST(gap_s AS BIGINT))) END AS bucket
+      FROM g WHERE gap_s IS NOT NULL)
+    SELECT bucket                    AS log2_bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE (1::BIGINT << (bucket - 1)) END AS BIGINT)
+                                     AS bucket_floor_s,
+           count(*)                  AS n
+    FROM b GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "observability", "exact_arithmetic", "events"),
+    description=(
+        "power-of-two latency histogram of inter-event gaps (the "
+        "HDR-style bucket layout observability systems store): bucket "
+        "= bit length of the gap in seconds — computed as "
+        "length(bin(x)), pure integer/string ops identical in both "
+        "engines, where floor(log2(x)) in floats mis-buckets exact "
+        "powers of two at the ulp boundary; one keyed window for the "
+        "gap, one tiny aggregate, bucket count is O(log range) "
+        "regardless of data size"
+    ),
+)
+def events_latency_log2_histogram(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    b = g.select(
+        F.when(F.col("gap_s") <= 0, 0)
+        .otherwise(F.length(F.bin(F.col("gap_s").cast("long"))))
+        .alias("bucket")
+    )
+    return b.groupBy(F.col("bucket").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "log2_bucket",
+        F.expr(
+            "CAST(CASE WHEN log2_bucket = 0 THEN 0 "
+            "ELSE shiftleft(1L, CAST(log2_bucket AS INT) - 1) END AS BIGINT)"
+        ).alias("bucket_floor_s"),
+        "n",
+    )
+
+
+@register(
+    "quality_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT first_digit,
+           count(*)                       AS n,
+           count(*) * 10000 // max(n.total) AS observed_bp,
+           CAST(floor(10000 * ln(1.0 + 1.0 / first_digit) / ln(10.0)) AS BIGINT)
+                                          AS benford_bp
+    FROM d CROSS JOIN n
+    GROUP BY first_digit
+    """,
+    tags=("quality", "audit", "benford", "agg"),
+    description=(
+        "Benford first-digit audit (fraud / synthetic-data detector): "
+        "observed first-digit distribution of order totals vs the "
+        "Benford expectation, both in floor basis points — the digit "
+        "comes from integer/string ops (no float log on data), and "
+        "the expected share is a per-digit constant (floor(10000*"
+        "log10(1+1/d)) agrees across engines for d=1..9 — verified "
+        "safely away from floor ulp boundaries); one scan, nine "
+        "output rows, the 1-row total broadcast back"
+    ),
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("first_digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("first_digit")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("count(*) * 10000 div max(total)").alias("observed_bp"),
+            F.expr(
+                "CAST(floor(10000 * ln(1.0D + 1.0D / first_digit) / ln(10.0D)) AS BIGINT)"
+            ).alias("benford_bp"),
+        )
+    )
+
+
+@register(
+    "report_dense_grid_zero_fill",
+    """
+    WITH grid AS (
+      SELECT r.r_name, p.o_orderpriority
+      FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p),
+    actual AS (
+      SELECT r.r_name, o.o_orderpriority, count(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, o.o_orderpriority)
+    SELECT g.r_name, g.o_orderpriority, COALESCE(a.n, 0) AS n_orders
+    FROM grid g LEFT JOIN actual a
+      ON g.r_name = a.r_name AND g.o_orderpriority = a.o_orderpriority
+    """,
+    tags=("join", "cross", "reporting", "grid"),
+    description=(
+        "dense reporting grid with zero-fill: CROSS JOIN of the two "
+        "(tiny) dimension domains left-joined to the fact rollup, so "
+        "combinations with no orders surface as explicit zeros — the "
+        "shape every BI export needs (a sparse groupBy silently drops "
+        "empty cells); the cartesian is |regions|x|priorities| = tens "
+        "of rows, broadcast everywhere, while the fact table shuffles "
+        "once for the rollup"
+    ),
+)
+def report_dense_grid_zero_fill(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n2 = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    prios = o.select("o_orderpriority").distinct()
+    grid = r.select("r_name").crossJoin(prios)
+    actual = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(actual, ["r_name", "o_orderpriority"], "left")
+        .select("r_name", "o_orderpriority", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )

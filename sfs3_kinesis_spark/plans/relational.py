@@ -1509,3 +1509,39 @@ def agg_decimal_exact_products(spark: SparkSession, sf_dir: str):
         F.sum("cents").alias("sum_cents"),
         F.sum(F.col("cents") * F.col("cents")).alias("sum_sq_cents"),
     )
+
+
+@register(
+    "scalar_bitwise_family",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255                      AS and_mask,
+           o_orderkey | 4096                     AS or_flag,
+           xor(o_orderkey, 1431655765)           AS xor_scramble,
+           ~o_orderkey                           AS not_bits,
+           o_orderkey << 3                       AS shl3,
+           o_orderkey >> 2                       AS shr2,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+    tags=("scalar", "bitwise"),
+    description=(
+        "bitwise scalar family (&, |, xor, ~, shifts, popcount) — the "
+        "primitives behind the engine's bitmap-distinct, Z-order, and "
+        "SimHash operators, pinned as a row-local function-family "
+        "query; note the dialect trap: DuckDB's ^ is POWER, so the "
+        "oracle spells xor() while Spark uses the ^ operator"
+    ),
+)
+def scalar_bitwise_family(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("and_mask"),
+        F.expr("o_orderkey | 4096").alias("or_flag"),
+        F.expr("o_orderkey ^ 1431655765").alias("xor_scramble"),
+        F.expr("~o_orderkey").alias("not_bits"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr2"),
+        F.bit_count("o_orderkey").cast("long").alias("popcount"),
+    )
