@@ -58,32 +58,47 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str):
     "join_range_hot_hours",
     """
     WITH hourly AS (
-      SELECT date_trunc('hour', ts) AS h, sum(value) AS sv
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv_cents
       FROM events GROUP BY 1),
+    ranked AS (
+      SELECT h, row_number() OVER (ORDER BY sv_cents DESC, h) AS rnk,
+             count(*) OVER () AS n_hours
+      FROM hourly),
     hot AS (
       SELECT h AS h_start, h + INTERVAL 1 HOUR AS h_end
-      FROM hourly WHERE sv > 1.5 * (SELECT avg(sv) FROM hourly))
+      FROM ranked WHERE rnk <= (n_hours + 9) // 10)
     SELECT e.event_id, h_start
     FROM events e JOIN hot ON e.ts >= h_start AND e.ts < h_end
     """,
     tags=("join", "range"),
     description=(
-        "big-big point-in-interval join (events in hot hours), bucketed "
-        "equi-join impl — threshold is relative (1.5x mean hourly load) "
-        "so the query is scale-invariant"
+        "big-big point-in-interval join (events in the busiest 10% of "
+        "hours), bucketed equi-join impl — hot set is rank-relative "
+        "(exact-cents load, total (load, hour) tie order) so the "
+        "selectivity is identical at every scale factor; the ranking "
+        "window runs over |hours| pre-aggregated rows, never facts"
     ),
 )
 def join_range_hot_hours(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
     e = t(spark, sf_dir, "events")
-    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(F.sum("value").alias("sv"))
-    mean_sv = hourly.agg(F.avg("sv").alias("mean_sv"))
-    hot = (
-        hourly.crossJoin(F.broadcast(mean_sv))
-        .filter(F.col("sv") > 1.5 * F.col("mean_sv"))
-        .select(
-            F.col("h").alias("h_start"),
-            (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h_end"),
-        )
+    # exact integer load per hour (float sums rank-tie differently
+    # across engines); hot = busiest 10% of hours — rank-relative, so
+    # the selectivity survives any scale factor (a fixed multiple of
+    # the mean selects nothing once per-hour load flattens out)
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.expr("sum(CAST(floor(value * 100 + 0.5D) AS BIGINT))").alias("sv_cents")
+    )
+    ranked = hourly.select(
+        "h",
+        F.row_number().over(W.orderBy(F.desc("sv_cents"), "h")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_hours"),
+    )
+    hot = ranked.filter(F.col("rnk") <= F.expr("(n_hours + 9) div 10")).select(
+        F.col("h").alias("h_start"),
+        (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h_end"),
     )
     joined = interval_join_bucketed(
         e.select("event_id", "ts"),
