@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
@@ -125,3 +126,35 @@ def compact_small_files(
     files_before = len(glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True))
     files_after = len(glob.glob(os.path.join(dest_path, "*.parquet")))
     return files_before, files_after
+
+
+def salted_window_topk(
+    df: DataFrame,
+    key: str,
+    order_exprs: list,
+    *,
+    k: int,
+    salt: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase per-key top-k that survives a pathologically hot
+    window key: phase 1 ranks inside (key, salt) — the hot key's rows
+    spread over ``salt`` reducers — and keeps each bucket's local
+    top-k (at most salt*k survivors per key, k of which are the true
+    winners); phase 2 ranks the survivors per key.  Value-identical
+    to the single-window ``row_number() <= k`` provided the order is
+    total.  The same trick as salted aggregation, applied to the
+    window family, where AQE offers no skew rescue at all.
+    """
+    # salting on the window key itself would re-create the hotspot
+    # (every hot-key row hashes identically) — spread by a row-unique
+    # column, or the whole row when none is named
+    spread = F.col(salt_on) if salt_on else F.hash(*df.columns)
+    salt_col = F.pmod(F.hash(spread), F.lit(salt))
+    w1 = W.partitionBy(F.col(key), F.lit(0) + salt_col).orderBy(*order_exprs)
+    local = df.withColumn("_lrn", F.row_number().over(w1)).filter(F.col("_lrn") <= k).drop("_lrn")
+    w2 = W.partitionBy(key).orderBy(*order_exprs)
+    return (
+        local.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

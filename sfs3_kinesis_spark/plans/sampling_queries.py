@@ -302,3 +302,98 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str):
         .select("lang", "n_before", "n_kept", "doc_id_sum")
         .orderBy("lang")
     )
+
+
+#: cumulative Poisson(1) thresholds scaled to the hash modulus
+#: (1e9+7): P(X<=k) * MOD for k = 0..5; ties impossible because the
+#: hash is integer-valued and the thresholds are fixed integers.
+_POIS_CUM = [367879441, 735758882, 919698602, 980988175, 996340153, 999406006]
+_BOOT_B = 32  # bootstrap replicates
+
+
+def _poisson_case(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "sample_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT o.o_orderpriority,
+             r.r AS rep,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             {_poisson_case(f"((o.o_orderkey * 131 + r.r) * {2654435761} + {104729}) % {1000000007}")} AS w
+      FROM orders o
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r) r),
+    rep_means AS (
+      SELECT o_orderpriority, rep,
+             sum(w * cents) // sum(w) AS mean_cents
+      FROM reps GROUP BY o_orderpriority, rep HAVING sum(w) > 0),
+    ranked AS (
+      SELECT o_orderpriority, mean_cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY mean_cents, rep) AS rnk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM rep_means)
+    SELECT o_orderpriority,
+           count(*)            AS n_reps,
+           min(mean_cents)     AS lo_cents,
+           max(mean_cents)     AS hi_cents,
+           sum(CASE WHEN rnk = (n + 1) // 2 THEN mean_cents ELSE 0 END)
+         + sum(CASE WHEN rnk = (n + 2) // 2 THEN mean_cents ELSE 0 END)
+                               AS median_x2_cents
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    tags=("sampling", "bootstrap", "statistics", "exact_arithmetic"),
+    description=(
+        "deterministic Poisson bootstrap (the streaming-friendly "
+        "resample): each (row, replicate) draws a Poisson(1) weight "
+        "from the arithmetic key-hash via an inverse-CDF CASE — no "
+        "rng, so every engine, run, and retry produces the identical "
+        "32 replicates — then per-replicate floor-div mean revenue "
+        "and the replicate spread (min/max/median-pair) per priority: "
+        "the confidence-interval machinery for data-quality metrics "
+        "at 100 TB, where the replicate loop must be a single scan "
+        "(B x row expansion, map-side-combined partials), never B "
+        "passes over the data"
+    ),
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    h = f"((o_orderkey * 131 + r) * {2654435761} + {104729}) % {1000000007}"
+    reps = (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))))
+        .withColumn("w", F.expr(_poisson_case(h)))
+    )
+    rep_means = (
+        reps.groupBy("o_orderpriority", F.col("r").alias("rep"))
+        .agg(F.expr("sum(w * cents) div sum(w)").alias("mean_cents"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .drop("sw")
+    )
+    wp = W.partitionBy("o_orderpriority")
+    ranked = rep_means.select(
+        "o_orderpriority",
+        "mean_cents",
+        F.row_number().over(wp.orderBy("mean_cents", "rep")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.min("mean_cents").alias("lo_cents"),
+        F.max("mean_cents").alias("hi_cents"),
+        (
+            F.sum(F.when(F.col("rnk") == F.expr("(n + 1) div 2"), F.col("mean_cents")).otherwise(0))
+            + F.sum(F.when(F.col("rnk") == F.expr("(n + 2) div 2"), F.col("mean_cents")).otherwise(0))
+        ).alias("median_x2_cents"),
+    )

@@ -107,3 +107,49 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str):
         (F.max("l_partkey") - F.min("l_partkey")).alias("partkey_span"),
         (F.max("l_suppkey") - F.min("l_suppkey")).alias("suppkey_span"),
     )
+
+
+@register(
+    "window_salted_topk",
+    """
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_custkey, o_orderkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, o_orderkey) AS rnk
+      FROM c)
+    SELECT o_custkey, o_orderkey, cents, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("window", "topk", "skew", "salting"),
+    description=(
+        "two-phase salted window top-k (skew-safe ranking): local "
+        "top-3 inside (key, salt) — a hot key's rows spread over 8 "
+        "reducers, each keeping only 3 survivors — then the true "
+        "top-3 per key over <= salt*k rows; value-identical to the "
+        "plain single-window form (the oracle) because the "
+        "(cents DESC, orderkey) order is total.  The window-family "
+        "counterpart of the salted join/agg — AQE cannot split a "
+        "skewed window partition at all"
+    ),
+)
+def window_salted_topk(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    return salted_window_topk(
+        c,
+        "o_custkey",
+        [F.desc("cents"), F.asc("o_orderkey")],
+        k=3,
+        salt=8,
+        salt_on="o_orderkey",
+    )
