@@ -226,6 +226,8 @@ def _lloyd_centroids(
     driver-side ints (tiny); empty cells drop out."""
     init = dfv.orderBy("id").limit(k).collect()
     cents = [(i, list(r["vi"])) for i, r in enumerate(init)]
+    if not cents:  # empty corpus: no centroids, downstream emits 0 rows
+        return []
     dim = len(cents[0][1])
     sums = [F.sum(F.element_at("vi", i + 1)).alias(f"s{i}") for i in range(dim)]
     for _ in range(iterations):
@@ -286,6 +288,10 @@ def kmeans_lloyd(
     """
     dfv = _quantized(embeddings, vec_col, id_col, scale).cache()
     cents = _lloyd_centroids(dfv, k, iterations)
+    if not cents:  # empty corpus → empty result, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "cell INT, n_members BIGINT, inertia BIGINT"
+        )
     out = (
         _assign_cells(dfv, cents)
         .groupBy("cell")

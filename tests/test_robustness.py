@@ -62,3 +62,41 @@ def test_corrupt_json_documents_are_quarantined(spark, tmp_path):
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and "{broken json" in corrupt[0]["_corrupt_record"]
     assert {r["txn_id"] for r in rows if r["txn_id"]} == {"ok", "ok2"}
+
+
+def test_operators_handle_empty_input(spark):
+    """Representative operators return empty results with stable
+    schemas on empty input instead of raising — at 100 TB a partition
+    filter legitimately yields zero rows and the job must not die."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators import dedup, sampling, similarity
+    from sfs3_kinesis_spark.operators.temporal import asof_join
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.lit(False))
+    )
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.lit(False))
+    )
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.lit(False))
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "value")
+    )
+
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert sampling.chunk_text(docs, "doc_id", "text", 32).count() == 0
+    km = similarity.kmeans_lloyd(emb, k=4, iterations=1)
+    assert km.count() == 0
+    assert [f.name for f in km.schema.fields] == ["cell", "n_members", "inertia"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", F.col("value").alias("payload"))
+    assert (
+        asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                  payload_cols=["payload"]).count() == 0
+    )
