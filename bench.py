@@ -91,6 +91,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(steady.values()), 3)
+    streaming = _streaming_throughput(spark)
     print(
         json.dumps(
             {
@@ -100,10 +101,66 @@ def main() -> None:
                 "queries": steady,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "streaming_matched_pairs_per_sec": streaming,
                 "sf": sf,
             }
         )
     )
+
+
+def _streaming_throughput(spark, n: int = 2000) -> float:
+    """Matched request/event pairs per second through the stateful
+    correlation operator (reference ceiling: 3.3 events/s — polite
+    polling, svckinesis.js:193,207-211).  One micro-batch drain of
+    ``n`` pairs, wall-clocked end to end including query startup."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.sources.sinks import run_stateful_to_memory, wait_for_rows
+    from sfs3_kinesis_spark.sources.stream import stream_from_batch
+    from sfs3_kinesis_spark.streaming.correlate import correlate, unioned_input
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    requests = spark.range(n).select(
+        F.concat(F.lit("t-"), F.col("id")).alias("txn_id"),
+        F.lit(t0).alias("submitted_at"),
+        F.lit(3_600_000).alias("timeout_ms"),
+    )
+    events = spark.range(n).select(
+        F.concat(F.lit("t-"), F.col("id")).alias("txn_id"),
+        F.lit("SUCCEEDED").alias("status"),
+        (F.unix_timestamp(F.lit(t0)) + 1).cast("timestamp").alias("event_time"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        merged = unioned_input(requests, events)
+        stream = stream_from_batch(merged, tmp)
+        out = correlate(
+            stream.filter(F.col("kind") == "request").select(
+                "txn_id", F.col("ts").alias("submitted_at"), "timeout_ms"
+            ),
+            stream.filter(F.col("kind") == "event").select(
+                "txn_id", "status", F.col("ts").alias("event_time")
+            ),
+        )
+        start = time.time()
+        q = run_stateful_to_memory(out, "bench_corr_tp")
+        try:
+            matched = wait_for_rows(
+                spark,
+                "SELECT count(*) FROM bench_corr_tp WHERE outcome = 'matched'",
+                n,
+                timeout_s=180,
+            )
+        finally:
+            q.stop()
+        elapsed = time.time() - start
+        return round(matched / elapsed, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -943,3 +943,24 @@ def agg_hll_partition_merge(spark: SparkSession, sf_dir: str):
         F.lit(None).cast("long").alias("exact_distinct"),
     ).select(F.lit(None).cast("date").alias("day"), "estimate", "exact_distinct")
     return per_day.unionByName(merged)
+
+
+@register(
+    "multimodal_resize",
+    None,  # mapInPandas binary-in/binary-out resize — STUB codec,
+    # not SQL-expressible; rows-only check
+    tags=("multimodal", "pandas_udf", "resize"),
+    description=(
+        "image/frame resize via mapInPandas (STUB codec — "
+        "deterministic byte-stride stand-in for PIL.resize): "
+        "binary-in/binary-out Arrow batches, fixed out_w*out_h "
+        "payload per row, stable schema for a downstream parquet "
+        "write; the thumbnailing stage of a multimodal ingest "
+        "pipeline with the Spark-side plumbing fully real"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.multimodal import documents_as_media, resize_media
+
+    out = resize_media(documents_as_media(t(spark, sf_dir, "documents")), out_w=32, out_h=32)
+    return out.select("media_id", "out_w", "out_h", "resized_bytes")
