@@ -172,3 +172,46 @@ def to_document_json(state: DataFrame) -> DataFrame:
     return state.select(
         "txn_id", F.to_json(F.struct(*[F.col(c) for c in payload])).alias("document")
     )
+
+
+def steps_from_config(config: list[dict]) -> list[Step]:
+    """Declarative pipeline definition — the engine twin of the
+    reference's ASL state machine (``serverless.yml:61-129``), where
+    the stage chain is data, not code.
+
+    Each entry::
+
+        {"name": "step-a",            # stage name (ASL state name)
+         "output_col": "step_a_output",
+         "result": {...} | "<sql>",   # literal dict -> struct of
+                                      # literals (the reference's
+                                      # constant stage outputs);
+                                      # string -> any SQL expression
+         "gate_on": "step_x_output",  # optional precondition column
+         "fail_if": "<sql bool>"}     # optional fault injection
+
+    A literal-dict result reproduces exactly what the reference's
+    stages do (constant payloads, ``aprocess.js:68-74``); the SQL
+    string form is the general UDF surface.  Because the whole
+    pipeline is data, it can be stored, diffed, and generated — the
+    property the reference gets from YAML, without a process hop per
+    stage.
+    """
+    steps = []
+    for entry in config:
+        result = entry["result"]
+        if isinstance(result, dict):
+            cols = [F.lit(v).alias(k) for k, v in result.items()]
+            result_col = F.struct(*cols)
+        else:
+            result_col = F.expr(result)
+        steps.append(
+            Step(
+                entry["name"],
+                entry["output_col"],
+                result_col,
+                gate_on=entry.get("gate_on"),
+                fail_if=F.expr(entry["fail_if"]) if entry.get("fail_if") else None,
+            )
+        )
+    return steps

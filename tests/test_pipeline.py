@@ -82,3 +82,42 @@ def test_pipeline_is_single_stage_plan(spark):
     state = run_pipeline(_requests(spark))
     plan = state._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pipeline_from_declarative_config(spark):
+    """A config-defined pipeline (the ASL-as-data parity form) runs
+    identically to the code-defined reference_steps chain."""
+    from sfs3_kinesis_spark.operators.pipeline import (
+        reference_steps,
+        run_pipeline,
+        steps_from_config,
+    )
+
+    config = [
+        {"name": "step-a", "output_col": "step_a_output",
+         "result": {"status": "ok", "details": "nothing to share",
+                    "stepAOutput1": "a1", "stepAOutput2": False,
+                    "stepAOutput3": 123}},
+        {"name": "step-b", "output_col": "step_b_output",
+         "result": {"property1": "p1", "property2": "p2"},
+         "gate_on": "step_a_output"},
+        {"name": "step-c", "output_col": "step_c_output",
+         "result": "named_struct('cProperty', 'i like c')",
+         "gate_on": "step_b_output"},
+    ]
+    docs = spark.createDataFrame([("t1",), ("t2",)], "txn_id string")
+    out_cfg = run_pipeline(docs, steps_from_config(config))
+    rows = {r.txn_id: r for r in out_cfg.collect()}
+    assert rows["t1"].step_a_output.stepAOutput3 == 123
+    assert rows["t1"].step_b_output.property2 == "p2"
+    assert rows["t1"].step_c_output.cProperty == "i like c"
+    assert rows["t1"].status == "SUCCEEDED"
+
+    # the first three reference stages produce the same outputs
+    ref = run_pipeline(docs, reference_steps()[:3]).collect()
+    cfg_cols = {f.name for f in out_cfg.schema.fields}
+    for r in ref:
+        assert r.step_a_output.asDict() == rows[r.txn_id].step_a_output.asDict()
+        assert r.step_b_output.asDict() == rows[r.txn_id].step_b_output.asDict()
+        assert r.step_c_output.asDict() == rows[r.txn_id].step_c_output.asDict()
+    assert {"step_a_output", "step_b_output", "step_c_output"} <= cfg_cols
