@@ -94,21 +94,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 @register(
     "dedup_ngram_jaccard",
-    None,  # exact pairwise Jaccard over xxhash-free shingles is SQL-expressible
-    # in principle, but DuckDB 1.0 lacks list_intersect; rows-only.
-    tags=("dedup", "jaccard"),
-    description="exact n-gram Jaccard near-dup pairs (verification tier of LSH)",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             END AS shingles
+      FROM tok)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) * 10000
+             // (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) AS jaccard_bp
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 10000
+            // (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) >= 4000
+    """,
+    tags=("dedup", "jaccard", "exact_arithmetic"),
+    description=(
+        "exact all-pairs n-gram Jaccard near-dup pairs (the "
+        "verification tier of LSH, run standalone): distinct 3-gram "
+        "shingle sets, similarity in floor basis points so both "
+        "engines agree bit-for-bit; the O(n^2) candidate space is "
+        "what the LSH band join exists to avoid — this exact tier is "
+        "for validation slices, never the full corpus"
+    ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
     docs = dedup.shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))")
+    inter = "size(array_intersect(sh_a, sh_b))"
+    uni = f"size(sh_a) + size(sh_b) - {inter}"
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("jaccard_bp", F.expr(f"{inter} * 10000 div ({uni})"))
+        .filter(F.col("jaccard_bp") >= 4000)
+        .select("doc_a", "doc_b", "jaccard_bp")
     )
 
 
@@ -964,3 +990,133 @@ def multimodal_resize(spark: SparkSession, sf_dir: str):
 
     out = resize_media(documents_as_media(t(spark, sf_dir, "documents")), out_w=32, out_h=32)
     return out.select("media_id", "out_w", "out_h", "resized_bytes")
+
+
+#: shared MinHash-exact constants — embedded identically in the Spark
+#: expressions and the DuckDB oracle (cross-engine hash basis: md5,
+#: the one hash both engines implement bit-identically).
+_MHX_M = 1_000_000_007
+_MHX_HASHES = 16
+_MHX_BANDS = 4
+_MHX_THRESH_BP = 5000
+_MHX_AB = [(2654435761 + 40503 * h, 104729 + 7919 * h) for h in range(_MHX_HASHES)]
+
+
+def _mhx_min(h: int, base: str, dialect: str) -> str:
+    a, b = _MHX_AB[h]
+    minfn, mapfn = ("array_min", "transform") if dialect == "spark" else ("list_min", "list_transform")
+    return (
+        f"{minfn}({mapfn}(shingles, "
+        f"s -> (({base} % {_MHX_M}) * {a} + {b}) % {_MHX_M}))"
+    )
+
+
+def _mhx_oracle() -> str:
+    base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+    rpb = _MHX_HASHES // _MHX_BANDS
+    band_selects = []
+    for bnd in range(_MHX_BANDS):
+        mins = ", ".join(
+            f"CAST({_mhx_min(h, base, 'duckdb')} AS VARCHAR)"
+            for h in range(bnd * rpb, (bnd + 1) * rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band_id, md5(concat_ws(',', {mins})) AS band_key FROM sh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             END AS shingles
+      FROM tok),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, inter * 10000 // uni AS jaccard_bp
+    FROM verified WHERE inter * 10000 // uni >= {_MHX_THRESH_BP}
+    """
+
+
+@register(
+    "dedup_minhash_exact",
+    _mhx_oracle(),
+    tags=("dedup", "lsh", "minhash", "exact_arithmetic"),
+    description=(
+        "oracle-exact MinHash+LSH near-dup pairs: the same shingle→"
+        "signature→band-bucket→Jaccard-verify plan as the xxhash64 "
+        "fast path (dedup_minhash_lsh), but hashed on md5 — the one "
+        "hash both engines implement bit-identically — lifted to a "
+        "shared integer grid (hex-prefix → BIGINT, 16 affine minhash "
+        "fns, 4 bands), so candidate generation AND the final "
+        "integer-basis-point Jaccard are value-verified end to end; "
+        "the variant that proves the LSH plan itself, not just its "
+        "row count"
+    ),
+)
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    rpb = _MHX_HASHES // _MHX_BANDS
+    sh = shingles(
+        t(spark, sf_dir, "documents"), n=3
+    ).select("doc_id", "shingles").persist()
+
+    def band_df(bnd: int):
+        mins = ", ".join(
+            f"CAST({_mhx_min(h, base, 'spark')} AS STRING)"
+            for h in range(bnd * rpb, (bnd + 1) * rpb)
+        )
+        return sh.select(
+            "doc_id",
+            F.lit(bnd).alias("band_id"),
+            F.expr(f"md5(concat_ws(',', {mins}))").alias("band_key"),
+        )
+
+    bands = reduce(DataFrame.unionByName, [band_df(b) for b in range(_MHX_BANDS)])
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("inter"),
+            F.expr("size(sa) + size(sb) - size(array_intersect(sa, sb))").alias("uni"),
+        )
+        .select("doc_a", "doc_b", F.expr("inter * 10000 div uni").alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= _MHX_THRESH_BP)
+    )
