@@ -4,9 +4,14 @@ step 5).
 
 Oracle policy: everything that ANSI SQL can reproduce exactly has a
 DuckDB oracle (including the rolling-hash fingerprint and cosine
-similarity); MinHash-LSH and SimHash hash with Spark's xxhash64,
-which DuckDB cannot reproduce, so those are registered rows-only
-(oracle=None) — the driver records the weaker check.
+similarity).  The performance-path MinHash-LSH and SimHash hash with
+Spark's xxhash64, which DuckDB cannot reproduce — those stay
+rows-only — but each has an ORACLE-EXACT twin built on md5 (the one
+hash both engines implement identically): dedup_minhash_exact lifts
+md5 prefixes onto a shared integer grid for the full
+shingle→signature→band→Jaccard plan, and similarity_lsh_exact draws
+deterministic Rademacher hyperplanes from md5-nibble parity — so the
+LSH plan shapes themselves are value-verified, not just row-counted.
 """
 
 from __future__ import annotations
@@ -1119,4 +1124,85 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
         )
         .select("doc_a", "doc_b", F.expr("inter * 10000 div uni").alias("jaccard_bp"))
         .filter(F.col("jaccard_bp") >= _MHX_THRESH_BP)
+    )
+
+
+_SLX_PLANES = 8
+_SLX_DIM = 64
+_SLX_THRESH = 0.35
+
+
+def _slx_bit(b: int, dialect: str) -> str:
+    """Sign bit of the dot product with deterministic Rademacher
+    plane ``b``: coefficient for dim i is +1/-1 by the parity of an
+    md5 nibble of (b, i) — the same plane matrix materializes on both
+    engines from pure SQL, no stored randomness.  The fold visits
+    dims left to right on both engines, so the double sum — and
+    therefore the sign — is bit-identical."""
+    if dialect == "spark":
+        par = f"CAST(conv(substr(md5(concat('{b}', '-', CAST(i AS STRING))), 1, 2), 16, 10) AS INT) % 2"
+        return (
+            f"CASE WHEN aggregate(sequence(1, {_SLX_DIM}), 0D, "
+            f"(acc, i) -> acc + CASE WHEN {par} = 1 THEN element_at(v, i) "
+            f"ELSE -element_at(v, i) END) > 0D THEN 1 ELSE 0 END"
+        )
+    par = f"CAST(('0x' || substr(md5(concat('{b}', '-', CAST(i AS VARCHAR))), 1, 2)) AS INT) % 2"
+    return (
+        f"CASE WHEN list_sum(list_transform(generate_series(1, {_SLX_DIM}), "
+        f"i -> CASE WHEN {par} = 1 THEN v[i] ELSE -v[i] END)) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _slx_sig(dialect: str) -> str:
+    return " + ".join(f"({_slx_bit(b, dialect)} * {1 << b})" for b in range(_SLX_PLANES))
+
+
+@register(
+    "similarity_lsh_exact",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+             {_slx_sig('duckdb')} AS sig,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) > {_SLX_THRESH}
+    """,
+    tags=("similarity", "lsh", "exact_arithmetic"),
+    description=(
+        "oracle-exact random-hyperplane LSH near-dup pairs: the plane "
+        "matrix is deterministic Rademacher (+1/-1 by md5-nibble "
+        "parity of (plane, dim)) materialized from pure SQL on both "
+        "engines, the sign-bit fold visits dimensions in one fixed "
+        "order so signatures agree bit-for-bit, candidates meet only "
+        "inside equal-signature buckets, and survivors are exactly "
+        "cosine-verified — the value-verified twin of the "
+        "seeded-numpy fast path (similarity_lsh_pairs)"
+    ),
+)
+def similarity_lsh_exact(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    sig = e.select(
+        "vec_id",
+        "v",
+        F.expr(_slx_sig("spark")).alias("sig"),
+        F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))").alias("nrm"),
+    )
+    a = sig.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("sig").alias("sa"), F.col("nrm").alias("na"))
+    b = sig.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("sig").alias("sb"), F.col("nrm").alias("nb"))
+    cos = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (na * nb)"
+    return (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.expr(f"round({cos}, 4)"))
+        .filter(F.col("cosine") > _SLX_THRESH)
+        .select("id_a", "id_b", "cosine")
     )
