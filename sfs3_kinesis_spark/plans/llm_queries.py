@@ -1007,26 +1007,28 @@ _MHX_THRESH_BP = 5000
 _MHX_AB = [(2654435761 + 40503 * h, 104729 + 7919 * h) for h in range(_MHX_HASHES)]
 
 
-def _mhx_min(h: int, base: str, dialect: str) -> str:
+def _mhx_min(h: int) -> str:
+    """Affine minhash fn ``h`` over the PRE-HASHED int array ``hs`` —
+    md5 runs once per shingle (the expensive part), the 16 affine
+    re-hashes are integer-only passes over ints."""
     a, b = _MHX_AB[h]
-    minfn, mapfn = ("array_min", "transform") if dialect == "spark" else ("list_min", "list_transform")
-    return (
-        f"{minfn}({mapfn}(shingles, "
-        f"s -> (({base} % {_MHX_M}) * {a} + {b}) % {_MHX_M}))"
-    )
+    return f"((x % {_MHX_M}) * {a} + {b}) % {_MHX_M}"
 
 
 def _mhx_oracle() -> str:
     base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
     rpb = _MHX_HASHES // _MHX_BANDS
+    min_cols = ", ".join(
+        f"list_min(list_transform(hs, x -> {_mhx_min(h)})) AS m{h}"
+        for h in range(_MHX_HASHES)
+    )
     band_selects = []
     for bnd in range(_MHX_BANDS):
         mins = ", ".join(
-            f"CAST({_mhx_min(h, base, 'duckdb')} AS VARCHAR)"
-            for h in range(bnd * rpb, (bnd + 1) * rpb)
+            f"CAST(m{h} AS VARCHAR)" for h in range(bnd * rpb, (bnd + 1) * rpb)
         )
         band_selects.append(
-            f"SELECT doc_id, {bnd} AS band_id, md5(concat_ws(',', {mins})) AS band_key FROM sh"
+            f"SELECT doc_id, {bnd} AS band_id, md5(concat_ws(',', {mins})) AS band_key FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
     return f"""
@@ -1040,6 +1042,12 @@ def _mhx_oracle() -> str:
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
              END AS shingles
       FROM tok),
+    hashed AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {base}) AS hs
+      FROM sh),
+    sig AS (
+      SELECT doc_id, shingles, {min_cols} FROM hashed),
     bands AS ({bands}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1084,16 +1092,25 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
 
     base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
     rpb = _MHX_HASHES // _MHX_BANDS
-    sh = shingles(
-        t(spark, sf_dir, "documents"), n=3
-    ).select("doc_id", "shingles").persist()
+    sh = shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    # ONE md5 pass per shingle; the 16 minhash fns re-hash ints only
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(
+                f"array_min(transform(transform(shingles, s -> {base}), "
+                f"x -> {_mhx_min(h)}))"
+            ).alias(f"m{h}")
+            for h in range(_MHX_HASHES)
+        ],
+    ).persist()
 
     def band_df(bnd: int):
         mins = ", ".join(
-            f"CAST({_mhx_min(h, base, 'spark')} AS STRING)"
-            for h in range(bnd * rpb, (bnd + 1) * rpb)
+            f"CAST(m{h} AS STRING)" for h in range(bnd * rpb, (bnd + 1) * rpb)
         )
-        return sh.select(
+        return sig.select(
             "doc_id",
             F.lit(bnd).alias("band_id"),
             F.expr(f"md5(concat_ws(',', {mins}))").alias("band_key"),
@@ -1111,8 +1128,8 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1205,4 +1222,83 @@ def similarity_lsh_exact(spark: SparkSession, sf_dir: str):
         .withColumn("cosine", F.expr(f"round({cos}, 4)"))
         .filter(F.col("cosine") > _SLX_THRESH)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+_SHX_BITS = 32
+_SHX_PREFIX = 16  # bucket on the high 16 bits
+_SHX_MAX_HAMMING = 3
+
+
+def _shx_sig(dialect: str) -> str:
+    """32-bit SimHash over the PRE-HASHED token ints ``hs``: bit i is
+    the sign of the +/-1 vote sum of each token's i-th hash bit —
+    pure integer arithmetic, identical on both engines."""
+    if dialect == "spark":
+        bit = (
+            "CASE WHEN aggregate(hs, 0L, (acc, x) -> acc + "
+            "(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0L "
+            "THEN 1L ELSE 0L END"
+        )
+    else:
+        bit = (
+            "CASE WHEN list_sum(list_transform(hs, x -> "
+            "CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+            "THEN 1 ELSE 0 END"
+        )
+    return " + ".join(f"(({bit.format(i=i)}) * {1 << i})" for i in range(_SHX_BITS))
+
+
+@register(
+    "dedup_simhash_exact",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(toks, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      FROM tok),
+    sig AS (
+      SELECT doc_id, {_shx_sig('duckdb')} AS sig FROM hashed)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.sig >> {_SHX_BITS - _SHX_PREFIX}) = (b.sig >> {_SHX_BITS - _SHX_PREFIX})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SHX_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "exact_arithmetic"),
+    description=(
+        "oracle-exact SimHash near-dup pairs: 32-bit signatures from "
+        "md5-hashed token votes (integer +/-1 sums, so the sign — and "
+        "the signature — is bit-identical across engines), candidates "
+        "bucketed by the high 16 signature bits, Hamming-verified via "
+        "popcount(xor); the value-verified twin of the 64-bit "
+        "xxhash64 fast path (dedup_simhash), proving the "
+        "bucket-join-then-verify plan itself"
+    ),
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), "
+            "s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    sig = d.select("doc_id", F.expr(_shx_sig("spark")).alias("sig")).persist()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    shift = _SHX_BITS - _SHX_PREFIX
+    return (
+        a.join(
+            b,
+            (F.expr(f"sa >> {shift}") == F.expr(f"sb >> {shift}"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(F.col("hamming") <= _SHX_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )
