@@ -1302,3 +1302,88 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str):
         .filter(F.col("hamming") <= _SHX_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "similarity_ivf_recall_audit",
+    None,  # self-auditing: recall of bounded probing vs brute force,
+    # both computed in the same Spark plan — rows-only
+    tags=("similarity", "ivf", "recall", "ann", "audit"),
+    description=(
+        "IVF recall self-audit (the number an ANN deployment monitors): "
+        "top-10 via IVF with n_probe=4 of 16 trained cells vs the "
+        "brute-force top-10, per query vector, joined inside ONE plan "
+        "— output (query_id, n_exact, n_ivf_hits, recall_bp).  At "
+        "100 TB the brute-force side runs on a sampled validation "
+        "slice while IVF serves traffic; the audit query's plan shape "
+        "(two candidate tiers, anti-join-free set overlap via an "
+        "equi-join on (query, cand)) is identical at any scale"
+    ),
+)
+def similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    cents = similarity.train_ivf_centroids(emb, k=16, iterations=2)
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, centroids=cents
+    ).select(F.col("query_id").alias("q"), F.col("cand_id").alias("c"))
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("q"), F.col("cand_id").alias("c")
+    )
+    hits = exact.join(approx, ["q", "c"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_ivf_hits")
+    )
+    per_q = exact.groupBy("q").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_q.join(hits, "q", "left")
+        .select(
+            F.col("q").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_ivf_hits", F.lit(0)).alias("n_ivf_hits"),
+            F.expr("coalesce(n_ivf_hits, 0) * 10000 div n_exact").alias("recall_bp"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             END AS shingles
+      FROM tok)
+    SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+           len(list_intersect(a.shingles, b.shingles)) * 10000
+             // len(a.shingles) AS containment_bp
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 10000
+            // len(a.shingles) >= 8000
+    """,
+    tags=("dedup", "containment", "exact_arithmetic"),
+    description=(
+        "asymmetric containment near-dup (partial-copy detection): "
+        "|A∩B| / |A| in floor basis points — catches documents mostly "
+        "CONTAINED in a larger one, which symmetric Jaccard dilutes "
+        "below threshold; directional pairs (contained, container).  "
+        "Exact all-pairs tier like dedup_ngram_jaccard: O(n^2) BY "
+        "DESIGN for validation slices — production blocks candidates "
+        "through the MinHash band join first"
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str):
+    docs = dedup.shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    a = docs.select(F.col("doc_id").alias("doc_contained"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_container"), F.col("shingles").alias("sh_b"))
+    cont = "size(array_intersect(sh_a, sh_b)) * 10000 div size(sh_a)"
+    return (
+        a.join(b, F.col("doc_contained") != F.col("doc_container"))
+        .withColumn("containment_bp", F.expr(cont))
+        .filter(F.col("containment_bp") >= 8000)
+        .select("doc_contained", "doc_container", "containment_bp")
+    )

@@ -577,3 +577,54 @@ def mine_association_lift(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("lift_bp"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "agg_percentile_bands_exact",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*)     OVER (PARTITION BY event_type)                AS n
+      FROM c)
+    SELECT event_type,
+           max(n)                                                    AS n,
+           max(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END)   AS p25_cents,
+           max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)   AS p50_cents,
+           max(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END)   AS p75_cents,
+           max(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END)   AS p90_cents
+    FROM r GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "window", "exact_arithmetic"),
+    description=(
+        "exact nearest-rank percentile bands (p25/p50/p75/p90) per "
+        "group without approx_percentile: ONE keyed window pass "
+        "tagging each row's rank, then conditional picks at rank "
+        "ceil(p*n/100) — all four percentiles share the single "
+        "event_type shuffle (the generalization of the exact-median "
+        "shape to a percentile vector; a sketch would trade exactness "
+        "for mergeability here)"
+    ),
+)
+def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
+    )
+    wt = W.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(wt.orderBy("cents"))).withColumn(
+        "n", F.count(F.lit(1)).over(wt)
+    )
+    picks = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
+        ).alias(f"p{p}_cents")
+        for p in (25, 50, 75, 90)
+    ]
+    return r.groupBy("event_type").agg(F.max("n").alias("n"), *picks)
