@@ -219,3 +219,19 @@ def test_bitmap_distinct_two_level_aggregate(spark):
     plan = _plan(spark, "agg_bitmap_distinct")
     assert "Expand" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_percentile_bands_single_shuffle(spark):
+    # all four percentile picks share one event_type window + one
+    # final aggregate on the same key — no per-percentile re-scan
+    plan = _plan(spark, "agg_percentile_bands_exact")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+def test_bootstrap_is_single_scan(spark):
+    # B=32 replicates come from ONE scan + generator explode — the
+    # plan must never read the fact table once per replicate
+    plan = _plan(spark, "sample_bootstrap_ci")
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert "Generate" in plan
