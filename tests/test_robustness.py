@@ -100,3 +100,29 @@ def test_operators_handle_empty_input(spark):
         asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
                   payload_cols=["payload"]).count() == 0
     )
+
+
+def test_corpus_sample_runs_under_ansi_mode(spark):
+    """The driver's externally-created session runs Spark 4's default
+    ANSI mode (our own session disables it) — arithmetic-heavy corpus
+    queries must not depend on silent-wrap/implicit-cast semantics.
+    Runs a representative slice under an ANSI child session."""
+    from sfs3_kinesis_spark.plans import REGISTRY
+
+    ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    sf = "/root/testdata/sf0.001"
+    for name in [
+        "q01_pricing_summary",
+        "agg_mad_anomalies",
+        "agg_decimal_exact_products",
+        "agg_bitmap_distinct",
+        "sample_bootstrap_ci",
+        "graph_pagerank_parts",
+        "layout_zorder_locality",
+        "events_ohlc_bars",
+        "join_asof_forward",
+        "dedup_minhash_exact",
+    ]:
+        n = REGISTRY[name].spark(ansi, sf).count()
+        assert n >= 0, name
