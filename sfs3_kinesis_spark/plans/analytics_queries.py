@@ -434,3 +434,73 @@ def report_dense_grid_zero_fill(spark: SparkSession, sf_dir: str):
         grid.join(actual, ["r_name", "o_orderpriority"], "left")
         .select("r_name", "o_orderpriority", F.coalesce("n", F.lit(0)).alias("n_orders"))
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts) // 1000000) AS signup_s
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS purchase_s
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 1000000 > s.signup_s
+      GROUP BY e.user_id),
+    waits AS (
+      SELECT p.purchase_s - s.signup_s AS wait_s
+      FROM s JOIN p ON s.user_id = p.user_id),
+    r AS (
+      SELECT wait_s,
+             row_number() OVER (ORDER BY wait_s) AS rn,
+             count(*)     OVER ()                AS n
+      FROM waits)
+    SELECT max(n)                                                  AS n_converted,
+           min(wait_s)                                             AS min_wait_s,
+           max(CASE WHEN rn = (n * 50 + 99) // 100 THEN wait_s END) AS p50_wait_s,
+           max(CASE WHEN rn = (n * 90 + 99) // 100 THEN wait_s END) AS p90_wait_s,
+           max(wait_s)                                             AS max_wait_s
+    FROM r
+    """,
+    tags=("funnel", "percentile", "events", "exact_arithmetic"),
+    description=(
+        "time-to-convert distribution: each user's first signup to "
+        "first STRICTLY-LATER purchase, summarized as exact "
+        "nearest-rank p50/p90 wait — two min-aggregates chained by an "
+        "equi-join on user_id (the funnel shape), then the percentile "
+        "window over |converted users| pre-aggregated rows, never "
+        "facts; integer epoch seconds end to end.  The latency-SLA "
+        "readout of the conversion funnel"
+    ),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("signup_s"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("es"))
+        .join(s, "user_id")
+        .filter(F.col("es") > F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("purchase_s"))
+    )
+    waits = s.join(p, "user_id").select((F.col("purchase_s") - F.col("signup_s")).alias("wait_s"))
+    w = W.orderBy("wait_s")
+    r = waits.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy())
+    )
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.min("wait_s").alias("min_wait_s"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("wait_s"))).alias("p50_wait_s"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("wait_s"))).alias("p90_wait_s"),
+        F.max("wait_s").alias("max_wait_s"),
+    )
