@@ -235,3 +235,12 @@ def test_bootstrap_is_single_scan(spark):
     plan = _plan(spark, "sample_bootstrap_ci")
     assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
     assert "Generate" in plan
+
+
+def test_salted_window_topk_two_phase(spark):
+    # two Window nodes (local (key,salt) rank, then final per-key
+    # rank over <= salt*k survivors) — the skew-spread must survive
+    # optimization, not collapse back into one hot-key window
+    plan = _plan(spark, "window_salted_topk")
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
