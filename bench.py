@@ -52,6 +52,10 @@ HEADLINE = [
     "mine_interval_coverage",
     "agg_bitmap_distinct",
     "graph_pagerank_parts",
+    # round-2 additions: skyline, attribution, prefix-filter sim join
+    "mine_pareto_frontier",
+    "attrib_u_shaped",
+    "similarity_join_prefix_filter",
 ]
 
 
