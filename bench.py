@@ -56,6 +56,10 @@ HEADLINE = [
     "mine_pareto_frontier",
     "attrib_u_shaped",
     "similarity_join_prefix_filter",
+    # round-2 wave 2: time-weighted avg, semantic dedup, bloom-pruned join
+    "events_time_weighted_avg",
+    "dedup_semantic_cells",
+    "join_bloom_prefiltered",
 ]
 
 

@@ -102,7 +102,19 @@ Funnel conversion (`funnel_conversion_stages`), weekly cohort
 retention (`cohort_weekly_retention`), exact heavy hitters
 (`heavy_hitters_tokens`), blocked fuzzy edit-distance join
 (`fuzzy_join_blocked_names`), referential-integrity audit
-(`quality_referential_audit`).
+(`quality_referential_audit`), U-shaped multi-touch attribution
+(`attrib_u_shaped`), per-group exact-integer OLS trend
+(`regress_group_trend`), Pareto/skyline frontier
+(`mine_pareto_frontier`), as-of snapshot diff
+(`events_snapshot_diff`), exact triangle count with degree-oriented
+wedge join (`graph_triangle_count`), 2-hop reachability
+(`graph_khop_reach`), session path mining
+(`events_session_paths`), period-over-period change
+(`events_day_over_day`), time-weighted LOCF average
+(`events_time_weighted_avg`), partial-aggregate rollup merge
+(`agg_partial_merge_rollup`), bloom-style runtime-filter join
+pruning (`join_bloom_prefiltered`), built-in session_window parity
+(`events_session_window_builtin`).
 
 ## §2.7 Sorts / limits / top-k
 
@@ -185,6 +197,12 @@ reconstruction) in `tests/test_sampling.py`.
 | token-shard packing | running sum inside hash buckets (no global-order reducer) | `pack_token_shards` |
 | sequence chunking | generator: 1 doc → ceil(n/32) chunk rows | `text_chunking` |
 | quality-keeper dedup | survivor = max quality per near-dup group | `dedup_keep_best_quality` |
+| systematic PPS sample | stride points in two-phase cumulative-weight space | `sample_systematic_pps` |
+| prefix-filter sim join | PPJoin rarest-token prefixes, exact Jaccard verify | `similarity_join_prefix_filter` |
+| Gopher rule battery | integer-exact quality flags (Rae et al. thresholds) | `quality_gopher_rules` |
+| bigram LM table | adjacent-pair counts + conditional prob in bp | `text_bigram_lm` |
+| semantic (SemDeDup) dedup | seed-cell partition + within-cell cosine | `dedup_semantic_cells` |
+| temperature-mixture budget | integer-sqrt weights + largest-remainder alloc | `sample_mixture_budget` |
 
 ## Query registry (generated)
 

@@ -198,17 +198,27 @@ def _quantized(embeddings: DataFrame, vec_col: str, id_col: str, scale: int) -> 
 
 
 def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Broadcast the (tiny) centroid set as literal arrays and assign
-    each vector to its nearest centroid with one codegen'd argmin
-    projection — no shuffle, no Python in the loop.  Ties break to the
-    lowest cell id (centroids are ordered by cell).  A parallel id
-    array keeps cell identity stable when clusters empty out."""
-    ids_arr = F.array(*[F.lit(int(c)) for c, _ in cents])
-    vals_arr = F.array(*[F.array(*[F.lit(int(x)) for x in vec]) for _, vec in cents])
+    """Broadcast the (tiny) centroid set and assign each vector to its
+    nearest centroid with one argmin projection — no shuffle, no
+    Python in the loop.  Ties break to the lowest cell id (centroids
+    are ordered by cell).  A parallel id array keeps cell identity
+    stable when clusters empty out.
+
+    The centroid matrix rides in as a ONE-ROW broadcast DataFrame
+    (a broadcast nested-loop join with a single row is just a
+    projection), not as inline literals: a k x dim literal array
+    inside a higher-order function made Catalyst/codegen compile time
+    O(k*dim) per query — seconds of driver time at k=32, dim=64 —
+    while the column form compiles in milliseconds and evaluates
+    identically."""
+    spark = dfv.sparkSession
+    cmat = spark.createDataFrame(
+        [([list(map(int, vec)) for _, vec in cents], [int(c) for c, _ in cents])],
+        "cvals array<array<bigint>>, cids array<int>",
+    )
     d = SQDIST_INT.format(c="c", v="vi")
     return (
-        dfv.withColumn("cvals", vals_arr)
-        .withColumn("cids", ids_arr)
+        dfv.join(F.broadcast(cmat))
         .withColumn("dists", F.expr(f"transform(cvals, c -> {d})"))
         .withColumn("dist", F.expr("array_min(dists)"))
         .withColumn("cell", F.expr("element_at(cids, cast(array_position(dists, array_min(dists)) as int))"))
@@ -340,4 +350,66 @@ def lsh_bucketed_pairs(
         .withColumn("cos", cosine("va", "vb", "na", "nb"))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    *,
+    k: int = 16,
+    threshold: float = 0.35,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public): partition the corpus into ``k`` cells
+    by nearest seed centroid, then score cosine pairs ONLY within a
+    cell, so the all-pairs comparison shrinks from O(n²) to
+    Σ|cell|² — the trick that makes embedding dedup feasible on a
+    pretraining corpus.
+
+    Seeds are the ``k`` lowest-id vectors on the exact integer grid
+    (zero Lloyd iterations), so the cell map is a pure function of
+    the data — deterministic under retries AND reproducible by the
+    SQL oracle.  Production swaps in :func:`train_ivf_centroids`
+    output; cell quality only affects how many true pairs straddle a
+    cell boundary (recall), never pair correctness.
+
+    Scale shape: assignment is a broadcast-argmin projection (no
+    shuffle); the pair join shuffles both sides once on ``cell``.
+    Returns (cell, id_a, id_b, cosine) with cosine rounded to 4dp.
+    """
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    seed = dfv.orderBy("id").limit(k).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
+    spark = embeddings.sparkSession
+    if not cents:
+        return spark.createDataFrame(
+            [], "cell int, id_a long, id_b long, cosine double"
+        )
+    assigned = _assign_cells(dfv, cents).select("id", "cell")
+    ev = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        "v",
+        "nrm",
+    ).join(assigned, "id")
+    a = ev.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = ev.select(
+        F.col("cell").alias("cell_b"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .filter(F.col("cos") > threshold)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "id_a",
+            "id_b",
+            F.round("cos", 4).alias("cosine"),
+        )
     )

@@ -573,20 +573,28 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     pref = ranked.withColumn(
         "prefix", F.expr("slice(toks_sorted, 1, n - ((9 * n + 9) DIV 10) + 1)")
     )
-    pe = pref.select("doc_id", "toks_sorted", "n", F.explode("prefix").alias("pr"))
+    pref = pref.persist()  # shared by the candidate join AND the array join-back
+    # Candidate generation shuffles ONLY (prefix, doc_id, n) — never the
+    # shingle arrays: at corpus scale the candidate join's shuffle payload
+    # is what dominates, and an array-carrying row is ~100x a key row.
+    pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
     cand = (
         pe.alias("a")
         .join(pe.alias("b"), (F.col("a.pr") == F.col("b.pr")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks_sorted").alias("ra"),
-            F.col("b.toks_sorted").alias("rb"),
             (F.col("a.n") + F.col("b.n")).alias("s"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ver = cand.withColumn("i", F.size(F.array_intersect("ra", "rb")))
+    # Arrays attach to the (rare) surviving candidates only.
+    arrs = pref.select("doc_id", "toks_sorted")
+    ver = (
+        cand.join(arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks_sorted").alias("ra")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks_sorted").alias("rb")), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("ra", "rb")))
+    )
     return ver.filter(F.expr("10 * i >= 9 * (s - i)")).select(
         "doc_a", "doc_b", F.expr("(10000 * i) DIV (s - i)").cast("long").alias("jac_bp")
     )

@@ -985,3 +985,309 @@ def events_session_conversion(spark: SparkSession, sf_dir: str):
             F.expr("sum(converted) * 10000 div count(*)").alias("conversion_bp"),
         )
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH c AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) // 1000000 AS sec,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    d AS (
+        SELECT event_type, day, cents, sec,
+               coalesce(lead(sec) OVER (PARTITION BY event_type, day
+                                        ORDER BY sec, event_id),
+                        (day + 1) * 86400) - sec AS dur_s
+        FROM c)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur_s) AS BIGINT) AS covered_s,
+           CAST(sum(cents * dur_s) // sum(dur_s) AS BIGINT) AS twa_cents
+    FROM d GROUP BY event_type, day
+    """,
+    tags=("window_agg", "hypertable", "time_weight", "exact_arithmetic"),
+    description=(
+        "time-weighted average (the hypertable time_weight('LOCF') "
+        "aggregate): each observation holds its value until the next "
+        "one in the same (type, day), the day's last until midnight — "
+        "weight = held seconds from one lead() over the (type, day) "
+        "key, so irregular sampling can't bias the mean the way a "
+        "plain avg does; all-integer cents x seconds arithmetic "
+        "(fits bigint to ~1e9 rows/group-day; production widens the "
+        "product sum to DECIMAL(38,0)), truncating div identical in "
+        "both engines.  ONE shuffle on the (type, day) key shared by "
+        "the window and the aggregate"
+    ),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    d = c.withColumn(
+        "dur_s",
+        F.coalesce(F.lead("sec").over(w), (F.col("day") + 1) * 86400) - F.col("sec"),
+    )
+    return d.groupBy("event_type", F.col("day").cast("long").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dur_s").cast("long").alias("covered_s"),
+        F.expr("CAST(sum(cents * dur_s) div sum(dur_s) AS BIGINT)").alias("twa_cents"),
+    )
+
+
+@register(
+    "events_day_over_day",
+    """
+    WITH d AS (
+        SELECT event_type,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, day),
+    l AS (
+        SELECT event_type, day, cents,
+               lag(day)   OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+               lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev_cents
+        FROM d)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(day - prev_day AS BIGINT) AS gap_days,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+           CAST((10000 * (cents - prev_cents)) // prev_cents AS BIGINT) AS change_bp
+    FROM l WHERE prev_cents IS NOT NULL
+    """,
+    tags=("window", "period_over_period", "agg", "events", "exact_arithmetic"),
+    description=(
+        "period-over-period change: daily revenue per event type "
+        "compared to the previous OBSERVED day (gap_days says how far "
+        "back that was — silently treating a gap as yesterday is the "
+        "classic dashboard bug), delta and percent change in "
+        "truncated basis points (Spark DIV and DuckDB // both "
+        "truncate toward zero, so negative deltas agree).  The lag "
+        "window runs over the pre-aggregated |types|x|days| table, "
+        "never fact rows — the fact table shuffles once for the "
+        "rollup"
+    ),
+)
+def events_day_over_day(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+    ).agg(F.expr("sum(CAST(floor(value * 100 + 0.5D) AS BIGINT))").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev_day", F.lag("day").over(w)).withColumn(
+        "prev_cents", F.lag("cents").over(w)
+    )
+    return l.filter(F.col("prev_cents").isNotNull()).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("day") - F.col("prev_day")).cast("long").alias("gap_days"),
+        (F.col("cents") - F.col("prev_cents")).cast("long").alias("delta_cents"),
+        F.expr("CAST((10000 * (cents - prev_cents)) div prev_cents AS BIGINT)").alias(
+            "change_bp"
+        ),
+    )
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    g AS (
+        SELECT user_id, event_type, us, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s),
+    p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        FROM g GROUP BY user_id, session_id)
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(CASE WHEN path LIKE '%view%click%purchase%' THEN 1 ELSE 0 END
+                AS BIGINT) AS is_conversion_path
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("mining", "session", "path_analysis", "window", "events"),
+    description=(
+        "session path mining: gap-sessionize (30 min), render each "
+        "session's event-type sequence in (ts, event_id) total order "
+        "as a path string, count sessions per distinct path and flag "
+        "view->click->purchase conversion shapes — the funnel-"
+        "discovery query run BEFORE you know which funnel to build.  "
+        "Spark renders the path with array_sort(collect_list(struct))"
+        " -> transform -> array_join (collect order is partition-"
+        "dependent; the struct sort makes it total), sharing ONE "
+        "user_id shuffle across sessionize + path build; top-20 with "
+        "a total (n, path) order"
+    ),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    s = e.withColumn("us", F.expr("unix_micros(ts)")).withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    g = s.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    p = g.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(us, event_id, "
+            "event_type))), x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .withColumn(
+            "is_conversion_path",
+            F.when(F.col("path").like("%view%click%purchase%"), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "events_session_window_builtin",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                     OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    g AS (
+        SELECT user_id, us, cents,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s)
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM g GROUP BY user_id, sid
+    """,
+    tags=("session", "window_agg", "streaming_semantics", "events"),
+    description=(
+        "built-in session_window aggregation (the native form of the "
+        "engine's streaming session windows run in batch): Spark's "
+        "session_window(ts, '30 minutes') merges events whose gap is "
+        "STRICTLY under 30 min and ends each session exactly 30 min "
+        "after its last event — semantics the oracle reproduces from "
+        "first principles with a gap >= 30min session-break window, "
+        "pinning the boundary rule (an exactly-30-min gap starts a "
+        "NEW session) that a hand-rolled sessionizer most often gets "
+        "wrong.  Plans as ONE shuffle on user_id + a local session "
+        "merge — same shape as the streaming twin's state update"
+    ),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("CAST(sum(CAST(floor(value * 100 + 0.5D) AS BIGINT)) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias("start_us"),
+            F.expr("unix_micros(session_window.end)").alias("end_us"),
+            "n_events",
+            "cents",
+        )
+    )
+
+
+@register(
+    "agg_partial_merge_rollup",
+    """
+    SELECT event_type,
+           (epoch_us(ts) // 1000000) // 86400 AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT)
+               AS mean_cents
+    FROM events GROUP BY event_type, day
+    """,
+    tags=("agg", "incremental", "partial_merge", "hypertable", "exact_arithmetic"),
+    description=(
+        "incremental rollup via partial-aggregate MERGE: the fixture "
+        "is split into a 'history' slice and a 'late-arriving' slice, "
+        "each rolled up independently, and the two partial tables are "
+        "merged by RE-AGGREGATING the mergeable state (sum of sums, "
+        "sum of counts, min of mins, max of maxes — mean derived "
+        "AFTER the merge, never averaged-of-averages: the algebra "
+        "that makes a metric mergeable).  Value-identical to the "
+        "one-shot rollup (the oracle) by associativity of the integer "
+        "state; at 100 TB this is how a materialized rollup absorbs a "
+        "new partition without re-scanning history"
+    ),
+)
+def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    split_day = 14 + 19723  # fixture midpoint (2024-01-15 as epoch day)
+
+    def rollup(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    history = rollup(e.filter(F.col("day") < split_day))
+    late = rollup(e.filter(F.col("day") >= split_day))
+    merged = (
+        history.unionAll(late)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        "cents",
+        "min_cents",
+        "max_cents",
+        F.expr("CAST(cents div n AS BIGINT)").alias("mean_cents"),
+    )

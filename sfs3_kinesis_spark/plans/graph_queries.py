@@ -137,3 +137,71 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
             )
         )
     return ranks.select(F.col("pk").alias("part_id"), F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "graph_khop_reach",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    prs AS (
+        SELECT a.p AS u, b.p AS v
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT u, v FROM prs GROUP BY u, v HAVING count(*) >= 2),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    two AS (
+        SELECT e1.u, e2.v
+        FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u <> e2.v),
+    reach AS (
+        SELECT DISTINCT u, v FROM (SELECT u, v FROM und UNION ALL SELECT u, v FROM two)),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u)
+    SELECT reach.u AS part_id,
+           CAST(max(deg.d) AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS reach2
+    FROM reach JOIN deg ON reach.u = deg.u
+    GROUP BY reach.u
+    ORDER BY reach2 DESC, part_id LIMIT 30
+    """,
+    tags=("graph", "khop", "reachability", "join"),
+    description=(
+        "2-hop reachability (the neighborhood-size signal behind "
+        "crawl frontier scoring and graph feature engineering): over "
+        "the support>=2 co-purchase graph, each node's exact count of "
+        "distinct nodes within 2 hops (self excluded) next to its "
+        "1-hop degree — frontier expansion as ONE equi-join per hop "
+        "on the frontier key, with a distinct collapsing duplicate "
+        "paths BEFORE the count (the dedup that keeps k-hop "
+        "tractable: path multiplicity grows geometrically, the "
+        "reachable SET does not); top-30 with a total (reach2, id) "
+        "order.  Deeper k iterates the same join-distinct step"
+    ),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    )
+    e = pairs.groupBy("u", "v").agg(F.count("*").alias("w")).filter("w >= 2").select("u", "v")
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    two = (
+        und.alias("e1")
+        .join(und.alias("e2"), (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") != F.col("e2.v")))
+        .select(F.col("e1.u").alias("u"), F.col("e2.v").alias("v"))
+    )
+    reach = und.unionAll(two).distinct()
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        reach.join(deg, "u")
+        .groupBy(F.col("u").alias("part_id"))
+        .agg(
+            F.max("d").cast("long").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("reach2"),
+        )
+        .orderBy(F.desc("reach2"), "part_id")
+        .limit(30)
+    )

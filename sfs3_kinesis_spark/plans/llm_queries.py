@@ -1387,3 +1387,129 @@ def dedup_containment(spark: SparkSession, sf_dir: str):
         .filter(F.col("containment_bp") >= 8000)
         .select("doc_contained", "doc_container", "containment_bp")
     )
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    b AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1)
+    SELECT c12.w1, c12.w2,
+           CAST(n12 AS BIGINT) AS n12,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST((10000 * n12) // n1 AS BIGINT) AS cond_bp
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    ORDER BY n12 DESC, c12.w1, c12.w2 LIMIT 50
+    """,
+    tags=("text", "ngram", "language_model", "corpus_stats", "exact_arithmetic"),
+    description=(
+        "bigram language-model corpus statistics: adjacent-token pair "
+        "counts and the conditional probability p(w2|w1) in truncated "
+        "basis points — the n-gram tables that power perplexity-ish "
+        "quality filters and contamination heuristics.  One generator "
+        "(zip_with over two shifted slices: no O(tokens²) lambda), "
+        "one shuffle on the bigram key; the unigram table joins back "
+        "broadcast (vocabulary-sized, not corpus-sized); top-50 with "
+        "a total (n12, w1, w2) order"
+    ),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bi = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("long").alias("n12"),
+            F.col("n1").cast("long").alias("n1"),
+            F.expr("CAST((10000 * n12) div n1 AS BIGINT)").alias("cond_bp"),
+        )
+        .orderBy(F.desc("n12"), "w1", "w2")
+        .limit(50)
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 32,
+    threshold: float = 0.35,
+    dim: int = KMEANS_DIM,
+    scale: int = KMEANS_SCALE,
+) -> str:
+    """Cell assignment unrolled in ANSI SQL (exploded-coordinate
+    form, same integer grid as the k-means oracle — the chk CTE
+    errors on a fixture dim change instead of silently NULLing), then
+    within-cell cosine pairs.  Independent formulation: the oracle
+    assigns cells via a full |v| x k distance aggregate + argmin
+    row_number, where Spark uses a broadcast array argmin
+    projection."""
+    return f"""
+    WITH chk AS (
+      SELECT CASE WHEN min(len(embedding)) = {dim}
+                   AND max(len(embedding)) = {dim} THEN 1
+             ELSE CAST(error('embeddings dim <> {dim}') AS INT) END AS ok
+      FROM embeddings),
+    v AS (
+      SELECT vec_id AS id, r.i AS idx,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
+      FROM embeddings, range(1, {dim + 1}) r(i), chk WHERE chk.ok = 1),
+    seed AS (
+      SELECT vec_id AS id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    c0 AS (SELECT seed.cell, v.idx, v.val AS cval FROM seed JOIN v ON v.id = seed.id),
+    d AS (SELECT v.id, c.cell, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+          FROM v JOIN c0 c ON v.idx = c.idx GROUP BY v.id, c.cell),
+    a AS (SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM d) s WHERE rn = 1),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)
+    SELECT CAST(aa.cell AS INT) AS cell, x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.vv, y.vv), 4) AS cosine
+    FROM a aa JOIN a ab ON aa.cell = ab.cell AND aa.id < ab.id
+    JOIN e x ON x.vec_id = aa.id JOIN e y ON y.vec_id = ab.id
+    WHERE list_cosine_similarity(x.vv, y.vv) > {threshold}
+    """
+
+
+@register(
+    "dedup_semantic_cells",
+    _semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "semantic", "ivf", "neardup"),
+    description=(
+        "SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
+        "corpus partitioned into 32 cells by nearest seed centroid on "
+        "the exact integer grid (seeds = k lowest-id vectors, zero "
+        "Lloyd iterations — deterministic AND oracle-reproducible), "
+        "cosine pairs scored ONLY within a cell, so the comparison "
+        "count drops from O(n²) to Σ|cell|² — the pruning that makes "
+        "embedding dedup feasible on a pretraining corpus.  "
+        "Assignment is a broadcast-argmin projection (no shuffle); "
+        "the pair join shuffles once on cell; production swaps seeds "
+        "for trained IVF centroids, which moves recall, never pair "
+        "correctness"
+    ),
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
+    return similarity.semantic_dedup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        k=32,
+        threshold=0.35,
+        scale=KMEANS_SCALE,
+    )

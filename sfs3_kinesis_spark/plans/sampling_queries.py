@@ -397,3 +397,87 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str):
             + F.sum(F.when(F.col("rnk") == F.expr("(n + 2) div 2"), F.col("mean_cents")).otherwise(0))
         ).alias("median_x2_cents"),
     )
+
+
+@register(
+    "sample_mixture_budget",
+    """
+    WITH lt AS (
+        SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY lang),
+    sq AS (
+        SELECT lang, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        FROM lt),
+    w AS (
+        SELECT lang, n_tokens,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                    WHEN s0 * s0 > n_tokens THEN s0 - 1
+                    ELSE s0 END AS wt
+        FROM sq),
+    tot AS (SELECT SUM(wt) AS total FROM w),
+    q AS (
+        SELECT lang, n_tokens, wt,
+               (1000000 * wt) // total AS fl,
+               (1000000 * wt) % total AS rem
+        FROM w, tot),
+    r AS (
+        SELECT lang, n_tokens, wt, fl, rem,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               SUM(fl) OVER () AS allocated
+        FROM q)
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(wt AS BIGINT) AS weight,
+           CAST(fl + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END
+                AS BIGINT) AS budget_tokens
+    FROM r ORDER BY lang
+    """,
+    tags=("sampling", "mixture", "temperature", "alloc", "exact_arithmetic", "multilingual"),
+    description=(
+        "temperature-mixture token budget (the per-language sampling "
+        "table a multilingual pretraining run is configured from): "
+        "per-language whitespace token counts, alpha=0.5 temperature "
+        "weights as EXACT integer sqrt (floor(sqrt) with a +/-1 "
+        "correction CASE, so perfect-square boundaries can't diverge "
+        "across engines), and a 1,000,000-token budget split by "
+        "largest-remainder apportionment — allocations sum to the "
+        "budget EXACTLY, every value integer end-to-end.  The fact "
+        "scan aggregates once; every window/join after runs over "
+        "|languages| rows"
+    ),
+)
+def sample_mixture_budget(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    w = lt.withColumn(
+        "s0", F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+    ).withColumn(
+        "wt",
+        F.expr(
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1 "
+            "WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END"
+        ),
+    )
+    tot = w.agg(F.sum("wt").alias("total"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "wt",
+        F.expr("(1000000 * wt) div total").alias("fl"),
+        F.expr("(1000000 * wt) % total").alias("rem"),
+    )
+    win = Window.orderBy(F.desc("rem"), "lang")
+    r = q.withColumn("rk", F.row_number().over(win)).withColumn(
+        "allocated", F.sum("fl").over(Window.partitionBy())
+    )
+    return r.select(
+        "lang",
+        "n_tokens",
+        F.col("wt").cast("long").alias("weight"),
+        F.expr(
+            "CAST(fl + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("budget_tokens"),
+    ).orderBy("lang")

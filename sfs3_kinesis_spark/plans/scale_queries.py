@@ -153,3 +153,70 @@ def window_salted_topk(spark: SparkSession, sf_dir: str):
         salt=8,
         salt_on="o_orderkey",
     )
+
+
+@register(
+    "join_bloom_prefiltered",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 4500
+    GROUP BY n_name
+    """,
+    tags=("join", "runtime_filter", "bloom", "scale", "pushdown"),
+    description=(
+        "runtime-filter (bloom-style) join pruning: the selective "
+        "build side (suppliers with s_acctbal > 4500) is hashed into "
+        "a tiny bit-position set that is pushed INTO the fact scan as "
+        "a row-local predicate — most non-qualifying lineitems die at "
+        "the scan, before the shuffle — and the exact semi/equi join "
+        "afterwards removes the hash collisions, so the result is "
+        "value-identical to the plain join (the oracle).  The "
+        "declarative twin of Spark's runtime.bloomFilter rewrite, "
+        "pinned explicitly so the pruning exists on any build; at "
+        "100 TB the shuffle this avoids dominates the query"
+    ),
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4500)
+    n = t(spark, sf_dir, "nation")
+    # build side: distinct hash-bit positions of qualifying keys (tiny:
+    # <= 4096 ints regardless of build cardinality — same contract as a
+    # bloom bitmap).  Collected once at plan build, shipped as a literal
+    # array so the probe filter is row-local inside the scan projection.
+    m = 4096
+    bits = {
+        int(r[0])
+        for r in s.select(F.pmod(F.xxhash64("s_suppkey"), F.lit(m)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    # pack into m/64 bitmap words: the probe is TWO O(1) bit ops per
+    # row (word lookup + mask test), not an O(m) array scan
+    words = [0] * (m // 64)
+    for b in bits:
+        words[b >> 6] |= 1 << (b & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bm = F.array(*[F.lit(int(w)).cast("long") for w in signed])
+    probe = (
+        f"(element_at(_bf, CAST(pmod(xxhash64(l_suppkey), {m}) DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(pmod(xxhash64(l_suppkey), {m}) % 64 AS INT))) != 0L"
+    )
+    pruned = li.withColumn("_bf", bm).filter(F.expr(probe)).drop("_bf")
+    return (
+        pruned.join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.expr(
+                "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
