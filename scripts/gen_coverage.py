@@ -67,6 +67,8 @@ registry by `scripts/gen_coverage.py`.
 | left anti (NOT EXISTS) | built-in | `join_anti_nations_without_suppliers` |
 | as-of (backward, <= and <) | `operators/temporal.py:asof_join` — union + keyed window, ONE shuffle | `join_asof_purchase_click` (vs DuckDB native ASOF JOIN) |
 | range / interval (big-big) | `operators/temporal.py:interval_join_bucketed` — bucket equi-join | `join_range_hot_hours` |
+| as-of nearest (two-sided) | union + trailing last() / leading first() over ONE user shuffle | `join_asof_nearest` |
+| interval x interval overlap | session explode to hour buckets + broadcast equi-join | `join_interval_overlap` |
 | skewed equi-join | `operators/scale.py:salted_join` | `tests/test_scale_ops.py` |
 | stream-state lookup (J1) | `streaming/correlate.py` | `test_streaming_correlate.py` |
 | scalar / correlated subqueries | Catalyst de-correlation | `subquery_above_global_avg`, `subquery_correlated_cust_max` |
@@ -114,7 +116,10 @@ wedge join (`graph_triangle_count`), 2-hop reachability
 (`events_time_weighted_avg`), partial-aggregate rollup merge
 (`agg_partial_merge_rollup`), bloom-style runtime-filter join
 pruning (`join_bloom_prefiltered`), built-in session_window parity
-(`events_session_window_builtin`).
+(`events_session_window_builtin`), exact weighted median
+(`agg_weighted_median`), decayed leaderboard
+(`events_decayed_leaderboard`), sequential co-purchase pairs
+(`mine_sequential_pairs`).
 
 ## §2.7 Sorts / limits / top-k
 
@@ -203,6 +208,7 @@ reconstruction) in `tests/test_sampling.py`.
 | bigram LM table | adjacent-pair counts + conditional prob in bp | `text_bigram_lm` |
 | semantic (SemDeDup) dedup | seed-cell partition + within-cell cosine | `dedup_semantic_cells` |
 | temperature-mixture budget | integer-sqrt weights + largest-remainder alloc | `sample_mixture_budget` |
+| k-fold CV assignment | hash mod k, pure function of key | `sample_kfold_assign` |
 
 ## Query registry (generated)
 

@@ -1291,3 +1291,69 @@ def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str):
         "max_cents",
         F.expr("CAST(cents div n AS BIGINT)").alias("mean_cents"),
     )
+
+
+@register(
+    "events_decayed_leaderboard",
+    """
+    WITH c AS (
+        SELECT user_id,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    mx AS (SELECT max(day) AS max_day FROM c),
+    s AS (
+        SELECT user_id,
+               sum(cents * (CASE WHEN max_day - day <= 29
+                            THEN CAST(1 AS BIGINT) << CAST(29 - (max_day - day) AS INT)
+                            ELSE 0 END)) AS score,
+               sum(cents) AS raw_cents,
+               count(*) AS n_events
+        FROM c, mx GROUP BY user_id)
+    SELECT user_id,
+           CAST(score AS BIGINT) AS decayed_score,
+           CAST(raw_cents AS BIGINT) AS raw_cents,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM s ORDER BY decayed_score DESC, user_id LIMIT 20
+    """,
+    tags=("agg", "decay", "leaderboard", "topk", "exact_arithmetic", "events"),
+    description=(
+        "exponentially decayed leaderboard: per-user activity score "
+        "halving with each day of age (weight = 2^(29 - age_days), "
+        "zero past the 30-day horizon) — the freshness-weighted "
+        "ranking a trending feed uses, kept EXACT by doing the decay "
+        "as integer bit shifts against the corpus max day (a 1-row "
+        "broadcast) instead of float exp(), so partial aggregation "
+        "order cannot wiggle the ranking.  One map-side-combinable "
+        "aggregate + TakeOrdered top-20 with a total (score, user) "
+        "order; the float-free trick caps the horizon at 62 "
+        "doublings, ample for any decay window worth ranking on"
+    ),
+)
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    mx = c.agg(F.max("day").alias("max_day"))
+    s = (
+        c.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "cents",
+            F.expr(
+                "CASE WHEN max_day - day <= 29 "
+                "THEN shiftleft(1L, CAST(29 - (max_day - day) AS INT)) "
+                "ELSE 0L END"
+            ).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("cents * w")).cast("long").alias("decayed_score"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return s.orderBy(F.desc("decayed_score"), "user_id").limit(20)

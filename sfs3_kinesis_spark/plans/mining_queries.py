@@ -628,3 +628,120 @@ def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
         for p in (25, 50, 75, 90)
     ]
     return r.groupBy("event_type").agg(F.max("n").alias("n"), *picks)
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    r AS (
+        SELECT flag, cents, qty,
+               sum(qty) OVER (PARTITION BY flag
+                              ORDER BY cents, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(qty) OVER (PARTITION BY flag) AS tot
+        FROM c)
+    SELECT flag,
+           CAST(max(tot) AS BIGINT) AS total_qty,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+    tags=("agg", "median", "weighted", "window", "exact_arithmetic"),
+    description=(
+        "exact weighted median (lower weighted median: the smallest "
+        "price whose cumulative quantity reaches half the total) per "
+        "return flag — the inventory-weighted center a plain median "
+        "misses when line quantities vary.  One keyed window pass "
+        "(running weight + group total share a single flag shuffle), "
+        "then a conditional min; the 2*cum >= tot comparison stays in "
+        "integers so no half-weight rounding can diverge.  Value is "
+        "permutation-stable within equal-price ties by construction "
+        "(the threshold crossing lands inside the same price block)"
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = W.partitionBy("flag").orderBy("cents", "l_orderkey", "l_linenumber").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("flag")
+    r = c.withColumn("cum", F.sum("qty").over(wc)).withColumn(
+        "tot", F.sum("qty").over(wt)
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.max("tot").cast("long").alias("total_qty"),
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents")))
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "mine_sequential_pairs",
+    """
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part, o_orderdate AS d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    sp AS (
+        SELECT DISTINCT a.cust, a.part AS part_a, b.part AS part_b
+        FROM cp a JOIN cp b
+          ON a.cust = b.cust AND a.d < b.d AND a.part <> b.part)
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_customers
+    FROM sp GROUP BY part_a, part_b
+    ORDER BY n_customers DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("mining", "sequential_pattern", "join", "topk", "cooccurrence"),
+    description=(
+        "sequential pattern pairs (A then strictly-later B): "
+        "customers who bought part A on an earlier order date and "
+        "part B on a later one, counted once per customer — the "
+        "temporal-order signal behind next-purchase recommendation, "
+        "which the unordered market-basket pair query cannot see.  "
+        "Purchases dedup to (customer, part, date) FIRST (bounding "
+        "the quadratic), then the self-join shuffles once on the "
+        "customer key with pairs generated customer-locally; "
+        "TakeOrdered top-20 with a total (count, a, b) order"
+    ),
+)
+def mine_sequential_pairs(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("d")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    )
+    cp = o.join(li, "okey").select("cust", "part", "d").distinct()
+    sp = (
+        cp.alias("a")
+        .join(
+            cp.alias("b"),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.d") < F.col("b.d"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .select("a.cust", F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .distinct()
+    )
+    return (
+        sp.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -481,3 +481,45 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str):
             "CAST(fl + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("budget_tokens"),
     ).orderBy("lang")
+
+
+@register(
+    "sample_kfold_assign",
+    f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               {hash_sql('doc_id')} % 5 AS fold
+        FROM documents)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+    tags=("sampling", "kfold", "cross_validation", "split"),
+    description=(
+        "deterministic k-fold cross-validation assignment (k=5): "
+        "fold = arithmetic key-hash mod k, a pure row-local function "
+        "of doc_id — every engine, run, retry, and cluster size "
+        "produces the identical folds, and the per-fold rollup "
+        "(count, id checksum, language coverage) is the audit that "
+        "folds are balanced and exhaustive.  Train-on-4/eval-on-1 is "
+        "then a filter, never a reshuffle; the fold column costs "
+        "nothing at scan time"
+    ),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id", "lang", F.pmod(sampling.hash_key(F.col("doc_id")), F.lit(5)).alias("fold")
+    )
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "n_docs", "doc_id_sum", "n_langs")
+        .orderBy("fold")
+    )

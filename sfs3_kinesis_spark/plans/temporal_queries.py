@@ -258,3 +258,181 @@ def join_asof_forward(spark: SparkSession, sf_dir: str):
             F.expr("p_key div 100000000 - s").alias("wait_s"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH p AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.user_id, p.p_id, p.p_us, c.c_id, c.c_us,
+               abs(c.c_us - p.p_us) AS agap,
+               CASE WHEN c.c_us <= p.p_us THEN 0 ELSE 1 END AS is_next,
+               row_number() OVER (
+                   PARTITION BY p.p_id
+                   ORDER BY abs(c.c_us - p.p_us),
+                            CASE WHEN c.c_us <= p.p_us THEN 0 ELSE 1 END,
+                            CASE WHEN c.c_us <= p.p_us THEN -c.c_id ELSE c.c_id END
+               ) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id)
+    SELECT p.user_id, p.p_id AS purchase_id,
+           CAST(p.p_us AS BIGINT) AS purchase_us,
+           cand.c_id AS click_id,
+           CAST(cand.c_us - p.p_us AS BIGINT) AS gap_us,
+           CASE WHEN cand.c_id IS NULL THEN 'none'
+                WHEN cand.is_next = 1 THEN 'next' ELSE 'prior' END AS direction
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) cand ON p.p_id = cand.p_id
+    """,
+    tags=("join", "asof", "nearest", "window", "streaming_semantics"),
+    description=(
+        "nearest as-of join (the two-sided completion of the "
+        "backward/forward family): each purchase matched to the "
+        "user's click with the SMALLEST absolute time gap, prior "
+        "winning exact-gap ties; unmatched purchases survive with "
+        "NULLs.  ONE shuffle on the user key: the merged stream "
+        "carries both a trailing last() and a leading first() window "
+        "over the same partitioning, then a row-local argmin picks "
+        "the closer side — cost independent of the gap width, where "
+        "the oracle's per-user join blows up as |purchases| x "
+        "|clicks|.  Tie policy pinned: equal-timestamp clicks are "
+        "visible to the backward side only (<= vs strict >)"
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "click"))
+    m = e.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        # clicks (side 0) order before purchases (side 1) at equal ts:
+        # the trailing frame sees same-instant clicks, the leading
+        # frame (strictly after the current ROW) does not
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(
+            F.col("event_type") == "click", F.struct("us", "event_id")
+        ).alias("c"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "side", "event_id")
+    prior = F.last("c", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = F.first("c", ignorenulls=True).over(w.rowsBetween(1, W.unboundedFollowing))
+    tagged = m.withColumn("prior", prior).withColumn("nxt", nxt)
+    p = tagged.filter(F.col("side") == 1)
+    pick = F.expr(
+        "CASE WHEN prior IS NULL AND nxt IS NULL THEN NULL "
+        "WHEN nxt IS NULL THEN named_struct('s', prior, 'd', 'prior') "
+        "WHEN prior IS NULL THEN named_struct('s', nxt, 'd', 'next') "
+        "WHEN us - prior.us <= nxt.us - us THEN named_struct('s', prior, 'd', 'prior') "
+        "ELSE named_struct('s', nxt, 'd', 'next') END"
+    )
+    return p.withColumn("m", pick).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").cast("long").alias("purchase_us"),
+        F.col("m.s.event_id").alias("click_id"),
+        (F.col("m.s.us") - F.col("us")).cast("long").alias("gap_us"),
+        F.coalesce(F.col("m.d"), F.lit("none")).alias("direction"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                     OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    g AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s),
+    sess AS (
+        SELECT user_id, sid, min(us) AS a_start,
+               max(us) + 1800000000 AS a_end
+        FROM g GROUP BY user_id, sid),
+    hrs AS (
+        SELECT (epoch_us(ts) // 3600000000) AS hour, count(*) AS n
+        FROM events GROUP BY hour),
+    hot AS (
+        SELECT hour, hour * 3600000000 AS b_start,
+               (hour + 1) * 3600000000 AS b_end
+        FROM hrs ORDER BY n DESC, hour LIMIT 20)
+    SELECT hot.hour AS hour,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
+               AS overlap_us
+    FROM sess JOIN hot ON a_start < b_end AND b_start < a_end
+    GROUP BY hot.hour ORDER BY hot.hour
+    """,
+    tags=("join", "interval", "overlap", "range", "session", "events"),
+    description=(
+        "interval-overlap join (interval x interval, completing the "
+        "point-in-interval range family): user sessions [first event, "
+        "last event + 30 min) overlapped against the 20 busiest "
+        "hours, reporting per-hour overlapping-session count and "
+        "exact overlapped microseconds.  Spark explodes each session "
+        "to the hour buckets it covers (sequence + explode — bounded "
+        "by session length) and equi-joins on the bucket against the "
+        "broadcast hot set, so the theta join Catalyst would plan as "
+        "a nested loop never exists; the oracle runs the textbook "
+        "a.start < b.end AND b.start < a.end join, which must agree"
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    s = e.select("user_id", F.expr("unix_micros(ts)").alias("us"), "event_id").withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) >= 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    g = s.withColumn("sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min("us").alias("a_start"), (F.max("us") + 1_800_000_000).alias("a_end")
+    )
+    hrs = e.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hot = (
+        hrs.orderBy(F.desc("n"), "hour")
+        .limit(20)
+        .select(
+            "hour",
+            (F.col("hour") * 3_600_000_000).alias("b_start"),
+            ((F.col("hour") + 1) * 3_600_000_000).alias("b_end"),
+        )
+    )
+    # explode sessions to covered hour buckets; equi-join kills the theta
+    covered = sess.select(
+        "a_start",
+        "a_end",
+        F.explode(
+            F.expr("sequence(a_start div 3600000000, (a_end - 1) div 3600000000)")
+        ).alias("hour"),
+    )
+    return (
+        covered.join(F.broadcast(hot), "hour")
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).cast("long").alias("overlap_us"),
+        )
+        .orderBy("hour")
+    )
