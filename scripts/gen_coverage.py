@@ -119,7 +119,10 @@ pruning (`join_bloom_prefiltered`), built-in session_window parity
 (`events_session_window_builtin`), exact weighted median
 (`agg_weighted_median`), decayed leaderboard
 (`events_decayed_leaderboard`), sequential co-purchase pairs
-(`mine_sequential_pairs`).
+(`mine_sequential_pairs`), mergeable-histogram percentiles
+(`agg_mergeable_histogram_p99`), out-of-orderness watermark audit
+(`events_disorder_audit`), linear-interpolation gap fill
+(`events_gapfill_interpolate`).
 
 ## §2.7 Sorts / limits / top-k
 
@@ -209,6 +212,7 @@ reconstruction) in `tests/test_sampling.py`.
 | semantic (SemDeDup) dedup | seed-cell partition + within-cell cosine | `dedup_semantic_cells` |
 | temperature-mixture budget | integer-sqrt weights + largest-remainder alloc | `sample_mixture_budget` |
 | k-fold CV assignment | hash mod k, pure function of key | `sample_kfold_assign` |
+| n-gram novelty score | first-seen gram fraction per doc | `text_ngram_novelty` |
 
 ## Query registry (generated)
 

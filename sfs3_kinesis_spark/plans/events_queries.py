@@ -1357,3 +1357,195 @@ def events_decayed_leaderboard(spark: SparkSession, sf_dir: str):
         )
     )
     return s.orderBy(F.desc("decayed_score"), "user_id").limit(20)
+
+
+@register(
+    "events_gapfill_interpolate",
+    """
+    WITH c AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+               count(*) AS n
+        FROM events GROUP BY event_type, h),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM c GROUP BY event_type),
+    grid AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS h FROM b),
+    j AS (
+        SELECT g.event_type, g.h, c.cents, coalesce(c.n, 0) AS n,
+               last_value(CASE WHEN c.cents IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER wp AS ph,
+               last_value(c.cents IGNORE NULLS) OVER wp AS pc,
+               first_value(CASE WHEN c.cents IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER wf AS nh,
+               first_value(c.cents IGNORE NULLS) OVER wf AS nc
+        FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+        WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(h AS BIGINT) AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                     WHEN ph IS NULL OR nh IS NULL THEN NULL
+                     ELSE pc + ((nc - pc) * (h - ph)) // (nh - ph) END
+                AS BIGINT) AS cents_interp
+    FROM j
+    """,
+    tags=("window_agg", "hypertable", "gapfill", "interpolate", "exact_arithmetic"),
+    description=(
+        "time-series gap fill by LINEAR INTERPOLATION (the "
+        "hypertable interpolate() twin of the LOCF query): dense "
+        "per-type hourly grid, missing hours valued on the straight "
+        "line between the nearest observed neighbors via integer "
+        "cents arithmetic (truncating division agrees across engines "
+        "for either delta sign), edges left NULL where no neighbor "
+        "exists.  Both neighbor scans are IGNORE NULLS window passes "
+        "over the SAME event_type shuffle — no self-join against the "
+        "observation table, cost linear in grid size"
+    ),
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(
+        F.expr("sum(CAST(floor(value * 100 + 0.5D) AS BIGINT))").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grid = (
+        c.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi)")).alias("h"))
+    )
+    j = grid.join(c, ["event_type", "h"], "left")
+    wp = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("event_type").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    j = (
+        j.withColumn("ph", F.last(obs_h, ignorenulls=True).over(wp))
+        .withColumn("pc", F.last("cents", ignorenulls=True).over(wp))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(wf))
+        .withColumn("nc", F.first("cents", ignorenulls=True).over(wf))
+    )
+    return j.select(
+        "event_type",
+        F.col("h").cast("long").alias("hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN cents IS NOT NULL THEN cents "
+            "WHEN ph IS NULL OR nh IS NULL THEN NULL "
+            "ELSE pc + ((nc - pc) * (h - ph)) DIV (nh - ph) END AS BIGINT)"
+        ).alias("cents_interp"),
+    )
+
+
+@register(
+    "agg_mergeable_histogram_p99",
+    """
+    WITH c AS (
+        SELECT event_type,
+               length(bin(CAST(floor(value * 100 + 0.5) AS BIGINT))) AS bucket
+        FROM events),
+    m AS (SELECT event_type, bucket, count(*) AS n FROM c GROUP BY event_type, bucket),
+    r AS (
+        SELECT event_type, bucket, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM m)
+    SELECT event_type,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN bucket END) AS BIGINT)
+               AS p50_bucket,
+           CAST(min(CASE WHEN 100 * cum >= 99 * tot THEN bucket END) AS BIGINT)
+               AS p99_bucket
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "histogram", "percentile", "mergeable", "incremental", "exact_arithmetic"),
+    description=(
+        "mergeable-histogram percentiles (the production answer to "
+        "exact percentiles at 100 TB): per-day power-of-two bucket "
+        "counts (bucket = bit length of cents — integer/string ops, "
+        "identical across engines) MERGED across days by summing "
+        "counts, then p50/p99 read off the merged cumulative "
+        "distribution at bucket resolution.  The Spark side really "
+        "builds daily partials and re-aggregates them — proving the "
+        "merge algebra — while the oracle computes the single-pass "
+        "equivalent; the nearest-rank scan runs over <=64 buckets "
+        "per group, never rows.  This is what incremental rollups "
+        "store where exact-median windows would re-sort history"
+    ),
+)
+def agg_mergeable_histogram_p99(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        F.expr("length(bin(CAST(floor(value * 100 + 0.5D) AS BIGINT)))").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = daily.groupBy("event_type", "bucket").agg(F.sum("n").alias("n"))
+    wc = W.partitionBy("event_type").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy("event_type")
+    r = merged.withColumn("cum", F.sum("n").over(wc)).withColumn("tot", F.sum("n").over(wt))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("tot").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.min(F.when(100 * F.col("cum") >= 50 * F.col("tot"), F.col("bucket")))
+            .cast("long")
+            .alias("p50_bucket"),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("tot"), F.col("bucket")))
+            .cast("long")
+            .alias("p99_bucket"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_disorder_audit",
+    """
+    WITH a AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS runmax
+        FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN us < runmax THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(max(CASE WHEN us < runmax THEN runmax - us END) AS BIGINT)
+               AS max_lateness_us,
+           CAST(sum(CASE WHEN us < runmax THEN runmax - us ELSE 0 END) AS BIGINT)
+               AS sum_lateness_us
+    FROM a GROUP BY user_id
+    """,
+    tags=("streaming_semantics", "watermark", "audit", "window", "events"),
+    description=(
+        "out-of-orderness audit (how late a watermark must reach): "
+        "per user, events whose event time precedes the running "
+        "maximum of earlier-ARRIVED events (arrival order = event_id, "
+        "the ingest sequence in the fixtures), with max and total "
+        "lateness — the empirical distribution that justifies a "
+        "withWatermark() bound instead of guessing it.  One keyed "
+        "window over a strictly-preceding frame + one aggregate on "
+        "the same user shuffle; at 100 TB this runs per ingest "
+        "partition before any windowed aggregation is deployed"
+    ),
+)
+def events_disorder_audit(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    a = e.select("user_id", "event_id", F.expr("unix_micros(ts)").alias("us")).withColumn(
+        "runmax", F.max("us").over(w)
+    )
+    late = F.col("us") < F.col("runmax")
+    return a.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(F.when(late, F.col("runmax") - F.col("us"))).cast("long").alias("max_lateness_us"),
+        F.sum(F.when(late, F.col("runmax") - F.col("us")).otherwise(0)).cast("long").alias("sum_lateness_us"),
+    )

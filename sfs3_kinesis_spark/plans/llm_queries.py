@@ -1513,3 +1513,60 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
         threshold=0.35,
         scale=KMEANS_SCALE,
     )
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM d),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    fs AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((10000 * sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novel_bp
+    FROM ex JOIN fs ON ex.g = fs.g
+    GROUP BY ex.doc_id
+    """,
+    tags=("text", "ngram", "novelty", "quality", "dedup_adjacent", "exact_arithmetic"),
+    description=(
+        "corpus n-gram novelty score: per document, the fraction of "
+        "its distinct 3-gram shingles whose FIRST corpus occurrence "
+        "(min doc_id) is this document — the cheap boilerplate/"
+        "duplication signal curation pipelines rank on (a doc that "
+        "introduces nothing is a near-dup or template), and the "
+        "additive complement of the decontamination overlap check.  "
+        "One explode + one first-seen aggregate on the gram key + the "
+        "join-back sharing that same gram shuffle; basis points in "
+        "integer floor-div so both engines agree bit-for-bit"
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 3)
+    sh = shingles(d, n=3, out_col="s")
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    fs = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ex.join(fs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("novel_bp"),
+        )
+    )
