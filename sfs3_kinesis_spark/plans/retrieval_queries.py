@@ -1,0 +1,599 @@
+"""Retrieval, privacy-audit, spatial, and data-ops query plans
+(round-2 green-field families).
+
+The reference stores opaque JSON documents and has no retrieval,
+governance, or spatial surface at all (SURVEY.md §2.12) — these are
+the operator families a training-data platform layers on top of the
+same corpus tables:
+
+* retrieval_*  — the search side of a data engine: inverted index
+  construction, conjunctive keyword search, positional phrase match,
+  and hybrid keyword+vector rank fusion (RRF).  All ranks and scores
+  are exact integers so rankings are bit-identical across engines.
+* privacy_*    — re-identification audits (k-anonymity, l-diversity)
+  run before a corpus ships: pure group-size arithmetic.
+* spatial_*    — the grid-bucketed neighbor join (cell size = radius
+  so the 3x3 neighborhood is a coverage proof), the scalable shape
+  for radius joins; the oracle brute-forces O(n^2) to prove the
+  pruning lost nothing.
+* quality_*    — corpus-ops telemetry: split-half schema/stat drift
+  and per-key freshness SLA audits, in exact epoch integers.
+
+Every op follows the corpus conventions of ``plans/core.py``:
+aliased columns, BIGINT casts, integer (basis-point) ratios,
+truncating division (`DIV` = DuckDB `//`), deterministic tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+# Conjunctive-query / phrase / fusion constants shared by the Spark
+# callables and their oracles (single source of truth — they must
+# never drift independently).
+KW_TERMS = ("spark", "hash", "merge")
+PHRASE = ("value", "table")
+RRF_K = 60
+RRF_SCALE = 1_000_000
+PROBE_SCALE = 10_000
+
+
+@register(
+    "retrieval_inverted_index",
+    """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tc AS (
+        SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY term, doc_id)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(max(tf) AS BIGINT) AS max_tf,
+           (list(doc_id ORDER BY doc_id))[1:8] AS postings_head
+    FROM tc GROUP BY term
+    """,
+    tags=("retrieval", "inverted_index", "text"),
+    description=(
+        "inverted-index construction: explode terms, one shuffle on "
+        "the term key producing per-term document frequency, total/max "
+        "term frequency, and the head of the sorted posting list — the "
+        "index build every search system runs over a corpus; postings "
+        "stay sorted arrays so downstream intersection is a merge, and "
+        "at 100 TB the term key is the only data-sized shuffle "
+        "(df/tf partials map-side combine)"
+    ),
+)
+def retrieval_inverted_index(spark: SparkSession, sf_dir: str):
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tc = tk.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings_head"),
+    )
+
+
+@register(
+    "retrieval_keyword_and",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    m AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE term = '{KW_TERMS[0]}') AS tf_a,
+               count(*) FILTER (WHERE term = '{KW_TERMS[1]}') AS tf_b,
+               count(*) FILTER (WHERE term = '{KW_TERMS[2]}') AS tf_c
+        FROM tk WHERE term IN ('{KW_TERMS[0]}', '{KW_TERMS[1]}', '{KW_TERMS[2]}')
+        GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(tf_a AS BIGINT) AS tf_a,
+           CAST(tf_b AS BIGINT) AS tf_b,
+           CAST(tf_c AS BIGINT) AS tf_c,
+           CAST(tf_a + tf_b + tf_c AS BIGINT) AS score
+    FROM m WHERE tf_a > 0 AND tf_b > 0 AND tf_c > 0
+    """,
+    tags=("retrieval", "keyword", "conjunctive", "text"),
+    description=(
+        "conjunctive (AND) keyword search: filter the token stream to "
+        "the query terms BEFORE the shuffle (the posting-intersection "
+        "pushdown — only matching-term rows move), one groupBy doc "
+        "with conditional counts, keep docs containing all terms, "
+        "score = exact tf sum.  The selective-term filter is the "
+        "reason this scales: shuffle volume is the posting size, not "
+        "the corpus size"
+    ),
+)
+def retrieval_keyword_and(spark: SparkSession, sf_dir: str):
+    a, b, c = KW_TERMS
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    m = (
+        tk.filter(F.col("term").isin(*KW_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("term") == a, 1)).cast("long").alias("tf_a"),
+            F.count(F.when(F.col("term") == b, 1)).cast("long").alias("tf_b"),
+            F.count(F.when(F.col("term") == c, 1)).cast("long").alias("tf_c"),
+        )
+    )
+    return m.filter((F.col("tf_a") > 0) & (F.col("tf_b") > 0) & (F.col("tf_c") > 0)).select(
+        "doc_id",
+        "tf_a",
+        "tf_b",
+        "tf_c",
+        (F.col("tf_a") + F.col("tf_b") + F.col("tf_c")).cast("long").alias("score"),
+    )
+
+
+@register(
+    "retrieval_phrase_match",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2)
+    SELECT doc_id,
+           CAST(len([i FOR i IN range(1, len(tk))
+                     IF tk[i] = '{PHRASE[0]}' AND tk[i + 1] = '{PHRASE[1]}'])
+                AS BIGINT) AS n_occurrences
+    FROM d
+    WHERE len([i FOR i IN range(1, len(tk))
+               IF tk[i] = '{PHRASE[0]}' AND tk[i + 1] = '{PHRASE[1]}']) > 0
+    """,
+    tags=("retrieval", "phrase", "positional", "text"),
+    description=(
+        "positional phrase match ('%s %s' as ADJACENT tokens): the "
+        "positional-index query, evaluated as a row-local lambda scan "
+        "over the token array — zero shuffles, embarrassingly "
+        "parallel, and the occurrence count is exact (a term-AND "
+        "match is necessary but not sufficient; adjacency is what a "
+        "positional index buys)" % PHRASE
+    ),
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str):
+    p1, p2 = PHRASE
+    d = t(spark, sf_dir, "documents").withColumn("tk", F.split("text", " ")).filter(
+        F.size("tk") >= 2
+    )
+    n_occ = F.expr(
+        f"size(filter(sequence(1, size(tk) - 1), "
+        f"i -> element_at(tk, i) = '{p1}' AND element_at(tk, i + 1) = '{p2}'))"
+    ).cast("long")
+    return (
+        d.select("doc_id", n_occ.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def _rrf_oracle() -> str:
+    a = KW_TERMS[0]
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    kw AS (
+        SELECT doc_id, count(*) AS tf FROM tk WHERE term = '{a}' GROUP BY doc_id),
+    kr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS r_kw FROM kw),
+    q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {PROBE_SCALE} + 0.5) AS BIGINT)) AS vi
+        FROM embeddings),
+    probe AS (SELECT vi AS pv FROM q ORDER BY vec_id LIMIT 1),
+    dots AS (
+        SELECT q.vec_id,
+               list_sum(list_transform(range(1, len(q.vi) + 1),
+                   i -> q.vi[i] * probe.pv[i])) AS dot
+        FROM q, probe),
+    vr AS (
+        SELECT vec_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS r_vec FROM dots)
+    SELECT kr.doc_id,
+           CAST(kr.r_kw AS BIGINT) AS r_kw,
+           CAST(vr.r_vec AS BIGINT) AS r_vec,
+           CAST({RRF_SCALE} // ({RRF_K} + kr.r_kw)
+                + {RRF_SCALE} // ({RRF_K} + vr.r_vec) AS BIGINT) AS rrf_score
+    FROM kr JOIN vr ON vr.vec_id = kr.doc_id
+    """
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    _rrf_oracle(),
+    tags=("retrieval", "hybrid", "rrf", "similarity", "rank_fusion"),
+    description=(
+        "hybrid search via reciprocal-rank fusion (Cormack et al. "
+        "2009, public): keyword ranking (tf of the query term, doc_id "
+        "tiebreak) fused with vector ranking (EXACT integer dot "
+        "product against the quantized probe vector — floats never "
+        "rank, so cross-engine ties are impossible); "
+        "score = SCALE//(k+r_kw) + SCALE//(k+r_vec) in truncating "
+        "integer division.  Both rank branches are top-k retrieval "
+        "lists (bounded), so the global sort is the k-sized final "
+        "ranking step every search engine runs, not a corpus sort"
+    ),
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str):
+    a = KW_TERMS[0]
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    kw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") == a)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kr = kw.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("tf"), "doc_id")).cast("long").alias("r_kw"),
+    )
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(floor(x * {PROBE_SCALE}D + 0.5D) as bigint))"
+        ).alias("vi"),
+    )
+    probe = q.orderBy("vec_id").limit(1).select(F.col("vi").alias("pv"))
+    dots = q.join(F.broadcast(probe)).select(
+        "vec_id",
+        F.expr("aggregate(zip_with(vi, pv, (x, y) -> x * y), 0L, (s, x) -> s + x)").alias("dot"),
+    )
+    vr = dots.select(
+        "vec_id",
+        F.row_number().over(W.orderBy(F.desc("dot"), "vec_id")).cast("long").alias("r_vec"),
+    )
+    return kr.join(vr, kr["doc_id"] == vr["vec_id"]).select(
+        "doc_id",
+        "r_kw",
+        "r_vec",
+        F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + r_kw) + {RRF_SCALE} DIV ({RRF_K} + r_vec) AS BIGINT)").alias(
+            "rrf_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy audits
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n
+        FROM qi GROUP BY 1, 2, 3)
+    SELECT CAST(n AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM g GROUP BY n
+    """,
+    tags=("privacy", "k_anonymity", "governance", "agg"),
+    description=(
+        "k-anonymity audit (Sweeney 2002, public): quasi-identifier = "
+        "(nation, segment, $1000 account-balance band); the histogram "
+        "of equivalence-class sizes with the k<5 re-identification "
+        "flag — the release gate a governed corpus runs before "
+        "shipping.  Two cheap aggregations on the QI key (map-side "
+        "combined); floor(x/1000.0) is correctly-rounded IEEE so the "
+        "banding is cross-engine identical"
+    ),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str):
+    qi = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+    ).select(
+        F.col("n").cast("long").alias("group_size"),
+        "n_groups",
+        "n_rows",
+        F.when(F.col("n") < 5, 1).otherwise(0).cast("long").alias("at_risk"),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    WITH g AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l
+        FROM customer GROUP BY 1, 2)
+    SELECT CAST(l AS BIGINT) AS l_diversity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(max(n) AS BIGINT) AS max_group_size
+    FROM g GROUP BY l
+    """,
+    tags=("privacy", "l_diversity", "governance", "agg"),
+    description=(
+        "l-diversity audit (Machanavajjhala et al. 2007, public): for "
+        "each quasi-identifier class (nation x $2000 balance band), "
+        "the number of DISTINCT sensitive values (market segment); "
+        "the l-histogram shows how many classes a homogeneity attack "
+        "cracks (l=1 = everyone in the class shares the sensitive "
+        "value).  count(DISTINCT) over the QI key, then a tiny "
+        "second-level histogram — one data shuffle"
+    ),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str):
+    g = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    return g.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.max("n").cast("long").alias("max_group_size"),
+    ).select(
+        F.col("l").cast("long").alias("l_diversity"),
+        "n_groups",
+        "n_rows",
+        "min_group_size",
+        "max_group_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial grid-neighbor join
+
+SPATIAL_RADIUS = 25  # Chebyshev radius == grid cell size (coverage proof)
+
+
+def _spatial_oracle() -> str:
+    r = SPATIAL_RADIUS
+    return f"""
+    WITH p AS (
+        SELECT event_id AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
+               user_id % 1000 AS y
+        FROM events WHERE event_type = 'click')
+    SELECT b.x // {r} AS cell_x, b.y // {r} AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(greatest(abs(a.x - b.x), abs(a.y - b.y))) AS BIGINT) AS sum_cheb
+    FROM p a JOIN p b
+      ON a.id < b.id
+     AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "spatial_grid_neighbors",
+    _spatial_oracle(),
+    tags=("spatial", "grid_join", "radius_join", "neardup"),
+    description=(
+        "radius (Chebyshev <= %d) self-join via grid bucketing: cell "
+        "size = radius, so a point's neighbors provably live in its "
+        "3x3 cell neighborhood — the left side explodes to 9 cells, "
+        "equi-joins the right side's HOME cell (each candidate pair "
+        "arises exactly once; no dedup pass), and the distance filter "
+        "runs row-local.  This turns O(n^2) into sum-of-cell-products "
+        "— the canonical scalable spatial join — while the oracle "
+        "brute-forces the full cross product to prove the grid lost "
+        "nothing; pairs are attributed to the higher-id point's cell"
+        % SPATIAL_RADIUS
+    ),
+)
+def spatial_grid_neighbors(spark: SparkSession, sf_dir: str):
+    r = SPATIAL_RADIUS
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("id"),
+            (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
+            (F.col("user_id") % 1000).alias("y"),
+        )
+        .withColumn("cx", F.expr(f"x DIV {r}"))
+        .withColumn("cy", F.expr(f"y DIV {r}"))
+    )
+    left = p.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.expr("array(-1, 0, 1)")
+        ).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        "cy",
+    ).select(
+        "a_id", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy")
+    )
+    right = p.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    cheb = F.greatest(
+        F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by"))
+    )
+    pairs = (
+        left.join(right, ["jx", "jy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (cheb <= r))
+        .select("jx", "jy", cheb.alias("d"))
+    )
+    return pairs.groupBy("jx", "jy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("d").cast("long").alias("sum_cheb"),
+    ).select(
+        F.col("jx").alias("cell_x"), F.col("jy").alias("cell_y"), "n_pairs", "sum_cheb"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-ops telemetry
+
+
+@register(
+    "quality_schema_drift",
+    """
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) AS us, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+    h AS (SELECT event_type, CASE WHEN us < mid THEN 0 ELSE 1 END AS half,
+                 user_id, cents
+          FROM b, m),
+    s AS (SELECT event_type, half, count(*) AS n,
+                 count(DISTINCT user_id) AS u, sum(cents) AS c
+          FROM h GROUP BY 1, 2)
+    SELECT e.event_type,
+           CAST(e.n AS BIGINT) AS early_rows,
+           CAST(l.n AS BIGINT) AS late_rows,
+           CAST((10000 * (l.n - e.n)) // e.n AS BIGINT) AS rows_drift_bp,
+           CAST(e.u AS BIGINT) AS early_users,
+           CAST(l.u AS BIGINT) AS late_users,
+           CAST((10000 * (l.c * e.n - e.c * l.n)) // (e.c * l.n) AS BIGINT)
+               AS mean_drift_bp
+    FROM (SELECT * FROM s WHERE half = 0) e
+    JOIN (SELECT * FROM s WHERE half = 1) l USING (event_type)
+    """,
+    tags=("quality", "drift", "data_ops", "agg", "exact_arithmetic"),
+    description=(
+        "split-half distribution drift audit: the time range is cut "
+        "at the exact integer epoch-microsecond midpoint, per-type "
+        "row/user/mean statistics are compared early-vs-late, and "
+        "drifts are exact basis points — the scheduled data-ops check "
+        "that catches silent upstream changes.  The mean ratio is "
+        "cross-multiplied ((l.c*e.n - e.c*l.n)/(e.c*l.n)) so the "
+        "comparison stays in integer arithmetic (no doubles); bigint "
+        "bound ~2^63 holds to ~1e9 cent-rows per type per half "
+        "(DECIMAL(38,0) is the production swap past that)"
+    ),
+)
+def quality_schema_drift(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    m = b.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid"))
+    h = b.join(F.broadcast(m)).select(
+        "event_type",
+        F.when(F.col("us") < F.col("mid"), 0).otherwise(1).alias("half"),
+        "user_id",
+        "cents",
+    )
+    s = h.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("u"),
+        F.sum("cents").alias("c"),
+    )
+    early = s.filter(F.col("half") == 0).select(
+        "event_type",
+        F.col("n").alias("en"),
+        F.col("u").alias("eu"),
+        F.col("c").alias("ec"),
+    )
+    late = s.filter(F.col("half") == 1).select(
+        "event_type",
+        F.col("n").alias("ln_"),
+        F.col("u").alias("lu"),
+        F.col("c").alias("lc"),
+    )
+    return early.join(late, "event_type").select(
+        "event_type",
+        F.col("en").cast("long").alias("early_rows"),
+        F.col("ln_").cast("long").alias("late_rows"),
+        F.expr("CAST((10000 * (ln_ - en)) DIV en AS BIGINT)").alias("rows_drift_bp"),
+        F.col("eu").cast("long").alias("early_users"),
+        F.col("lu").cast("long").alias("late_users"),
+        F.expr("CAST((10000 * (lc * en - ec * ln_)) DIV (ec * ln_) AS BIGINT)").alias(
+            "mean_drift_bp"
+        ),
+    )
+
+
+@register(
+    "quality_freshness_sla",
+    """
+    WITH b AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    g AS (SELECT max(us) AS gmax FROM b),
+    s AS (SELECT event_type, max(us) AS tmax,
+                 count(*) FILTER (WHERE us >= (SELECT gmax FROM g) - 86400000000)
+                     AS n_last_day
+          FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(tmax AS BIGINT) AS max_epoch_us,
+           CAST(((SELECT gmax FROM g) - tmax) // 60000000 AS BIGINT) AS lag_min,
+           CAST(n_last_day AS BIGINT) AS n_last_day,
+           CAST(CASE WHEN (SELECT gmax FROM g) - tmax <= 3600000000
+                THEN 1 ELSE 0 END AS BIGINT) AS sla_ok
+    FROM s
+    """,
+    tags=("quality", "freshness", "data_ops", "agg", "exact_arithmetic"),
+    description=(
+        "per-key freshness SLA audit: each event type's high-water "
+        "mark vs the global high-water mark, lag in whole minutes "
+        "(truncating integer division over epoch micros), trailing-"
+        "24h arrival count, and the <=1h SLA flag — the staleness "
+        "monitor every ingest pipeline runs.  Two aggregates over one "
+        "scan; the global max is a 1-row broadcast"
+    ),
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str):
+    b = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    g = b.agg(F.max("us").alias("gmax"))
+    j = b.join(F.broadcast(g))
+    s = j.groupBy("event_type").agg(
+        F.max("us").alias("tmax"),
+        F.count(F.when(F.col("us") >= F.col("gmax") - F.lit(86400000000), 1)).alias(
+            "n_last_day"
+        ),
+        F.max("gmax").alias("gmax"),
+    )
+    return s.select(
+        "event_type",
+        F.col("tmax").cast("long").alias("max_epoch_us"),
+        F.expr("CAST((gmax - tmax) DIV 60000000 AS BIGINT)").alias("lag_min"),
+        F.col("n_last_day").cast("long").alias("n_last_day"),
+        F.when(F.col("gmax") - F.col("tmax") <= 3600000000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sla_ok"),
+    )

@@ -126,3 +126,41 @@ def test_corpus_sample_runs_under_ansi_mode(spark):
     ]:
         n = REGISTRY[name].spark(ansi, sf).count()
         assert n >= 0, name
+
+
+def test_nanos_parquet_fixture_loads_as_timestamp(spark, tmp_path):
+    """Round-1 driver fixtures shipped events.ts as parquet
+    TIMESTAMP(NANOS), which vanilla Spark refuses outright
+    (PARQUET_TYPE_ILLEGAL).  load_table must keep reading whichever
+    unit the driver regenerates: NANOS (via nanosAsLong + integer-div
+    conversion), MICROS-NTZ, and plain LTZ must all come back as the
+    same session-TZ timestamp values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sfs3_kinesis_spark.sources.batch import load_table
+
+    ts = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+    ]
+    for unit in ("ns", "us"):
+        d = tmp_path / f"fix_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp(unit)),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.5, 2.5]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"), use_deprecated_int96_timestamps=False)
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = sorted(r["ts"] for r in df.select("ts").collect())
+        assert got == ts, f"unit={unit}: {got}"
