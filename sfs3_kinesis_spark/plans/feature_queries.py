@@ -1,0 +1,369 @@
+"""Feature-engineering query plans (round-2 green-field family).
+
+The ML-side of a training-data platform: turning curated corpus
+tables into model-ready features.  The reference has no feature
+surface at all (its per-record "features" are literal struct merges,
+aprocess.js:68-179 — SURVEY.md §2.3); these are the operators a
+feature store / pretraining featurizer runs at corpus scale:
+
+* hashing-trick bag-of-words (fixed-width vectors, no vocab build)
+* leave-one-out target encoding (the no-leakage categorical encoder)
+* robust scaling parameters (exact quantiles + IQR outlier fence)
+* one-hot vocabulary induction (frequency-ranked contiguous indices)
+* OOV-rate audit against a top-k vocabulary
+* incremental inverted-index maintenance (base + delta batch)
+
+All arithmetic is exact-integer (md5 integer grid for hashes, cents
+for money, basis points for ratios, truncating division) so every
+result value-matches the DuckDB oracle bit-for-bit — the corpus
+conventions of ``plans/core.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+#: hashing-trick width and the OOV vocabulary size — shared by the
+#: Spark callables and the oracles (single source of truth).
+FH_BUCKETS = 16
+VOCAB_TOPK = 32
+
+#: cross-engine md5→BIGINT idiom (same basis as dedup_minhash_exact):
+#: 15 hex chars = 60 bits, safely inside BIGINT on both engines.
+_MD5_SPARK = "CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+_MD5_DUCK = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _fh_oracle() -> str:
+    buckets = ", ".join(
+        f"count(*) FILTER (WHERE b = {i})" for i in range(FH_BUCKETS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    hb AS (
+        SELECT doc_id, {_MD5_DUCK.format(s="term")} % {FH_BUCKETS} AS b FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           [{buckets}] AS fv
+    FROM hb GROUP BY doc_id
+    """
+
+
+@register(
+    "feature_hashing_trick",
+    _fh_oracle(),
+    tags=("feature", "hashing_trick", "text", "vectorize"),
+    description=(
+        "hashing-trick bag-of-words (Weinberger et al. 2009, public): "
+        "each token md5-hashes straight into one of %d buckets, so the "
+        "fixed-width count vector needs NO vocabulary build, no "
+        "dictionary broadcast, and no second pass — the featurizer "
+        "that works on an unbounded vocabulary at 100 TB.  One "
+        "explode + one groupBy(doc) with conditional counts (map-side "
+        "combined); the md5 integer grid makes the bucket assignment "
+        "bit-identical across engines" % FH_BUCKETS
+    ),
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str):
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    hb = tok.select(
+        "doc_id",
+        (F.expr(_MD5_SPARK.format(s="term")) % FH_BUCKETS).alias("b"),
+    )
+    return hb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.array(
+            *[F.count(F.when(F.col("b") == i, 1)) for i in range(FH_BUCKETS)]
+        ).alias("fv"),
+    )
+
+
+@register(
+    "feature_target_encoding_loo",
+    """
+    WITH c AS (
+        SELECT o_orderkey, o_orderpriority AS category,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    g AS (SELECT category, sum(cents) AS s, count(*) AS n FROM c GROUP BY category)
+    SELECT o_orderkey, category,
+           CAST(CASE WHEN n > 1
+                     THEN (10000 * (s - cents)) // (n - 1)
+                     ELSE NULL END AS BIGINT) AS loo_enc_scaled
+    FROM c JOIN g USING (category)
+    """,
+    tags=("feature", "target_encoding", "leakage_safe", "agg"),
+    description=(
+        "leave-one-out target encoding: each row's category is encoded "
+        "as the mean target (order total, cents x1e4) of all OTHER rows "
+        "in the category — the encoder that cannot leak a row's own "
+        "label into its feature.  Computed from one tiny per-category "
+        "(sum, count) aggregate broadcast back onto the fact "
+        "((s - x)/(n - 1), exact truncating integer arithmetic), so "
+        "the LOO 'exclusion' costs one subtraction, not a per-row "
+        "anti-join; singleton categories encode NULL on both engines"
+    ),
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("category"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    g = c.groupBy("category").agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    return c.join(F.broadcast(g), "category").select(
+        "o_orderkey",
+        "category",
+        F.expr(
+            "CAST(CASE WHEN n > 1 THEN (10000 * (s - cents)) DIV (n - 1) "
+            "ELSE NULL END AS BIGINT)"
+        ).alias("loo_enc_scaled"),
+    )
+
+
+@register(
+    "feature_robust_scale_params",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c),
+    q AS (
+        SELECT event_type,
+               max(n) AS n,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               sum(CASE WHEN rn = greatest(1, (25 * n + 99) // 100)
+                        THEN cents END) AS q1,
+               sum(CASE WHEN rn = greatest(1, (75 * n + 99) // 100)
+                        THEN cents END) AS q3
+        FROM r GROUP BY event_type),
+    f AS (
+        SELECT *, q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi
+        FROM q)
+    SELECT f.event_type,
+           CAST(f.n AS BIGINT) AS n_rows,
+           CAST(f.min_cents AS BIGINT) AS min_cents,
+           CAST(f.max_cents AS BIGINT) AS max_cents,
+           CAST(f.q1 AS BIGINT) AS q1_cents,
+           CAST(f.q3 AS BIGINT) AS q3_cents,
+           CAST(count(*) FILTER (WHERE c.cents < f.lo OR c.cents > f.hi)
+                AS BIGINT) AS n_outliers
+    FROM f JOIN c ON c.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    tags=("feature", "scaling", "quantile", "outlier", "exact_arithmetic"),
+    description=(
+        "robust-scaler fit: per event type the exact integer quartiles "
+        "(ceiling-rank picks over ONE keyed window — the value at a "
+        "rank is deterministic under ties because the sorted multiset "
+        "is), the IQR outlier fence (q1/q3 -/+ 1.5*IQR in truncating "
+        "integer arithmetic), and the count of rows the fence would "
+        "clip — the parameter table a production normalizer broadcasts "
+        "to every executor.  One keyed window pass + one tiny "
+        "broadcast-back count"
+    ),
+)
+def feature_robust_scale_params(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    wn = W.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum(
+            F.when(F.col("rn") == F.expr("greatest(1, (25 * n + 99) DIV 100)"), F.col("cents"))
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("rn") == F.expr("greatest(1, (75 * n + 99) DIV 100)"), F.col("cents"))
+        ).alias("q3"),
+    )
+    f = q.withColumn("lo", F.expr("q1 - (3 * (q3 - q1)) DIV 2")).withColumn(
+        "hi", F.expr("q3 + (3 * (q3 - q1)) DIV 2")
+    )
+    return (
+        c.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+            F.max("q1").cast("long").alias("q1_cents"),
+            F.max("q3").cast("long").alias("q3_cents"),
+            F.count(
+                F.when((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "feature_onehot_vocab",
+    """
+    WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS total FROM g)
+    SELECT source,
+           CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT)
+               AS onehot_idx,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((10000 * n) // total AS BIGINT) AS share_bp
+    FROM g, tot
+    """,
+    tags=("feature", "onehot", "vocab", "agg"),
+    description=(
+        "one-hot vocabulary induction: categories ranked by frequency "
+        "(name tiebreak) into contiguous indices 0..|V|-1 plus their "
+        "corpus share in basis points — the mapping table an encoder "
+        "broadcasts.  The global rank runs over the CATEGORY table "
+        "(|V| rows, already aggregated), never the corpus, so the "
+        "single-partition window is a constant-size step at any scale"
+    ),
+)
+def feature_onehot_vocab(spark: SparkSession, sf_dir: str):
+    g = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    return g.join(F.broadcast(tot)).select(
+        "source",
+        (F.row_number().over(W.orderBy(F.desc("n"), "source")) - 1)
+        .cast("long")
+        .alias("onehot_idx"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST((10000 * n) DIV total AS BIGINT)").alias("share_bp"),
+    )
+
+
+@register(
+    "vocab_oov_audit",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    vocab AS (
+        SELECT term FROM freq ORDER BY n DESC, term LIMIT {VOCAB_TOPK}),
+    m AS (
+        SELECT tok.doc_id,
+               count(*) AS n_toks,
+               count(*) FILTER (WHERE vocab.term IS NULL) AS n_oov
+        FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+        GROUP BY tok.doc_id)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST((10000 * n_oov) // n_toks AS BIGINT) AS oov_bp
+    FROM m
+    """,
+    tags=("feature", "vocab", "oov", "text", "tokenizer"),
+    description=(
+        "out-of-vocabulary audit against the top-%d corpus vocabulary "
+        "(frequency-ranked, term tiebreak): per-document OOV token "
+        "count and rate in basis points — the tokenizer-coverage "
+        "check run before committing to a vocab size.  The vocab is a "
+        "top-k over the (small) term-frequency table, broadcast back "
+        "as a left join onto the token stream; token explode is the "
+        "only data-sized shuffle" % VOCAB_TOPK
+    ),
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str):
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = freq.orderBy(F.desc("n"), "term").limit(VOCAB_TOPK).select(
+        "term", F.lit(1).alias("in_vocab")
+    )
+    m = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("CAST((10000 * n_oov) DIV n_toks AS BIGINT)").alias("oov_bp"),
+    )
+
+
+@register(
+    "index_delta_update",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    base AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok WHERE doc_id % 10 <> 0 GROUP BY term),
+    delta AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok WHERE doc_id % 10 = 0 GROUP BY term)
+    SELECT coalesce(base.term, delta.term) AS term,
+           CAST(coalesce(base.df, 0) AS BIGINT) AS df_base,
+           CAST(coalesce(delta.df, 0) AS BIGINT) AS df_delta,
+           CAST(coalesce(base.df, 0) + coalesce(delta.df, 0) AS BIGINT) AS df_total,
+           CASE WHEN base.term IS NULL THEN 'new'
+                WHEN delta.term IS NULL THEN 'unchanged'
+                ELSE 'grown' END AS status
+    FROM base FULL OUTER JOIN delta ON base.term = delta.term
+    """,
+    tags=("retrieval", "index_maintenance", "incremental", "text"),
+    description=(
+        "incremental inverted-index maintenance: a delta batch (every "
+        "10th doc) is indexed alone and merged into the base index "
+        "with a full-outer join on the term key, classifying each "
+        "term as new / grown / unchanged — the MERGE an incremental "
+        "indexer runs per ingest batch instead of rebuilding the "
+        "corpus index.  Both sub-indexes and the merge share one term "
+        "partitioning, so Catalyst plans a single shuffle"
+    ),
+)
+def index_delta_update(spark: SparkSession, sf_dir: str):
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    base = (
+        tok.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_b"))
+    )
+    delta = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_d"))
+    )
+    j = base.join(delta, "term", "full_outer")
+    return j.select(
+        "term",
+        F.coalesce("df_b", F.lit(0)).cast("long").alias("df_base"),
+        F.coalesce("df_d", F.lit(0)).cast("long").alias("df_delta"),
+        (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0)))
+        .cast("long")
+        .alias("df_total"),
+        F.when(F.col("df_b").isNull(), "new")
+        .when(F.col("df_d").isNull(), "unchanged")
+        .otherwise("grown")
+        .alias("status"),
+    )
