@@ -214,6 +214,31 @@ reconstruction) in `tests/test_sampling.py`.
 | k-fold CV assignment | hash mod k, pure function of key | `sample_kfold_assign` |
 | n-gram novelty score | first-seen gram fraction per doc | `text_ngram_novelty` |
 
+## Retrieval / privacy / spatial / feature engineering (round-2 green-field)
+
+The search, governance, and feature-store surfaces layered on the
+same corpus tables (`plans/retrieval_queries.py`,
+`plans/feature_queries.py`); every entry oracle-exact (integer
+ranks, md5 hash grid, cents, basis points).
+
+| op | engine | corpus |
+|---|---|---|
+| inverted index build | explode → term-key shuffle, sorted postings | `retrieval_inverted_index` |
+| conjunctive keyword search | term filter BEFORE shuffle (posting-size shuffle) | `retrieval_keyword_and` |
+| positional phrase match | row-local adjacency lambda, zero shuffles | `retrieval_phrase_match` |
+| hybrid rank fusion (RRF) | integer tf-rank + quantized-dot rank, SCALE//(k+r) | `retrieval_rrf_hybrid` |
+| incremental index MERGE | base+delta full-outer on one term shuffle | `index_delta_update` |
+| k-anonymity audit | QI-class size histogram, k<5 flag | `privacy_k_anonymity` |
+| l-diversity audit | distinct-sensitive-per-class histogram | `privacy_l_diversity` |
+| radius self-join (spatial) | cell-size=radius grid, 3x3 neighborhood, pair-unique by construction | `spatial_grid_neighbors` |
+| split-half drift audit | epoch-midpoint halves, cross-multiplied integer ratios | `quality_schema_drift` |
+| freshness SLA audit | per-key high-water vs global, integer lag minutes | `quality_freshness_sla` |
+| hashing-trick vectorizer | md5→bucket conditional counts, no vocab build | `feature_hashing_trick` |
+| LOO target encoding | (s−x)/(n−1) broadcast trick, leakage-safe | `feature_target_encoding_loo` |
+| robust scaler fit | exact ceiling-rank quartiles + IQR fence | `feature_robust_scale_params` |
+| one-hot vocab induction | frequency-ranked contiguous indices | `feature_onehot_vocab` |
+| OOV-rate audit | top-k vocab broadcast left join | `vocab_oov_audit` |
+
 ## Query registry (generated)
 
 """

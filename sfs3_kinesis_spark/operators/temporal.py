@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str = "ts",
     payload_cols: list[str] | None = None,
     strict: bool = False,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the payload of
     the latest right row with ``right.ts <= left.ts`` (same key).
@@ -48,6 +49,13 @@ def asof_join(
     the classic union+window formulation.  Rows tie-break so that a
     right row at exactly left.ts is visible to the left row (``<=``
     semantics; ``strict=True`` gives ``<``).
+
+    ``tolerance_s`` bounds match staleness (pandas
+    ``merge_asof(tolerance=...)`` parity): a matched right row older
+    than ``tolerance_s`` seconds is treated as no match (payload
+    NULLs).  The bound is applied AFTER the window pass on the
+    carried match timestamp — a row-local integer-microsecond
+    comparison, so the plan shape (one keyed shuffle) is unchanged.
 
     Returns all left columns plus the right payload columns
     (NULL when no prior right row exists).
@@ -60,10 +68,14 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_left"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols) + ">"
-        ).alias("_right"),
     )
+    right_types = dict(right.dtypes)
+    _right_type = (
+        "struct<"
+        + ",".join(f"{c}:{right_types[c]}" for c in payload_cols)
+        + f",_rts:{right_types[right_ts]}>"
+    )
+    l_tag = l_tag.withColumn("_right", F.lit(None).cast(_right_type))
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -71,7 +83,9 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
         ).alias("_left"),
-        F.struct(*payload_cols).alias("_right"),
+        F.struct(
+            *[F.col(c) for c in payload_cols], F.col(right_ts).alias("_rts")
+        ).alias("_right"),
     )
     # right rows order before left rows at equal ts (<= semantics);
     # strict mode flips the tie-break so the left row precedes it
@@ -86,9 +100,16 @@ def asof_join(
         .withColumn("_asof", F.last("_right", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance_s is None:
+        payload = [F.col(f"_asof.{c}").alias(c) for c in payload_cols]
+    else:
+        fresh = (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_asof._rts"))
+        ) <= F.lit(int(tolerance_s) * 1_000_000)
+        payload = [F.when(fresh, F.col(f"_asof.{c}")).alias(c) for c in payload_cols]
     out = matched.select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+        *payload,
     )
     return out
 

@@ -367,3 +367,110 @@ def index_delta_update(spark: SparkSession, sf_dir: str):
         .otherwise("grown")
         .alias("status"),
     )
+
+
+@register(
+    "text_bpe_merge_induction",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    pr AS (
+        SELECT n, unnest([w[i:i+1] FOR i IN range(1, len(w))]) AS pair
+        FROM wc WHERE len(w) >= 2)
+    SELECT pair,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_word_types
+    FROM pr GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+    tags=("text", "bpe", "tokenizer", "vocab"),
+    description=(
+        "BPE merge induction, first step (Sennrich et al. 2016, "
+        "public): corpus-weighted adjacent character-pair counts — the "
+        "statistic whose argmax becomes the first merge rule of a BPE "
+        "tokenizer.  The key scale move: aggregate the corpus to "
+        "(word, count) FIRST (vocabulary-sized, not corpus-sized), "
+        "then explode pairs over word TYPES weighted by token count — "
+        "at 100 TB the pair explosion runs over the tiny type table; "
+        "top-20 with full (count DESC, pair) tiebreak"
+    ),
+)
+def text_bpe_merge_induction(spark: SparkSession, sf_dir: str):
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    return (
+        pr.groupBy("pair")
+        .agg(
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "profile_completeness",
+    """
+    WITH s AS (
+        SELECT count(*) AS n_rows,
+               count(event_id) AS nn_event_id, count(DISTINCT event_id) AS nd_event_id,
+               count(ts) AS nn_ts, count(DISTINCT ts) AS nd_ts,
+               count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
+               count(event_type) AS nn_event_type,
+               count(DISTINCT event_type) AS nd_event_type,
+               count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+               count(props) AS nn_props, count(DISTINCT props) AS nd_props
+        FROM events)
+    SELECT 'event_id' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows - nn_event_id AS BIGINT) AS n_nulls,
+           CAST(nd_event_id AS BIGINT) AS n_distinct FROM s
+    UNION ALL SELECT 'ts', n_rows, n_rows - nn_ts, nd_ts FROM s
+    UNION ALL SELECT 'user_id', n_rows, n_rows - nn_user_id, nd_user_id FROM s
+    UNION ALL SELECT 'event_type', n_rows, n_rows - nn_event_type, nd_event_type FROM s
+    UNION ALL SELECT 'value', n_rows, n_rows - nn_value, nd_value FROM s
+    UNION ALL SELECT 'props', n_rows, n_rows - nn_props, nd_props FROM s
+    """,
+    tags=("quality", "profiling", "data_ops", "agg"),
+    description=(
+        "table profiling (completeness + cardinality): per column the "
+        "exact null count and distinct count in ONE scan — the "
+        "profile a catalog publishes per ingest batch.  All six "
+        "distinct aggregates share a single Expand-based aggregate "
+        "pass (Catalyst's multi-distinct rewrite), then the one-row "
+        "stat vector unpivots to the per-column report; no per-column "
+        "rescans"
+    ),
+)
+def profile_completeness(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    s = e.agg(*aggs)
+    stack = ", ".join(f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols)
+    return s.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

@@ -517,24 +517,20 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str):
         "user_id",
         "cents",
     )
-    s = h.groupBy("event_type", "half").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("u"),
-        F.sum("cents").alias("c"),
+    # ONE pass: pivoting the halves with conditional aggregates (a
+    # half=0/half=1 self-join would recompute the scan + midpoint +
+    # distinct-agg subtree twice — the plan audit flagged exactly
+    # that); the HAVING keeps inner-join semantics for a type with an
+    # empty half (and keeps the DIV denominators nonzero).
+    s = h.groupBy("event_type").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("en"),
+        F.countDistinct(F.when(F.col("half") == 0, F.col("user_id"))).alias("eu"),
+        F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("cents"))), F.lit(0)).alias("ec"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("ln_"),
+        F.countDistinct(F.when(F.col("half") == 1, F.col("user_id"))).alias("lu"),
+        F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("cents"))), F.lit(0)).alias("lc"),
     )
-    early = s.filter(F.col("half") == 0).select(
-        "event_type",
-        F.col("n").alias("en"),
-        F.col("u").alias("eu"),
-        F.col("c").alias("ec"),
-    )
-    late = s.filter(F.col("half") == 1).select(
-        "event_type",
-        F.col("n").alias("ln_"),
-        F.col("u").alias("lu"),
-        F.col("c").alias("lc"),
-    )
-    return early.join(late, "event_type").select(
+    return s.filter((F.col("en") > 0) & (F.col("ln_") > 0)).select(
         "event_type",
         F.col("en").cast("long").alias("early_rows"),
         F.col("ln_").cast("long").alias("late_rows"),

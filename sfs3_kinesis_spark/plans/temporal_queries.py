@@ -55,6 +55,50 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "join_asof_tolerance",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, round(max(value), 4) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END AS click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.click_value END
+               AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof", "tolerance"),
+    description=(
+        "bounded-staleness as-of join (pandas merge_asof(tolerance) "
+        "parity): each purchase gets the user's latest prior click "
+        "ONLY if it is at most 30 minutes old — the guard that stops "
+        "a point-in-time feature join from silently attaching stale "
+        "state.  The bound is a row-local integer-microsecond check "
+        "on the carried match timestamp AFTER the one keyed "
+        "union+window shuffle (plan shape unchanged); DuckDB native "
+        "ASOF JOIN + CASE is the independent oracle"
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("click_value"))
+        .select("user_id", "ts", F.col("ts").alias("click_ts"), "click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_ts", "click_value"],
+        tolerance_s=1800,
+    ).select("event_id", "user_id", "click_ts", "click_value")
+
+
+@register(
     "join_range_hot_hours",
     """
     WITH hourly AS (
