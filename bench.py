@@ -60,6 +60,13 @@ HEADLINE = [
     "events_time_weighted_avg",
     "dedup_semantic_cells",
     "join_bloom_prefiltered",
+    # round-2 wave 3: retrieval, feature engineering, spatial,
+    # governance — one headline entry per new family
+    "retrieval_inverted_index",
+    "retrieval_rrf_hybrid",
+    "feature_hashing_trick",
+    "spatial_grid_neighbors",
+    "quality_schema_drift",
 ]
 
 

@@ -238,6 +238,11 @@ ranks, md5 hash grid, cents, basis points).
 | robust scaler fit | exact ceiling-rank quartiles + IQR fence | `feature_robust_scale_params` |
 | one-hot vocab induction | frequency-ranked contiguous indices | `feature_onehot_vocab` |
 | OOV-rate audit | top-k vocab broadcast left join | `vocab_oov_audit` |
+| BPE merge induction | pair explode over word TYPES, corpus-weighted | `text_bpe_merge_induction` |
+| table profiling | one Expand multi-distinct pass, unpivoted | `profile_completeness` |
+| bounded-staleness as-of join | carried match-ts check after the one keyed shuffle | `join_asof_tolerance` |
+| change-point detection | day-rollup first, prefix-sum split scan | `mine_change_point` |
+| day-of-week seasonality | epoch-day mod 7 grid, cross-multiplied deviation | `mine_seasonal_dow_profile` |
 
 ## Query registry (generated)
 

@@ -745,3 +745,135 @@ def mine_sequential_pairs(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_customers"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "mine_change_point",
+    """
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT di, count(*) AS n, sum(cents) AS s FROM d GROUP BY di),
+    p AS (
+        SELECT di, n, s,
+               sum(n) OVER (ORDER BY di) AS cn,
+               sum(s) OVER (ORDER BY di) AS cs,
+               sum(n) OVER () AS tn,
+               sum(s) OVER () AS ts_
+        FROM g),
+    sc AS (
+        SELECT di, cn, cs, tn, ts_,
+               abs((10000 * ((ts_ - cs) * cn - cs * (tn - cn)))
+                   // (cn * (tn - cn))) AS score
+        FROM p WHERE cn > 0 AND tn - cn > 0)
+    SELECT CAST(di AS BIGINT) AS split_day,
+           CAST(score AS BIGINT) AS shift_x10000,
+           CAST(cn AS BIGINT) AS n_before,
+           CAST(tn - cn AS BIGINT) AS n_after,
+           CAST((10000 * cs) // cn AS BIGINT) AS mean_before_x10000,
+           CAST((10000 * (ts_ - cs)) // (tn - cn) AS BIGINT) AS mean_after_x10000
+    FROM sc ORDER BY score DESC, di LIMIT 1
+    """,
+    tags=("mining", "change_point", "timeseries", "exact_arithmetic"),
+    description=(
+        "offline change-point detection (binary-segmentation step 1): "
+        "the day boundary maximizing |mean_after - mean_before| of "
+        "purchase values.  The corpus aggregates to the DAY table "
+        "first (map-side combined; the only data-sized operation), "
+        "then prefix sums + the split scan run over |days| rows — the "
+        "two-level rollup that makes scanning every split point free "
+        "at any corpus size.  The mean gap is cross-multiplied into "
+        "one truncating integer score (x1e4) so the argmax is "
+        "bit-stable across engines (day tiebreak); bigint bound holds "
+        "to ~1e14 cents total (DECIMAL(38,0) is the swap past that)"
+    ),
+)
+def mine_change_point(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = e.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    g = d.groupBy("di").agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    # |days| rows from here down: the global windows run on the tiny
+    # day table, never the fact table
+    wo = W.orderBy("di").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.partitionBy()
+    p = (
+        g.withColumn("cn", F.sum("n").over(wo))
+        .withColumn("cs", F.sum("s").over(wo))
+        .withColumn("tn", F.sum("n").over(wa))
+        .withColumn("ts_", F.sum("s").over(wa))
+    )
+    sc = p.filter((F.col("cn") > 0) & (F.col("tn") - F.col("cn") > 0)).withColumn(
+        "score",
+        F.abs(
+            F.expr("(10000 * ((ts_ - cs) * cn - cs * (tn - cn))) DIV (cn * (tn - cn))")
+        ),
+    )
+    return sc.orderBy(F.desc("score"), "di").limit(1).select(
+        F.col("di").cast("long").alias("split_day"),
+        F.col("score").cast("long").alias("shift_x10000"),
+        F.col("cn").cast("long").alias("n_before"),
+        (F.col("tn") - F.col("cn")).cast("long").alias("n_after"),
+        F.expr("CAST((10000 * cs) DIV cn AS BIGINT)").alias("mean_before_x10000"),
+        F.expr("CAST((10000 * (ts_ - cs)) DIV (tn - cn) AS BIGINT)").alias(
+            "mean_after_x10000"
+        ),
+    )
+
+
+@register(
+    "mine_seasonal_dow_profile",
+    """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    g AS (SELECT event_type, dow, count(*) AS n, sum(cents) AS s
+          FROM d GROUP BY 1, 2),
+    tt AS (SELECT event_type, sum(n) AS tn, sum(s) AS ts_ FROM g GROUP BY 1)
+    SELECT g.event_type,
+           CAST(g.dow AS BIGINT) AS dow,
+           CAST(g.n AS BIGINT) AS n_events,
+           CAST((100 * g.s) // g.n AS BIGINT) AS mean_x100,
+           CAST((10000 * (g.s * tt.tn - tt.ts_ * g.n)) // (tt.ts_ * g.n) AS BIGINT)
+               AS seasonal_dev_bp
+    FROM g JOIN tt USING (event_type)
+    """,
+    tags=("mining", "seasonality", "timeseries", "agg", "exact_arithmetic"),
+    description=(
+        "day-of-week seasonality profile: per (type, weekday) the "
+        "exact mean (x100) and its deviation from the type's overall "
+        "mean in basis points — the weekly-pattern fingerprint an "
+        "anomaly detector baselines against.  Weekday = epoch-day "
+        "mod 7 (engine-neutral integer; dayofweek() numbering "
+        "differs between engines), deviation cross-multiplied "
+        "(s*tn - ts*n)/(ts*n) so no doubles enter; one map-side-"
+        "combined aggregate plus a |types|-row broadcast join-back"
+    ),
+)
+def mine_seasonal_dow_profile(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).alias("dow"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    g = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tt = g.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts_")
+    )
+    return g.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("CAST((100 * s) DIV n AS BIGINT)").alias("mean_x100"),
+        F.expr(
+            "CAST((10000 * (s * tn - ts_ * n)) DIV (ts_ * n) AS BIGINT)"
+        ).alias("seasonal_dev_bp"),
+    )
