@@ -593,3 +593,132 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("sla_ok"),
     )
+
+
+@register(
+    "quality_label_balance",
+    """
+    WITH g AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    tt AS (SELECT sum(n) AS total, count(*) AS k FROM g)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST((10000 * n) // total AS BIGINT) AS share_bp,
+           CAST(((k * n - total) * (k * n - total)) // total AS BIGINT)
+               AS imbalance_x_k2
+    FROM g, tt
+    """,
+    tags=("quality", "labels", "balance", "governance", "agg"),
+    description=(
+        "label-balance audit over the embedding corpus: per-class "
+        "count, share in basis points, and the per-class chi-square "
+        "numerator against the uniform expectation ((k*n - N)^2 / N, "
+        "kept k^2-scaled so it stays integer-exact) — the class-skew "
+        "check run before training on labeled data.  One tiny "
+        "aggregate + a 1-row broadcast"
+    ),
+)
+def quality_label_balance(spark: SparkSession, sf_dir: str):
+    g = t(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tt = g.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return g.join(F.broadcast(tt)).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr("CAST((10000 * n) DIV total AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST(((k * n - total) * (k * n - total)) DIV total AS BIGINT)"
+        ).alias("imbalance_x_k2"),
+    )
+
+
+def _knn_oracle() -> str:
+    r = SPATIAL_RADIUS
+    return f"""
+    WITH p AS (
+        SELECT event_id AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
+               user_id % 1000 AS y
+        FROM events WHERE event_type = 'view'),
+    d AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               greatest(abs(a.x - b.x), abs(a.y - b.y)) AS d
+        FROM p a JOIN p b
+          ON a.id <> b.id
+         AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}),
+    rk AS (
+        SELECT a_id, b_id, d,
+               row_number() OVER (PARTITION BY a_id ORDER BY d, b_id) AS rk
+        FROM d)
+    SELECT a_id, CAST(rk AS BIGINT) AS rk, b_id, CAST(d AS BIGINT) AS d
+    FROM rk WHERE rk <= 3
+    """
+
+
+@register(
+    "spatial_knn_bounded",
+    _knn_oracle(),
+    tags=("spatial", "knn", "grid_join", "similarity"),
+    description=(
+        "bounded k-nearest-neighbors (k=3 within Chebyshev radius "
+        "%d): the same cell-size=radius grid coverage proof as "
+        "spatial_grid_neighbors, but DIRECTED — every point scans its "
+        "3x3 neighborhood for candidates (each candidate arises "
+        "exactly once, no dedup) and keeps its 3 closest by "
+        "(distance, id) over a per-point window.  The radius bound is "
+        "what makes grid kNN exact (an unbounded kNN needs expanding "
+        "rings); the oracle brute-forces all n^2 distances"
+        % SPATIAL_RADIUS
+    ),
+)
+def spatial_knn_bounded(spark: SparkSession, sf_dir: str):
+    r = SPATIAL_RADIUS
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("id"),
+            (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
+            (F.col("user_id") % 1000).alias("y"),
+        )
+        .withColumn("cx", F.expr(f"x DIV {r}"))
+        .withColumn("cy", F.expr(f"y DIV {r}"))
+    )
+    left = (
+        p.select(
+            F.col("id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            "cx",
+            "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select("a_id", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy"))
+    )
+    right = p.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    cheb = F.greatest(F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by")))
+    cand = (
+        left.join(right, ["jx", "jy"])
+        .filter((F.col("a_id") != F.col("b_id")) & (cheb <= r))
+        .select("a_id", "b_id", cheb.alias("d"))
+    )
+    w = W.partitionBy("a_id").orderBy("d", "b_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("a_id", "rk", "b_id", F.col("d").cast("long").alias("d"))
+    )

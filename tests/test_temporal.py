@@ -96,3 +96,26 @@ def test_multimodal_features_shape(spark, sf_dir):
     for r in rows:
         assert len(r["features"]) == FEATURE_DIM
         assert abs(sum(r["features"]) - 1.0) < 1e-9  # normalized histogram
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """tolerance_s keeps a match exactly AT the bound and rejects one
+    just past it (payload NULLs, left rows preserved)."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "a"), (2, "2024-01-01 09:00:00", "b")],
+        "id long, ts string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(
+        left, right, key="id", payload_cols=["payload"], tolerance_s=1800
+    ).orderBy("id").collect()
+    assert out[0]["payload"] == "a"      # exactly 30 min old: kept
+    assert out[1]["payload"] is None     # 3 h old: rejected
+    assert len(out) == 2                 # left rows always survive
