@@ -877,3 +877,95 @@ def mine_seasonal_dow_profile(spark: SparkSession, sf_dir: str):
             "CAST((10000 * (s * tn - ts_ * n)) DIV (ts_ * n) AS BIGINT)"
         ).alias("seasonal_dev_bp"),
     )
+
+
+@register(
+    "mine_gini_diversity",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    u AS (
+        SELECT user_id, sum(n) AS tot, sum(n * n) AS sq, count(*) AS n_types
+        FROM c GROUP BY user_id)
+    SELECT user_id,
+           CAST(tot AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((10000 * (tot * tot - sq)) // (tot * tot) AS BIGINT) AS gini_bp
+    FROM u
+    """,
+    tags=("mining", "diversity", "gini", "agg", "exact_arithmetic"),
+    description=(
+        "behavioral diversity via Gini impurity (the exact-integer "
+        "stand-in for Shannon entropy, whose log() is not cross-"
+        "engine bit-stable): per user, 1 - sum(p_i^2) over event-type "
+        "shares, cross-multiplied to (tot^2 - sum(n_i^2)) / tot^2 in "
+        "basis points — 0 = single-behavior user, ->10000 = uniform "
+        "spread.  Two nested map-side-combined aggregates on one "
+        "scan; no doubles anywhere"
+    ),
+)
+def mine_gini_diversity(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return u.select(
+        "user_id",
+        F.col("tot").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr("CAST((10000 * (tot * tot - sq)) DIV (tot * tot) AS BIGINT)").alias(
+            "gini_bp"
+        ),
+    )
+
+
+@register(
+    "mine_burstiness",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type, max(n) AS peak, sum(n) AS tot, count(*) AS n_hours
+        FROM h GROUP BY event_type)
+    SELECT event_type,
+           CAST(peak AS BIGINT) AS peak_hour_events,
+           CAST(tot AS BIGINT) AS total_events,
+           CAST(n_hours AS BIGINT) AS n_active_hours,
+           CAST((10000 * peak * n_hours) // tot AS BIGINT) AS burstiness_bp
+    FROM s
+    """,
+    tags=("mining", "burstiness", "timeseries", "agg", "exact_arithmetic"),
+    description=(
+        "traffic burstiness: per event type the peak-hour load as a "
+        "multiple of the mean hourly load (basis points; 10000 = "
+        "perfectly flat) — the capacity-planning and anomaly signal "
+        "behind autoscaling thresholds.  peak/mean is cross-"
+        "multiplied (peak * n_hours / total) so it stays integer-"
+        "exact; two nested map-side-combined aggregates, hour grid "
+        "built by date_trunc on the scan"
+    ),
+)
+def mine_burstiness(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = h.groupBy("event_type").agg(
+        F.max("n").alias("peak"),
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    return s.select(
+        "event_type",
+        F.col("peak").cast("long").alias("peak_hour_events"),
+        F.col("tot").cast("long").alias("total_events"),
+        F.col("n_hours").cast("long").alias("n_active_hours"),
+        F.expr("CAST((10000 * peak * n_hours) DIV tot AS BIGINT)").alias(
+            "burstiness_bp"
+        ),
+    )

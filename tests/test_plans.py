@@ -244,3 +244,50 @@ def test_salted_window_topk_two_phase(spark):
     plan = _plan(spark, "window_salted_topk")
     assert plan.count("Window") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_is_equi_join_not_cartesian(spark):
+    # the radius self-join must run as a hash equi-join on the cell
+    # key (grid pruning), never a cartesian / nested-loop quadratic
+    plan = _plan(spark, "spatial_grid_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_keyword_search_filters_before_shuffle(spark):
+    # the conjunctive-search term filter must reach the scan so the
+    # doc-key shuffle carries postings, not the corpus
+    plan = _plan(spark, "retrieval_keyword_and")
+    scan_section = plan.split("Scan parquet")[1]
+    assert "PushedFilters" in scan_section
+    # the only data shuffle is the doc-key aggregate
+    assert plan.count("Exchange") <= 2
+
+
+def test_drift_audit_single_conditional_aggregation(spark):
+    # the half-split pivot must be ONE conditional aggregate — a
+    # half=0/half=1 self-join would scan + distinct-agg twice
+    plan = _plan(spark, "quality_schema_drift")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row midpoint only
+    assert plan.count("Scan parquet") <= 2  # midpoint pass + fact pass
+
+
+def test_loo_encoding_broadcasts_category_stats(spark):
+    # the category (sum, count) table must broadcast back onto the
+    # fact — a shuffle join here would move the fact twice
+    plan = _plan(spark, "feature_target_encoding_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merges_explode_word_types_not_tokens(spark):
+    # the pair explode must sit ABOVE the word-count aggregate
+    # (vocabulary-sized input), not directly on the token stream
+    plan = _plan(spark, "text_bpe_merge_induction")
+    gen = plan.index("Generate explode")
+    agg = plan.rindex("HashAggregate")
+    assert gen < agg  # explode consumes the (word, count) aggregate
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
