@@ -504,3 +504,83 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str):
         F.max(F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("wait_s"))).alias("p90_wait_s"),
         F.max("wait_s").alias("max_wait_s"),
     )
+
+
+@register(
+    "mine_rfm_segmentation",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS last_day,
+               count(*) AS freq,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary
+        FROM orders GROUP BY o_custkey),
+    r AS (
+        SELECT o_custkey, last_day, freq, monetary,
+               row_number() OVER (ORDER BY last_day DESC, o_custkey) AS rr,
+               row_number() OVER (ORDER BY freq DESC, o_custkey) AS rf,
+               row_number() OVER (ORDER BY monetary DESC, o_custkey) AS rm,
+               count(*) OVER () AS n
+        FROM base)
+    SELECT o_custkey,
+           CAST(last_day AS BIGINT) AS last_day,
+           CAST(freq AS BIGINT) AS frequency,
+           CAST(monetary AS BIGINT) AS monetary_cents,
+           CAST(5 - (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+           CAST(5 - (5 * (rf - 1)) // n AS BIGINT) AS f_score,
+           CAST(5 - (5 * (rm - 1)) // n AS BIGINT) AS m_score,
+           CAST((5 - (5 * (rr - 1)) // n) * 100
+                + (5 - (5 * (rf - 1)) // n) * 10
+                + (5 - (5 * (rm - 1)) // n) AS BIGINT) AS rfm_cell
+    FROM r
+    """,
+    tags=("mining", "rfm", "segmentation", "window", "exact_arithmetic"),
+    description=(
+        "RFM customer segmentation: per customer the recency/"
+        "frequency/monetary raw stats and their quintile scores "
+        "(5 = best), combined into the classic 3-digit RFM cell.  "
+        "Quintiles are exact integer rank arithmetic "
+        "(5 - 5*(rank-1)//n) with full (metric, custkey) tie-break, "
+        "so every engine lands each customer in the identical cell.  "
+        "The base aggregate is map-side combined; the three rankings "
+        "run over the CUSTOMER rollup (one row per customer, not per "
+        "order) — at 100 TB the global sorts rank the dimension-"
+        "sized table, and would shard via the salted two-phase "
+        "row-number (operators/sampling.py) past single-stage size"
+    ),
+)
+def mine_rfm_segmentation(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)")).alias(
+            "monetary"
+        ),
+    )
+    r = (
+        base.withColumn(
+            "rr", F.row_number().over(W.orderBy(F.desc("last_day"), "o_custkey"))
+        )
+        .withColumn("rf", F.row_number().over(W.orderBy(F.desc("freq"), "o_custkey")))
+        .withColumn(
+            "rm", F.row_number().over(W.orderBy(F.desc("monetary"), "o_custkey"))
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+    )
+    score = "5 - (5 * ({r} - 1)) DIV n"
+    return r.select(
+        "o_custkey",
+        F.col("last_day").cast("long").alias("last_day"),
+        F.col("freq").cast("long").alias("frequency"),
+        F.col("monetary").cast("long").alias("monetary_cents"),
+        F.expr(f"CAST({score.format(r='rr')} AS BIGINT)").alias("r_score"),
+        F.expr(f"CAST({score.format(r='rf')} AS BIGINT)").alias("f_score"),
+        F.expr(f"CAST({score.format(r='rm')} AS BIGINT)").alias("m_score"),
+        F.expr(
+            f"CAST(({score.format(r='rr')}) * 100 + ({score.format(r='rf')}) * 10"
+            f" + ({score.format(r='rm')}) AS BIGINT)"
+        ).alias("rfm_cell"),
+    )

@@ -123,6 +123,14 @@ def test_corpus_sample_runs_under_ansi_mode(spark):
         "events_ohlc_bars",
         "join_asof_forward",
         "dedup_minhash_exact",
+        # round-2 wave: retrieval / feature / spatial / telemetry
+        "retrieval_rrf_hybrid",
+        "feature_hashing_trick",
+        "feature_target_encoding_loo",
+        "spatial_knn_bounded",
+        "quality_schema_drift",
+        "mine_change_point",
+        "mine_gini_diversity",
     ]:
         n = REGISTRY[name].spark(ansi, sf).count()
         assert n >= 0, name
