@@ -93,3 +93,25 @@ def test_ivf_trained_centroids_beat_or_match_sample_recall(spark):
     # trained cells partition the space better than an id-ordered
     # sample; at worst they tie on this fixture
     assert recall(trained) >= recall(sampled) - 5
+
+
+def test_assign_cells_arrow_matches_expression_twin(spark):
+    """The numpy/Arrow argmin must be BIT-IDENTICAL to the column-
+    expression (higher-order-lambda) twin — same cells, same integer
+    distances, including tie-to-lowest-cell behavior."""
+    from sfs3_kinesis_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_expr,
+        _quantized,
+    )
+    from sfs3_kinesis_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dfv = _quantized(emb, "embedding", "vec_id", 10000)
+    seed = dfv.orderBy("id").limit(8).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
+    fast = {(r["id"], r["cell"], r["dist"]) for r in _assign_cells(dfv, cents).collect()}
+    slow = {
+        (r["id"], r["cell"], r["dist"]) for r in _assign_cells_expr(dfv, cents).collect()
+    }
+    assert fast == slow and len(fast) > 0
