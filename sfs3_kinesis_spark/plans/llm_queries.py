@@ -1570,3 +1570,41 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str):
             ).alias("novel_bp"),
         )
     )
+
+
+@register(
+    "quality_dup_rate_by_source",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+    c AS (SELECT dg, count(*) AS n FROM h GROUP BY dg)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE c.n > 1) AS BIGINT) AS n_corpus_dup,
+           CAST((10000 * count(*) FILTER (WHERE c.n > 1)) // count(*) AS BIGINT)
+               AS dup_bp
+    FROM h JOIN c USING (dg)
+    GROUP BY source
+    """,
+    tags=("quality", "dedup", "provenance", "data_ops"),
+    description=(
+        "duplicate-rate-by-source audit: per provenance partition, "
+        "the fraction of documents whose exact content digest appears "
+        "more than once ANYWHERE in the corpus (cross-source "
+        "duplication counts — the signal that tells a curation "
+        "pipeline which ingest source to deprioritize).  Digest "
+        "counts shuffle 16-byte md5s, never text; the per-source "
+        "rollup joins back on the same digest partitioning"
+    ),
+)
+def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5("text").alias("dg"))
+    c = h.groupBy("dg").agg(F.count(F.lit(1)).alias("n"))
+    j = h.join(c, "dg")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("n") > 1, 1)).cast("long").alias("n_corpus_dup"),
+        F.expr(
+            "CAST((10000 * count(CASE WHEN n > 1 THEN 1 END)) DIV count(1) AS BIGINT)"
+        ).alias("dup_bp"),
+    )

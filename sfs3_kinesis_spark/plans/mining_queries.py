@@ -969,3 +969,103 @@ def mine_burstiness(spark: SparkSession, sf_dir: str):
             "burstiness_bp"
         ),
     )
+
+
+@register(
+    "mine_sequence_pattern",
+    """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_vcp,
+           CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_vp
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vcp')) > 0
+       OR len(regexp_extract_all(seq, 'vp')) > 0
+    """,
+    tags=("mining", "sequence", "pattern_match", "regex", "events"),
+    description=(
+        "sequence pattern mining (the MATCH_RECOGNIZE shape): each "
+        "user's event history collapses to a compact symbol string "
+        "(first letter per event, (ts, event_id) total order), then "
+        "regex counting finds non-overlapping view->click->purchase "
+        "and view->purchase runs — detecting ORDERED behavioral "
+        "motifs that pure funnels (EXISTS-based, order-blind within "
+        "step) cannot.  One groupBy(user) shuffle; the regex runs "
+        "row-local on strings of avg-events-per-user length; both "
+        "engines count non-overlapping left-to-right matches "
+        "identically (verified: regexp_count == len(regexp_extract_all))"
+    ),
+)
+def mine_sequence_pattern(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, "
+            "substring(event_type, 1, 1) AS c))), x -> x.c), '')"
+        ).alias("seq")
+    )
+    out = s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.expr("CAST(regexp_count(seq, 'vcp') AS BIGINT)").alias("n_vcp"),
+        F.expr("CAST(regexp_count(seq, 'vp') AS BIGINT)").alias("n_vp"),
+    )
+    return out.filter((F.col("n_vcp") > 0) | (F.col("n_vp") > 0))
+
+
+@register(
+    "mine_cohort_ltv_triangle",
+    """
+    WITH w AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+               event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    cohort AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+    SELECT CAST(cohort.cw AS BIGINT) AS cohort_week,
+           CAST(w.wk - cohort.cw AS BIGINT) AS age_weeks,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_buyers,
+           CAST(sum(w.cents) AS BIGINT) AS revenue_cents
+    FROM w JOIN cohort USING (user_id)
+    WHERE w.event_type = 'purchase'
+    GROUP BY cohort.cw, w.wk - cohort.cw
+    """,
+    tags=("mining", "cohort", "ltv", "revenue", "exact_arithmetic"),
+    description=(
+        "cohort LTV triangle: users bucketed by first-seen week "
+        "(epoch-day DIV 7 — engine-neutral), purchase revenue "
+        "accumulated per (cohort, age) cell in exact cents with the "
+        "distinct-buyer count — the lifetime-value table every "
+        "growth model is fit on, and the revenue twin of the "
+        "retention triangle.  The cohort map is a per-user min "
+        "(map-side combined) joined back on the user key; one "
+        "data-sized shuffle"
+    ),
+)
+def mine_cohort_ltv_triangle(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    w = e.select(
+        "user_id",
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) DIV 7").alias("wk"),
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        w.join(cohort, "user_id")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("cw").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).cast("long").alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
