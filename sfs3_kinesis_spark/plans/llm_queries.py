@@ -1015,7 +1015,10 @@ def _mhx_min(h: int) -> str:
     return f"((x % {_MHX_M}) * {a} + {b}) % {_MHX_M}"
 
 
-def _mhx_oracle() -> str:
+def _mhx_ctes() -> str:
+    """The shared md5 shingle→signature→band→verify CTE chain, used
+    by BOTH the pair oracle (dedup_minhash_exact) and the clustering
+    oracle (dedup_cluster_exact) so the two can never drift."""
     base = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
     rpb = _MHX_HASHES // _MHX_BANDS
     min_cols = ", ".join(
@@ -1031,8 +1034,7 @@ def _mhx_oracle() -> str:
             f"SELECT doc_id, {bnd} AS band_id, md5(concat_ws(',', {mins})) AS band_key FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     sh AS (
       SELECT doc_id,
@@ -1061,7 +1063,12 @@ def _mhx_oracle() -> str:
                - len(list_intersect(sa.shingles, sb.shingles)) AS uni
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b)
+      JOIN sh sb ON sb.doc_id = c.doc_b)"""
+
+
+def _mhx_oracle() -> str:
+    return f"""
+    WITH {_mhx_ctes()}
     SELECT doc_a, doc_b, inter * 10000 // uni AS jaccard_bp
     FROM verified WHERE inter * 10000 // uni >= {_MHX_THRESH_BP}
     """
@@ -1141,6 +1148,71 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
         )
         .select("doc_a", "doc_b", F.expr("inter * 10000 div uni").alias("jaccard_bp"))
         .filter(F.col("jaccard_bp") >= _MHX_THRESH_BP)
+    )
+
+
+def _cluster_exact_oracle() -> str:
+    """Connected components as a recursive transitive closure over
+    the md5-exact near-dup pair graph: every (node, label) pair where
+    label's node reaches it, then min(label) per node — the SQL
+    fixpoint twin of the engine's iterative min-label propagation
+    (``operators/dedup.py:connected_components``).  Quadratic in
+    cluster size, fine at oracle scale; the engine's propagation is
+    the corpus-scale path."""
+    return f"""
+    WITH RECURSIVE {_mhx_ctes()},
+    prs AS (
+      SELECT doc_a, doc_b FROM verified
+      WHERE inter * 10000 // uni >= {_MHX_THRESH_BP}),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION SELECT doc_b AS u, doc_a AS v FROM prs),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.v AS u, r.lbl FROM reach r JOIN und e ON e.u = r.u),
+    comp AS (SELECT u AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY u),
+    sz AS (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY cluster_rep)
+    SELECT comp.doc_id, comp.cluster_rep,
+           CAST(sz.n AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN comp.doc_id = comp.cluster_rep THEN 1 ELSE 0 END
+                AS BIGINT) AS is_keeper
+    FROM comp JOIN sz USING (cluster_rep)
+    """
+
+
+@register(
+    "dedup_cluster_exact",
+    _cluster_exact_oracle(),
+    tags=("dedup", "clustering", "connected_components", "iterative", "exact_arithmetic"),
+    description=(
+        "ORACLE-EXACT near-dup clustering: the distributed min-label "
+        "propagation (operators/dedup.py:connected_components — per "
+        "round one join + one aggregate on the vertex key, converges "
+        "in graph-diameter rounds with a scalar-only convergence "
+        "check) run over the md5 MinHash+LSH pair graph, value-"
+        "verified against a DuckDB RECURSIVE transitive-closure "
+        "fixpoint.  Proves the iterative clustering algorithm itself "
+        "— cluster membership, representative election (min doc_id), "
+        "sizes, and keeper flags — not just its row count (the "
+        "xxhash64 fast path dedup_cluster_assign stays rows-only by "
+        "construction)"
+    ),
+)
+def dedup_cluster_exact(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import connected_components
+
+    pairs = dedup_minhash_exact(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    return comp.join(F.broadcast(sz), "component").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        F.col("n").cast("long").alias("cluster_size"),
+        F.when(F.col("vertex") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_keeper"),
     )
 
 
