@@ -85,11 +85,13 @@ def main() -> None:
     # the plan, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # Two runs per query: run 1 pays whole-stage-codegen compilation,
-    # JIT and parquet footer reads; run 2 is the steady-state cost —
-    # the number that extrapolates to a long-running job at scale.
-    # `value`/`queries` report steady-state; cold times are included
-    # for transparency.
+    # Three runs per query: run 1 pays whole-stage-codegen
+    # compilation, JIT and parquet footer reads (reported as cold);
+    # steady-state is the MIN of the two warm runs — the number that
+    # extrapolates to a long-running job at scale.  min-of-2 because
+    # a single warm run is hostage to whatever else the machine does
+    # that second (GC, a concurrent JVM); the best observed warm time
+    # is the reproducible cost of the plan.
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -97,9 +99,12 @@ def main() -> None:
         t0 = time.time()
         materialize(spec.spark(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        materialize(spec.spark(spark, sf_dir))
-        steady[name] = round(time.time() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(spec.spark(spark, sf_dir))
+            warm.append(time.time() - t0)
+        steady[name] = round(min(warm), 3)
         # a few operators persist shared intermediates (minhash shingle
         # table, kmeans quantized grid); drop them so one query's cache
         # never skews the next query's measurement

@@ -172,3 +172,26 @@ def test_nanos_parquet_fixture_loads_as_timestamp(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp"
         got = sorted(r["ts"] for r in df.select("ts").collect())
         assert got == ts, f"unit={unit}: {got}"
+
+
+def test_corrupt_parquet_file_skipped_when_configured(spark, tmp_path):
+    """At 100 TB some objects WILL be truncated/corrupt; with
+    spark.sql.files.ignoreCorruptFiles the scan must yield every row
+    from the healthy files instead of failing the job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(d / "good.parquet"))
+    # a real parquet header with a truncated body/footer
+    good_bytes = (d / "good.parquet").read_bytes()
+    (d / "bad.parquet").write_bytes(good_bytes[: len(good_bytes) // 3])
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        rows = spark.read.schema("a bigint").parquet(str(d)).collect()
+        assert sorted(r["a"] for r in rows) == [1, 2, 3]
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
