@@ -75,3 +75,75 @@ def test_chunking_reconstructs_documents(spark, texts):
         for c in cs[:-1]:
             assert c.n_chunk_tokens == 8
         assert cs[-1].n_chunk_tokens <= 8
+
+
+@_slow
+@given(
+    st.lists(  # left events: (key, ts_seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(  # right events: (key, ts_seconds, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([None, 0, 60, 500]),  # tolerance_s
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
+    """asof_join must agree with pandas.merge_asof — an independent,
+    widely-trusted as-of implementation — on arbitrary keyed event
+    sets, including the tolerance variant.  Right side is deduped per
+    (key, ts) keeping max payload so ties are deterministic in both
+    implementations."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    lp = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in left_rows],
+        }
+    )
+    rp = (
+        pd.DataFrame(
+            {
+                "k": pd.array([k for k, _, _ in right_rows], dtype="int64"),
+                "ts": pd.to_datetime(
+                    [base + pd.Timedelta(seconds=s) for _, s, _ in right_rows]
+                ),
+                "payload": pd.array([p for _, _, p in right_rows], dtype="int64"),
+            }
+        )
+        .groupby(["k", "ts"], as_index=False)["payload"]
+        .max()
+        .astype({"k": "int64", "payload": "int64"})
+    )
+
+    expected = pd.merge_asof(
+        lp.sort_values(["ts", "k"], kind="stable").reset_index(drop=True),
+        rp.sort_values("ts", kind="stable").reset_index(drop=True),
+        on="ts",
+        by="k",
+        direction="backward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    exp = sorted(
+        (r.k, r.ts, None if pd.isna(r.payload) else int(r.payload))
+        for r in expected.itertuples(index=False)
+    )
+
+    from sfs3_kinesis_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(lp, "k bigint, ts timestamp")
+    right = spark.createDataFrame(rp, "k bigint, ts timestamp, payload bigint")
+    got_rows = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload_cols=["payload"], tolerance_s=tol,
+    ).collect()
+    got = sorted(
+        (r["k"], pd.Timestamp(r["ts"]), None if r["payload"] is None else int(r["payload"]))
+        for r in got_rows
+    )
+    assert got == exp
