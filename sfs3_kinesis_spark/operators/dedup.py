@@ -221,7 +221,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 12,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Cluster the near-duplicate pair graph: assign every vertex the
     minimum doc_id reachable from it (label propagation to fixpoint).
@@ -230,17 +230,24 @@ def connected_components(
     dedup DECISIONS (keep one doc per cluster) — pairs alone
     over-delete when A~B and B~C but A!~C.  The reference has no
     analog (it has no joins at all, SURVEY.md §2.4); this is the
-    standard large-scale formulation: iterate
+    standard large-scale formulation: per round
 
-        label(v) <- min(label(v), min over neighbors u of label(u))
+        label(v) <- min over {v} ∪ neighbors(v) of label(.)   (hop)
+        label(v) <- label(label(v))                   (pointer jump)
 
-    Each round is one join + one groupBy (two key shuffles); rounds
-    needed = graph diameter in label-space, which for near-dup
-    clusters (small, dense cliques from LSH buckets) is almost
-    always <= 3.  Convergence is detected by a changed-vertex count
-    — one tiny driver scalar per round, not a collect of the data.
-    Labels persist per round and the previous round unpersists, so
-    peak storage is 2 label tables regardless of round count.
+    The pointer-jump (path-halving) step is what makes high-diameter
+    graphs converge in O(log diameter) rounds instead of O(diameter)
+    — a 40-node path converges in ~6 rounds where plain propagation
+    needs 39 (and silently returned UNCONVERGED labels under any
+    finite round cap; caught by the random-graph property test).
+    Near-dup LSH cliques still converge at the first check.
+
+    Each round is two key-shuffle joins + one groupBy; labels are
+    ``localCheckpoint``ed per round, which both materializes them
+    AND truncates the logical plan — without it the plan tree grows
+    geometrically per round and Catalyst planning time, not the
+    data, becomes the bottleneck.  Convergence is a changed-vertex
+    count — one tiny driver scalar per round.
 
     Returns (vertex, component) with component = min doc_id of the
     cluster; singleton vertices (no pair) are absent — callers union
@@ -272,26 +279,40 @@ def connected_components(
         edges.groupBy(f.col("src").alias("vertex"))
         .agg(f.min("dst").alias("_nbr_min"))
         .select("vertex", f.least(f.col("vertex"), f.col("_nbr_min")).alias("component"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
-        # neighbor minimum: for each vertex, the smallest label among
-        # itself and its neighbors
+        # hop: for each vertex, the smallest label among itself and
+        # its neighbors
         nbr = (
             edges.join(labels, edges.dst == labels.vertex)
             .select(f.col("src").alias("vertex"), f.col("component"))
             .unionByName(labels)
             .groupBy("vertex")
-            .agg(f.min("component").alias("new_component"))
+            .agg(f.min("component").alias("c1"))
         )
-        joined = labels.join(nbr, "vertex").persist()
+        # pointer jump: follow the label one step — label(label(v)).
+        # Every label value IS a vertex of the graph (it is a min of
+        # vertex ids), so the self-join lookup is total; the parent's
+        # label is <= the child's by construction.
+        parent = nbr.select(f.col("vertex").alias("_pv"), f.col("c1").alias("_pc"))
+        jumped = (
+            nbr.join(parent, nbr.c1 == f.col("_pv"))
+            .select("vertex", f.col("_pc").alias("new_component"))
+        )
+        joined = labels.join(jumped, "vertex").localCheckpoint()
         changed = joined.filter(f.col("component") != f.col("new_component")).count()
-        new_labels = joined.select("vertex", f.col("new_component").alias("component")).persist()
-        labels.unpersist()
-        joined.unpersist()
-        labels = new_labels
+        labels = joined.select("vertex", f.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        # silent wrong labels are worse than a loud failure: a graph
+        # that has not reached fixpoint within max_iter rounds (log-
+        # scale in diameter thanks to the jump step) must not be
+        # reported as clustered
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     edges.unpersist()
     return labels
 

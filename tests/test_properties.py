@@ -147,3 +147,41 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
         for r in got_rows
     )
     assert got == exp
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """connected_components must agree with a driver-side union-find
+    on ARBITRARY graphs — including high-diameter paths, which plain
+    min-label propagation (no pointer jump) silently got wrong under
+    any finite round cap."""
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    from sfs3_kinesis_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    oracle = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    assert got == oracle
