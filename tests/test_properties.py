@@ -185,3 +185,56 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
     got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
     assert got == oracle
+
+
+@_slow
+@given(
+    st.lists(  # points: seconds offsets
+        st.integers(0, 30000),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(  # intervals: (start_s, duration_s)
+        st.tuples(st.integers(0, 30000), st.integers(0, 14000)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, point_secs, ivals):
+    """interval_join_bucketed (hour-bucket equi-join) must produce
+    exactly the brute-force start <= p < end pairs — including
+    points/intervals that straddle or land exactly on bucket
+    boundaries."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    pts = [(i, base + pd.Timedelta(seconds=s)) for i, s in enumerate(point_secs)]
+    ivs = [
+        (j, base + pd.Timedelta(seconds=s), base + pd.Timedelta(seconds=s + d))
+        for j, (s, d) in enumerate(ivals)
+    ]
+    expected = sorted(
+        (pid, iid)
+        for pid, pts_ts in pts
+        for iid, s, e in ivs
+        if s <= pts_ts < e
+    )
+
+    from sfs3_kinesis_spark.operators.temporal import interval_join_bucketed
+
+    points = spark.createDataFrame(
+        [(i, t.to_pydatetime()) for i, t in pts], "pid bigint, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s_.to_pydatetime(), e.to_pydatetime()) for j, s_, e in ivs],
+        "iid bigint, ps timestamp, pe timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join_bucketed(
+            points, intervals, point_ts="pts", start_ts="ps", end_ts="pe"
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    assert got == expected
