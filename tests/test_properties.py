@@ -238,3 +238,44 @@ def test_interval_join_matches_bruteforce(spark, point_secs, ivals):
         .collect()
     )
     assert got == expected
+
+
+@_slow
+@given(
+    st.lists(  # big side: (key, value) — keys drawn narrow to force skew
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(  # small side: (key, payload)
+        st.tuples(st.integers(0, 6), st.integers(0, 9)),
+        min_size=0,
+        max_size=10,
+    ),
+    st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, big_rows, small_rows, how):
+    """salted_join must be row-for-row identical (as a multiset) to
+    the plain equi-join for inner/left, on arbitrary skewed inputs —
+    including duplicate keys on BOTH sides (the replicate factor must
+    not multiply matches)."""
+    from collections import Counter
+
+    from sfs3_kinesis_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(big_rows, "k bigint, v bigint")
+    # dedup small per key (the skew-join contract: small is a dim table)
+    small_dedup = {}
+    for k, p in small_rows:
+        small_dedup.setdefault(k, p)
+    small = spark.createDataFrame(
+        list(small_dedup.items()) or [(None, None)], "k bigint, p bigint"
+    ).filter(F.col("k").isNotNull())
+
+    plain = Counter(
+        (r["k"], r["v"], r["p"]) for r in big.join(small, "k", how).collect()
+    )
+    salted = Counter(
+        (r["k"], r["v"], r["p"]) for r in salted_join(big, small, "k", how=how).collect()
+    )
+    assert salted == plain
