@@ -114,6 +114,84 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, attach the payload of
+    the EARLIEST right row with ``right.ts >= left.ts`` (same key) —
+    the time-reversed twin of :func:`asof_join` (pandas
+    ``merge_asof(direction='forward')`` parity, property-tested
+    against it).
+
+    Same union+window shape and the same single keyed shuffle: rows
+    order by (ts, side) with the left row preceding an equal-ts
+    right row, so the ``rowsBetween(1, unboundedFollowing)`` frame's
+    first non-null payload is the next right row at-or-after the
+    left timestamp (``strict=True`` flips the tie so an equal-ts
+    right row is excluded).  ``tolerance_s`` bounds how far in the
+    future the match may be."""
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+    )
+    right_types = dict(right.dtypes)
+    _right_type = (
+        "struct<"
+        + ",".join(f"{c}:{right_types[c]}" for c in payload_cols)
+        + f",_rts:{right_types[right_ts]}>"
+    )
+    l_tag = l_tag.withColumn("_right", F.lit(None).cast(_right_type))
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("_left"),
+        F.struct(
+            *[F.col(c) for c in payload_cols], F.col(right_ts).alias("_rts")
+        ).alias("_right"),
+    )
+    # left rows order before right rows at equal ts (>= semantics: the
+    # equal-ts right row falls INSIDE the following frame); strict
+    # mode flips the tie so it falls outside
+    side_order = F.col("_side").desc() if not strict else F.col("_side").asc()
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_asof", F.first("_right", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_s is None:
+        payload = [F.col(f"_asof.{c}").alias(c) for c in payload_cols]
+    else:
+        fresh = (
+            F.unix_micros(F.col("_asof._rts")) - F.unix_micros(F.col("_ts"))
+        ) <= F.lit(int(tolerance_s) * 1_000_000)
+        payload = [F.when(fresh, F.col(f"_asof.{c}")).alias(c) for c in payload_cols]
+    return matched.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *payload,
+    )
+
+
 def interval_join_bucketed(
     points: DataFrame,
     intervals: DataFrame,
