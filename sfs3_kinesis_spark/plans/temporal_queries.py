@@ -99,6 +99,48 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "join_asof_forward_op",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, round(max(value), 4) AS ship_value
+               FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           c.ts AS next_ts,
+           c.ship_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("join", "asof", "forward"),
+    description=(
+        "forward as-of join as a reusable OPERATOR "
+        "(operators/temporal.py:asof_join_forward — union + one keyed "
+        "window with a following frame, pandas merge_asof(forward) "
+        "parity property-tested): each purchase gets the user's "
+        "earliest signup-event at-or-after it; DuckDB native forward "
+        "ASOF JOIN (l.ts <= r.ts) is the independent oracle"
+    ),
+)
+def join_asof_forward_op(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.temporal import asof_join_forward
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("ship_value"))
+        .select("user_id", "ts", F.col("ts").alias("next_ts"), "ship_value")
+    )
+    return asof_join_forward(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["next_ts", "ship_value"],
+    ).select("event_id", "user_id", "next_ts", "ship_value")
+
+
+@register(
     "join_range_hot_hours",
     """
     WITH hourly AS (
