@@ -192,6 +192,84 @@ def asof_join_forward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row (same
+    key) with the smallest |right.ts - left.ts|; ties break to the
+    EARLIER right row (pandas ``merge_asof(direction='nearest')``
+    parity, property-tested).
+
+    Both candidate passes share ONE keyed sort: rows order by
+    (ts, side right-first), the backward candidate is
+    ``last(payload)`` over (unboundedPreceding, 0) and the forward
+    candidate is ``first(payload)`` over (1, unboundedFollowing) —
+    same partitioning and order, so Catalyst plans a single
+    WindowExec and a single shuffle.  An equal-ts right row sorts
+    before the left row, landing in the backward frame at distance
+    0 — which is also why the forward frame can start at row 1.
+    The winner is a row-local integer-microsecond comparison;
+    ``tolerance_s`` nulls candidates farther than the bound on
+    either side before the pick.
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+    )
+    right_types = dict(right.dtypes)
+    _right_type = (
+        "struct<"
+        + ",".join(f"{c}:{right_types[c]}" for c in payload_cols)
+        + f",_rts:{right_types[right_ts]}>"
+    )
+    l_tag = l_tag.withColumn("_right", F.lit(None).cast(_right_type))
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("_left"),
+        F.struct(
+            *[F.col(c) for c in payload_cols], F.col(right_ts).alias("_rts")
+        ).alias("_right"),
+    )
+    base = W.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    wb = base.rowsBetween(W.unboundedPreceding, 0)
+    wf = base.rowsBetween(1, W.unboundedFollowing)
+    m = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_b", F.last("_right", ignorenulls=True).over(wb))
+        .withColumn("_f", F.first("_right", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    b_d = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_b._rts"))
+    f_d = F.unix_micros(F.col("_f._rts")) - F.unix_micros(F.col("_ts"))
+    if tolerance_s is not None:
+        tol_us = F.lit(int(tolerance_s) * 1_000_000)
+        m = m.withColumn("_b", F.when(b_d <= tol_us, F.col("_b"))).withColumn(
+            "_f", F.when(f_d <= tol_us, F.col("_f"))
+        )
+    take_b = F.col("_b").isNotNull() & (F.col("_f").isNull() | (b_d <= f_d))
+    m = m.withColumn("_asof", F.when(take_b, F.col("_b")).otherwise(F.col("_f")))
+    return m.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def interval_join_bucketed(
     points: DataFrame,
     intervals: DataFrame,

@@ -346,3 +346,71 @@ def test_asof_forward_matches_pandas(spark, left_rows, right_rows, tol):
         ).collect()
     )
     assert got == exp
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([None, 0, 60, 500]),
+)
+def test_asof_nearest_matches_pandas(spark, left_rows, right_rows, tol):
+    """asof_join_nearest must agree with pandas.merge_asof
+    (direction='nearest'), including tolerance and the tie-to-earlier
+    behavior."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    lp = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in left_rows],
+        }
+    )
+    rp = (
+        pd.DataFrame(
+            {
+                "k": pd.array([k for k, _, _ in right_rows], dtype="int64"),
+                "ts": pd.to_datetime(
+                    [base + pd.Timedelta(seconds=s) for _, s, _ in right_rows]
+                ),
+                "payload": pd.array([p for _, _, p in right_rows], dtype="int64"),
+            }
+        )
+        .groupby(["k", "ts"], as_index=False)["payload"]
+        .max()
+        .astype({"k": "int64", "payload": "int64"})
+    )
+    expected = pd.merge_asof(
+        lp.sort_values(["ts", "k"], kind="stable").reset_index(drop=True),
+        rp.sort_values("ts", kind="stable").reset_index(drop=True),
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    exp = sorted(
+        (r.k, r.ts, None if pd.isna(r.payload) else int(r.payload))
+        for r in expected.itertuples(index=False)
+    )
+
+    from sfs3_kinesis_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(lp, "k bigint, ts timestamp")
+    right = spark.createDataFrame(rp, "k bigint, ts timestamp, payload bigint")
+    got = sorted(
+        (r["k"], pd.Timestamp(r["ts"]), None if r["payload"] is None else int(r["payload"]))
+        for r in asof_join_nearest(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            payload_cols=["payload"], tolerance_s=tol,
+        ).collect()
+    )
+    assert got == exp
