@@ -65,9 +65,10 @@ registry by `scripts/gen_coverage.py`.
 | full outer | built-in | `join_full_nation_activity` |
 | left semi (EXISTS) | built-in | `join_semi_big_spenders` |
 | left anti (NOT EXISTS) | built-in | `join_anti_nations_without_suppliers` |
-| as-of (backward, <= and <) | `operators/temporal.py:asof_join` — union + keyed window, ONE shuffle | `join_asof_purchase_click` (vs DuckDB native ASOF JOIN) |
+| as-of (backward, <= and <, tolerance) | `operators/temporal.py:asof_join` — union + keyed window, ONE shuffle; pandas merge_asof property-tested | `join_asof_purchase_click`, `join_asof_tolerance` (vs DuckDB native ASOF JOIN) |
 | range / interval (big-big) | `operators/temporal.py:interval_join_bucketed` — bucket equi-join | `join_range_hot_hours` |
-| as-of nearest (two-sided) | union + trailing last() / leading first() over ONE user shuffle | `join_asof_nearest` |
+| as-of forward (operator) | `operators/temporal.py:asof_join_forward` — following frame, same one-shuffle shape; pandas-forward property-tested | `join_asof_forward_op` (vs DuckDB forward ASOF) |
+| as-of nearest (two-sided) | `operators/temporal.py:asof_join_nearest` — both frames share ONE WindowExec/shuffle (verified); pandas-nearest property-tested | `join_asof_nearest` |
 | interval x interval overlap | session explode to hour buckets + broadcast equi-join | `join_interval_overlap` |
 | skewed equi-join | `operators/scale.py:salted_join` | `tests/test_scale_ops.py` |
 | stream-state lookup (J1) | `streaming/correlate.py` | `test_streaming_correlate.py` |
