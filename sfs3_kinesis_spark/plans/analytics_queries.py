@@ -584,3 +584,155 @@ def mine_rfm_segmentation(spark: SparkSession, sf_dir: str):
             f" + ({score.format(r='rm')}) AS BIGINT)"
         ).alias("rfm_cell"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events GROUP BY user_id, d),
+    fs AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY user_id)
+    SELECT CAST(ud.d AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE ud.d = fs.first_d) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE ud.d > fs.first_d) AS BIGINT) AS n_returning
+    FROM ud JOIN fs USING (user_id)
+    GROUP BY ud.d
+    """,
+    tags=("analytics", "growth", "retention", "agg"),
+    description=(
+        "daily new-vs-returning split (growth accounting): each "
+        "active (user, day) is classified by whether it is the "
+        "user's first-seen day — the DAU decomposition every growth "
+        "dashboard leads with.  The first-seen map is a per-user min "
+        "(map-side combined) joined back on the user key; the "
+        "user-day table, not the event table, flows through the join"
+    ),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ud.join(fs, "user_id")
+        .groupBy(F.col("d").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.count(F.when(F.col("d") == F.col("first_d"), 1)).cast("long").alias("n_new"),
+            F.count(F.when(F.col("d") > F.col("first_d"), 1))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
+@register(
+    "mine_lorenz_concentration",
+    """
+    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    r AS (
+        SELECT user_id, n,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+               sum(n) OVER (ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER () AS tot,
+               count(*) OVER () AS n_users
+        FROM u)
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(max(tot) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN 5 * cum >= 4 * tot THEN rk END) AS BIGINT)
+               AS users_to_p80,
+           CAST((10000 * min(CASE WHEN 5 * cum >= 4 * tot THEN rk END))
+                // max(n_users) AS BIGINT) AS users_to_p80_bp
+    FROM r
+    """,
+    tags=("mining", "concentration", "lorenz", "exact_arithmetic"),
+    description=(
+        "activity concentration (Lorenz/Pareto point): the number of "
+        "heaviest users that account for 80%% of all events, and that "
+        "count as a share of the user base in basis points — the "
+        "inequality readout behind 'power-user' analyses.  The "
+        "80%% boundary is the integer comparison 5*cum >= 4*total "
+        "(no percentages materialize), computed by prefix sums over "
+        "the USER rollup; the global sort ranks the user dimension, "
+        "never events, and shards via the salted two-phase "
+        "row-number past single-stage size"
+    ),
+)
+def mine_lorenz_concentration(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wo = W.orderBy(F.desc("n"), "user_id").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.partitionBy()
+    r = (
+        u.withColumn("rk", F.row_number().over(W.orderBy(F.desc("n"), "user_id")))
+        .withColumn("cum", F.sum("n").over(wo))
+        .withColumn("tot", F.sum("n").over(wa))
+        .withColumn("n_users", F.count("*").over(wa))
+    )
+    at80 = F.min(F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rk")))
+    return r.agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("tot").cast("long").alias("n_events"),
+        at80.cast("long").alias("users_to_p80"),
+        F.expr(
+            "CAST((10000 * min(CASE WHEN 5 * cum >= 4 * tot THEN rk END))"
+            " DIV max(n_users) AS BIGINT)"
+        ).alias("users_to_p80_bp"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events GROUP BY user_id, d),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    cov AS (
+        SELECT user_id, d + i.i AS d
+        FROM ud, range(0, 7) i(i)
+        GROUP BY user_id, d + i.i),
+    wau AS (SELECT d, count(*) AS wau FROM cov GROUP BY d)
+    SELECT CAST(dau.d AS BIGINT) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST((10000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    tags=("analytics", "growth", "stickiness", "window", "agg"),
+    description=(
+        "DAU/WAU stickiness per day: the trailing-7-day active-user "
+        "count is computed by exploding each active (user, day) into "
+        "the 7 future days it covers and DISTINCT-counting per day — "
+        "running DISTINCT over a sliding window is not expressible "
+        "as a mergeable aggregate, but the bounded 7x cover-set "
+        "explode turns it into a plain grouped count that scales "
+        "linearly.  Ratio in truncating basis points; days are "
+        "engine-neutral epoch integers"
+    ),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cov = (
+        ud.select("user_id", F.explode(F.expr("sequence(d, d + 6)")).alias("d"))
+        .distinct()
+    )
+    wau = cov.groupBy("d").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "d").select(
+        F.col("d").cast("long").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.expr("CAST((10000 * dau) DIV wau AS BIGINT)").alias("stickiness_bp"),
+    )
