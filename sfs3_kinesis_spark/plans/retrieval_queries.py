@@ -672,7 +672,8 @@ def _knn_oracle() -> str:
     ),
 )
 def spatial_knn_bounded(spark: SparkSession, sf_dir: str):
-    r = SPATIAL_RADIUS
+    from sfs3_kinesis_spark.operators.spatial import grid_knn
+
     p = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "view")
@@ -681,44 +682,5 @@ def spatial_knn_bounded(spark: SparkSession, sf_dir: str):
             (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
             (F.col("user_id") % 1000).alias("y"),
         )
-        .withColumn("cx", F.expr(f"x DIV {r}"))
-        .withColumn("cy", F.expr(f"y DIV {r}"))
     )
-    left = (
-        p.select(
-            F.col("id").alias("a_id"),
-            F.col("x").alias("ax"),
-            F.col("y").alias("ay"),
-            "cx",
-            "cy",
-            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
-        )
-        .select(
-            "a_id",
-            "ax",
-            "ay",
-            (F.col("cx") + F.col("dx")).alias("jx"),
-            "cy",
-            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
-        )
-        .select("a_id", "ax", "ay", "jx", (F.col("cy") + F.col("dy")).alias("jy"))
-    )
-    right = p.select(
-        F.col("id").alias("b_id"),
-        F.col("x").alias("bx"),
-        F.col("y").alias("by"),
-        F.col("cx").alias("jx"),
-        F.col("cy").alias("jy"),
-    )
-    cheb = F.greatest(F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by")))
-    cand = (
-        left.join(right, ["jx", "jy"])
-        .filter((F.col("a_id") != F.col("b_id")) & (cheb <= r))
-        .select("a_id", "b_id", cheb.alias("d"))
-    )
-    w = W.partitionBy("a_id").orderBy("d", "b_id")
-    return (
-        cand.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("a_id", "rk", "b_id", F.col("d").cast("long").alias("d"))
-    )
+    return grid_knn(p, id_col="id", x="x", y="y", radius=SPATIAL_RADIUS, k=3)

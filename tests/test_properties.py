@@ -414,3 +414,37 @@ def test_asof_nearest_matches_pandas(spark, left_rows, right_rows, tol):
         ).collect()
     )
     assert got == exp
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 200)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(1, 40),
+    st.integers(0, 30),  # cell slack above radius
+)
+def test_grid_radius_pairs_matches_bruteforce(spark, pts, radius, slack):
+    """grid_radius_pairs must find exactly the brute-force Chebyshev
+    pairs for ANY radius and any cell size >= radius (the coverage
+    proof must not depend on cell == radius)."""
+    from sfs3_kinesis_spark.operators.spatial import grid_radius_pairs
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expected = sorted(
+        (a, b, max(abs(xa - xb), abs(ya - yb)))
+        for a, xa, ya in rows
+        for b, xb, yb in rows
+        if a < b and max(abs(xa - xb), abs(ya - yb)) <= radius
+    )
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["d"])
+        for r in grid_radius_pairs(
+            df, id_col="id", x="x", y="y", radius=radius, cell=radius + slack
+        ).collect()
+    )
+    assert got == expected
