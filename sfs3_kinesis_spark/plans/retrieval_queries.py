@@ -684,3 +684,99 @@ def spatial_knn_bounded(spark: SparkSession, sf_dir: str):
         )
     )
     return grid_knn(p, id_col="id", x="x", y="y", radius=SPATIAL_RADIUS, k=3)
+
+
+DBSCAN_EPS = 25
+DBSCAN_MINPTS = 4
+
+
+def _dbscan_oracle() -> str:
+    r, m = DBSCAN_EPS, DBSCAN_MINPTS
+    return f"""
+    WITH RECURSIVE p AS (
+        SELECT event_id AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
+               user_id % 1000 AS y
+        FROM events WHERE event_type = 'error'),
+    nbr AS (
+        SELECT a.id, count(*) AS n
+        FROM p a JOIN p b
+          ON a.id <> b.id
+         AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}
+        GROUP BY a.id),
+    core AS (SELECT id, n FROM nbr WHERE n >= {m}),
+    ce AS (
+        SELECT a.id AS u, b.id AS v
+        FROM p a JOIN p b
+          ON a.id < b.id
+         AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}
+        WHERE a.id IN (SELECT id FROM core) AND b.id IN (SELECT id FROM core)),
+    und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+    reach AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT e.v AS u, r2.lbl FROM reach r2 JOIN und e ON e.u = r2.u),
+    comp AS (SELECT u AS id, min(lbl) AS cluster_rep FROM reach GROUP BY u),
+    labeled AS (
+        SELECT core.id, coalesce(comp.cluster_rep, core.id) AS cluster_rep,
+               core.n
+        FROM core LEFT JOIN comp ON comp.id = core.id)
+    SELECT id, cluster_rep, CAST(n AS BIGINT) AS n_neighbors
+    FROM labeled
+    """
+
+
+@register(
+    "spatial_dbscan_core",
+    _dbscan_oracle(),
+    tags=("spatial", "dbscan", "clustering", "iterative", "grid_join"),
+    description=(
+        "DBSCAN core-point clustering (eps=%d Chebyshev, minPts=%d): "
+        "neighbor counts and core-core edges come from the grid "
+        "radius join (operators/spatial.py — sum-of-cell-products, "
+        "never n^2), clusters from the distributed pointer-jumping "
+        "connected components (operators/dedup.py); isolated core "
+        "points cluster as themselves.  The composition every "
+        "density-clustering pipeline needs at scale, value-verified "
+        "against a DuckDB brute-force + RECURSIVE transitive-closure "
+        "oracle.  Core points only: border assignment is visit-order-"
+        "dependent in classic DBSCAN and has no deterministic oracle"
+        % (DBSCAN_EPS, DBSCAN_MINPTS)
+    ),
+)
+def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import connected_components
+    from sfs3_kinesis_spark.operators.spatial import grid_radius_pairs
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("id"),
+            (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
+            (F.col("user_id") % 1000).alias("y"),
+        )
+    )
+    pairs = grid_radius_pairs(
+        p, id_col="id", x="x", y="y", radius=DBSCAN_EPS, directed=True
+    ).persist()
+    core = (
+        pairs.groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= DBSCAN_MINPTS)
+        .select(F.col("a_id").alias("id"), "n")
+        .persist()
+    )
+    core_ids = core.select("id")
+    ce = (
+        pairs.filter(F.col("a_id") < F.col("b_id"))
+        .join(core_ids.withColumnRenamed("id", "a_id"), "a_id")
+        .join(core_ids.withColumnRenamed("id", "b_id"), "b_id")
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    comp = connected_components(ce, "doc_a", "doc_b")
+    return core.join(comp, core.id == comp.vertex, "left").select(
+        "id",
+        F.coalesce("component", "id").alias("cluster_rep"),
+        F.col("n").cast("long").alias("n_neighbors"),
+    )
