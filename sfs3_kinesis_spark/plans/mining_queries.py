@@ -1069,3 +1069,71 @@ def mine_cohort_ltv_triangle(spark: SparkSession, sf_dir: str):
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "recsys_item_cosine",
+    """
+    WITH ui AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+    co AS (
+        SELECT a.i AS i_a, b.i AS i_b, count(*) AS co
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i HAVING count(*) >= 3)
+    SELECT co.i_a, co.i_b,
+           CAST(co.co AS BIGINT) AS n_co,
+           CAST(da.n AS BIGINT) AS n_a,
+           CAST(db.n AS BIGINT) AS n_b,
+           CAST((10000 * co.co * co.co) // (da.n * db.n) AS BIGINT) AS cosine2_bp
+    FROM co JOIN deg da ON da.i = co.i_a JOIN deg db ON db.i = co.i_b
+    ORDER BY cosine2_bp DESC, i_a, i_b LIMIT 50
+    """,
+    tags=("recsys", "similarity", "cooccurrence", "exact_arithmetic"),
+    description=(
+        "item-item collaborative-filtering similarity: cosine over "
+        "binary user-item vectors, reported as SQUARED cosine in "
+        "basis points (co^2 / (n_a * n_b)) so the ranking is exact "
+        "integer arithmetic — sqrt never enters, and the top-50 "
+        "order is bit-stable across engines.  The min-support HAVING "
+        "prunes the co-occurrence pair table before the degree "
+        "join-back (Apriori-style), and the user-key self-join is "
+        "the only data-sized shuffle — the classic scalable "
+        "item-item recommender precompute"
+    ),
+)
+def recsys_item_cosine(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("u")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("i")
+    )
+    ui = o.join(li, "okey").select("u", "i").distinct()
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        ui.alias("a")
+        .join(ui.alias("b"), (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i_a"), F.col("b.i").alias("i_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    da = deg.select(F.col("i").alias("i_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("i").alias("i_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(da, "i_a")
+        .join(db, "i_b")
+        .select(
+            "i_a",
+            "i_b",
+            F.col("co").cast("long").alias("n_co"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST((10000 * co * co) DIV (n_a * n_b) AS BIGINT)").alias(
+                "cosine2_bp"
+            ),
+        )
+        .orderBy(F.desc("cosine2_bp"), "i_a", "i_b")
+        .limit(50)
+    )
