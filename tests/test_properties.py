@@ -448,3 +448,57 @@ def test_grid_radius_pairs_matches_bruteforce(spark, pts, radius, slack):
         ).collect()
     )
     assert got == expected
+
+
+@_slow
+@given(
+    st.lists(  # rows: (key, order_value, payload) with heavy key ties
+        st.tuples(st.integers(0, 2), st.integers(0, 5), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),  # k
+)
+def test_salted_window_topk_equals_plain_window(spark, rows, k):
+    """salted_window_topk must return exactly the single-window
+    row_number()<=k rows for any data — provided the order is total
+    (payload makes it total here), including heavy duplicate keys."""
+    from pyspark.sql import Window
+
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    df = spark.createDataFrame(rows, "key bigint, v bigint, p bigint").dropDuplicates(
+        ["key", "v", "p"]
+    )
+    order = [F.desc("v"), F.asc("p")]
+    w = Window.partitionBy("key").orderBy(*order)
+    plain = {
+        (r["key"], r["v"], r["p"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    salted = {
+        (r["key"], r["v"], r["p"], r["rnk"])
+        for r in salted_window_topk(df, "key", order, k=k, salt=4).collect()
+    }
+    assert salted == plain
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_salted_groupby_count_equals_plain(spark, rows):
+    """Two-phase salted counting must equal the plain groupBy count
+    on arbitrary skewed keys."""
+    from sfs3_kinesis_spark.operators.scale import salted_groupby_count
+
+    df = spark.createDataFrame(rows, "key bigint, v bigint")
+    plain = {(r["key"], r["count"]) for r in df.groupBy("key").count().collect()}
+    salted = {(r["key"], r["n"]) for r in salted_groupby_count(df, "key").collect()}
+    assert salted == plain
