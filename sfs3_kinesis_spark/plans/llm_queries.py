@@ -1680,3 +1680,116 @@ def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str):
             "CAST((10000 * count(CASE WHEN n > 1 THEN 1 END)) DIV count(1) AS BIGINT)"
         ).alias("dup_bp"),
     )
+
+
+IVF_SEL_K = 8          # seed cells
+IVF_SEL_TOPK = 5
+IVF_SEL_QUERY_MAX = 5  # vec_id < this => query side
+
+
+def _ivf_selective_oracle(
+    k: int = IVF_SEL_K,
+    topk: int = IVF_SEL_TOPK,
+    qmax: int = IVF_SEL_QUERY_MAX,
+    dim: int = KMEANS_DIM,
+    scale: int = KMEANS_SCALE,
+) -> str:
+    """Selective IVF probe unrolled in SQL: same exploded-coordinate
+    seed-cell assignment as the SemDeDup oracle (chk errors on a
+    fixture dim change), then candidates ONLY from the query's own
+    nearest cell, ranked by exact integer dot product."""
+    return f"""
+    WITH chk AS (
+      SELECT CASE WHEN min(len(embedding)) = {dim}
+                   AND max(len(embedding)) = {dim} THEN 1
+             ELSE CAST(error('embeddings dim <> {dim}') AS INT) END AS ok
+      FROM embeddings),
+    v AS (
+      SELECT vec_id AS id, r.i AS idx,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS val
+      FROM embeddings, range(1, {dim + 1}) r(i), chk WHERE chk.ok = 1),
+    seed AS (
+      SELECT vec_id AS id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    c0 AS (SELECT seed.cell, v.idx, v.val AS cval FROM seed JOIN v ON v.id = seed.id),
+    d AS (SELECT v.id, c.cell, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+          FROM v JOIN c0 c ON v.idx = c.idx GROUP BY v.id, c.cell),
+    a AS (SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM d) s WHERE rn = 1),
+    qa AS (SELECT id, cell FROM a WHERE id < {qmax}),
+    ca AS (SELECT id, cell FROM a WHERE id >= {qmax}),
+    dots AS (
+      SELECT q.id AS query_id, c.id AS cand_id, q.cell AS cell,
+             sum(vq.val * vc.val) AS dot
+      FROM qa q JOIN ca c ON q.cell = c.cell
+      JOIN v vq ON vq.id = q.id
+      JOIN v vc ON vc.id = c.id AND vc.idx = vq.idx
+      GROUP BY q.id, c.id, q.cell)
+    SELECT query_id, cand_id, CAST(cell AS BIGINT) AS cell,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk,
+           CAST(dot AS BIGINT) AS dot
+    FROM dots
+    QUALIFY rnk <= {topk}
+    """
+
+
+@register(
+    "similarity_ivf_selective",
+    _ivf_selective_oracle(),
+    tags=("similarity", "ivf", "ann", "topk", "exact_arithmetic"),
+    description=(
+        "SELECTIVE IVF probe value-verified end to end (n_probe=1, "
+        "the actual ANN pruning path — similarity_ivf_topk verifies "
+        "only the exhaustive degenerate case): corpus and queries "
+        "share the deterministic seed-cell map on the exact integer "
+        "grid, each query scans ONLY its own nearest cell, and "
+        "candidates rank by exact integer dot product so the top-%d "
+        "per query is bit-stable.  Candidate scan cost is |one "
+        "cell|, not |corpus| — the selectivity that makes IVF an "
+        "index; the Arrow-batched argmin assignment is the same "
+        "kernel k-means uses"
+        % IVF_SEL_TOPK
+    ),
+)
+def similarity_ivf_selective(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.similarity import _assign_cells, _quantized
+
+    emb = t(spark, sf_dir, "embeddings")
+    dfv = _quantized(emb, "embedding", "vec_id", KMEANS_SCALE)
+    seeds = dfv.orderBy("id").limit(IVF_SEL_K).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(seeds)]
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cell long, rnk long, dot long"
+        )
+    assigned = _assign_cells(dfv, cents).select("id", "vi", "cell")
+    q = assigned.filter(F.col("id") < IVF_SEL_QUERY_MAX).select(
+        F.col("id").alias("query_id"), F.col("vi").alias("qv"), "cell"
+    )
+    c = assigned.filter(F.col("id") >= IVF_SEL_QUERY_MAX).select(
+        F.col("id").alias("cand_id"), F.col("vi").alias("cv"), "cell"
+    )
+    dots = q.join(c, "cell").select(
+        "query_id",
+        "cand_id",
+        "cell",
+        F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (s, x) -> s + x)").alias(
+            "dot"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), "cand_id")
+    return (
+        dots.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= IVF_SEL_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cell").cast("long").alias("cell"),
+            "rnk",
+            F.col("dot").cast("long").alias("dot"),
+        )
+    )
