@@ -1151,17 +1151,16 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
     )
 
 
-def _cluster_exact_oracle() -> str:
-    """Connected components as a recursive transitive closure over
-    the md5-exact near-dup pair graph: every (node, label) pair where
-    label's node reaches it, then min(label) per node — the SQL
-    fixpoint twin of the engine's iterative min-label propagation
-    (``operators/dedup.py:connected_components``).  Quadratic in
-    cluster size, fine at oracle scale; the engine's propagation is
-    the corpus-scale path."""
-    return f"""
-    WITH RECURSIVE {_mhx_ctes()},
-    prs AS (
+def _cc_ctes() -> str:
+    """Recursive transitive-closure CTE chain over the md5-exact
+    near-dup pair graph (appended after ``_mhx_ctes()``): every
+    (node, label) pair where label's node reaches it, then min(label)
+    per node — the SQL fixpoint twin of the engine's iterative
+    min-label propagation (``operators/dedup.py:
+    connected_components``).  Quadratic in cluster size, fine at
+    oracle scale; shared by the clustering AND leakage-safe-split
+    oracles so they can never drift."""
+    return f"""prs AS (
       SELECT doc_a, doc_b FROM verified
       WHERE inter * 10000 // uni >= {_MHX_THRESH_BP}),
     und AS (
@@ -1171,7 +1170,13 @@ def _cluster_exact_oracle() -> str:
       SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM und)
       UNION
       SELECT e.v AS u, r.lbl FROM reach r JOIN und e ON e.u = r.u),
-    comp AS (SELECT u AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY u),
+    comp AS (SELECT u AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY u)"""
+
+
+def _cluster_exact_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_mhx_ctes()},
+    {_cc_ctes()},
     sz AS (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY cluster_rep)
     SELECT comp.doc_id, comp.cluster_rep,
            CAST(sz.n AS BIGINT) AS cluster_size,
@@ -1792,4 +1797,53 @@ def similarity_ivf_selective(spark: SparkSession, sf_dir: str):
             "rnk",
             F.col("dot").cast("long").alias("dot"),
         )
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from sfs3_kinesis_spark.operators.sampling import hash_sql
+
+    bkt = f"({hash_sql('cluster_rep')}) % 100"
+    return f"""
+    WITH RECURSIVE {_mhx_ctes()},
+    {_cc_ctes()},
+    rep AS (
+      SELECT d.doc_id, coalesce(comp.cluster_rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN {bkt} < 80 THEN 'train'
+                WHEN {bkt} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    """
+
+
+@register(
+    "sample_split_leakage_safe",
+    _leakage_safe_split_oracle(),
+    tags=("sampling", "split", "dedup", "leakage_safe", "clustering"),
+    description=(
+        "leakage-safe train/val/test split: the split key is the "
+        "near-dup CLUSTER representative, not the document — so two "
+        "near-duplicates can never land on opposite sides of the "
+        "train/test boundary (the eval-contamination failure mode "
+        "plain per-doc hashing has).  Composes the md5 MinHash+LSH "
+        "pair graph, distributed connected components, and the "
+        "deterministic hash split; singletons split by their own id; "
+        "value-verified end to end against the recursive-closure + "
+        "hash oracle"
+    ),
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import connected_components
+    from sfs3_kinesis_spark.operators.sampling import split_assign
+
+    pairs = dedup_minhash_exact(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(comp, docs.doc_id == comp.vertex, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_rep")
+    )
+    return split_assign(rep, F.col("cluster_rep")).select(
+        "doc_id", "cluster_rep", "split"
     )
