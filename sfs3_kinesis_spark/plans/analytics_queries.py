@@ -736,3 +736,64 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str):
         F.col("wau").cast("long").alias("wau"),
         F.expr("CAST((10000 * dau) DIV wau AS BIGINT)").alias("stickiness_bp"),
     )
+
+
+@register(
+    "cohort_dn_retention",
+    """
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events GROUP BY user_id, d),
+    fs AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+    flags AS (
+        SELECT fs.d0, fs.user_id,
+               max(CASE WHEN ud.d = fs.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN ud.d = fs.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+               max(CASE WHEN ud.d = fs.d0 + 14 THEN 1 ELSE 0 END) AS r14
+        FROM fs JOIN ud USING (user_id) GROUP BY fs.d0, fs.user_id)
+    SELECT CAST(d0 AS BIGINT) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS d1_retained,
+           CAST(sum(r7) AS BIGINT) AS d7_retained,
+           CAST(sum(r14) AS BIGINT) AS d14_retained,
+           CAST((10000 * sum(r1)) // count(*) AS BIGINT) AS d1_bp,
+           CAST((10000 * sum(r7)) // count(*) AS BIGINT) AS d7_bp,
+           CAST((10000 * sum(r14)) // count(*) AS BIGINT) AS d14_bp
+    FROM flags GROUP BY d0
+    """,
+    tags=("analytics", "retention", "cohort", "growth", "exact_arithmetic"),
+    description=(
+        "classic Dn retention (D1/D7/D14): per daily cohort, the "
+        "exact fraction of users active exactly N days after their "
+        "first-seen day, in basis points — the bounded-boundary twin "
+        "of the open-ended weekly retention matrix (exact-day return "
+        "is the industry definition for D1/D7).  The user-day table "
+        "joins its own first-seen map on the user key; everything "
+        "else is conditional aggregation on epoch-day integers"
+    ),
+)
+def cohort_dn_retention(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    flags = (
+        ud.join(fs, "user_id")
+        .groupBy("d0", "user_id")
+        .agg(
+            F.max(F.when(F.col("d") == F.col("d0") + 1, 1).otherwise(0)).alias("r1"),
+            F.max(F.when(F.col("d") == F.col("d0") + 7, 1).otherwise(0)).alias("r7"),
+            F.max(F.when(F.col("d") == F.col("d0") + 14, 1).otherwise(0)).alias("r14"),
+        )
+    )
+    return flags.groupBy(F.col("d0").cast("long").alias("cohort_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("d1_retained"),
+        F.sum("r7").cast("long").alias("d7_retained"),
+        F.sum("r14").cast("long").alias("d14_retained"),
+        F.expr("CAST((10000 * sum(r1)) DIV count(1) AS BIGINT)").alias("d1_bp"),
+        F.expr("CAST((10000 * sum(r7)) DIV count(1) AS BIGINT)").alias("d7_bp"),
+        F.expr("CAST((10000 * sum(r14)) DIV count(1) AS BIGINT)").alias("d14_bp"),
+    )
