@@ -1549,3 +1549,66 @@ def events_disorder_audit(spark: SparkSession, sf_dir: str):
         F.max(F.when(late, F.col("runmax") - F.col("us"))).cast("long").alias("max_lateness_us"),
         F.sum(F.when(late, F.col("runmax") - F.col("us")).otherwise(0)).cast("long").alias("sum_lateness_us"),
     )
+
+
+@register(
+    "events_slo_burn_rate",
+    """
+    WITH h AS (
+        SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('hour', ts)) AS hr,
+               count(*) AS n,
+               count(*) FILTER (WHERE event_type = 'error') AS errs
+        FROM events GROUP BY 1),
+    c AS (
+        SELECT hr, n, errs,
+               sum(n) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS cn,
+               sum(errs) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS cerrs
+        FROM h)
+    SELECT CAST(hr AS BIGINT) AS hour_idx,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(errs AS BIGINT) AS n_errors,
+           CAST((1000000 * errs) // n AS BIGINT) AS error_ppm,
+           CAST((1000000 * cerrs) // cn AS BIGINT) AS cum_error_ppm,
+           CAST(CASE WHEN 5 * errs * 100 > n THEN 1 ELSE 0 END AS BIGINT)
+               AS burn_alert
+    FROM c
+    """,
+    tags=("events", "slo", "data_ops", "window", "exact_arithmetic"),
+    description=(
+        "SLO error-budget burn-rate audit: per hour the error rate in "
+        "ppm, the cumulative rate since epoch start, and a burn alert "
+        "when the hourly rate exceeds 5x a 0.2%% budget — the integer "
+        "comparison 5*errs*100 > n, no float thresholds.  The hourly "
+        "rollup is the only data-sized aggregate (map-side combined); "
+        "the prefix sums run over |hours| rows.  The SRE-side twin of "
+        "the freshness SLA audit"
+    ),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr(
+            "CAST((unix_micros(date_trunc('hour', ts))) DIV 3600000000 AS BIGINT)"
+        ).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errs"),
+    )
+    wo = W.orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    c = h.withColumn("cn", F.sum("n").over(wo)).withColumn(
+        "cerrs", F.sum("errs").over(wo)
+    )
+    return c.select(
+        F.col("hr").cast("long").alias("hour_idx"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("errs").cast("long").alias("n_errors"),
+        F.expr("CAST((1000000 * errs) DIV n AS BIGINT)").alias("error_ppm"),
+        F.expr("CAST((1000000 * cerrs) DIV cn AS BIGINT)").alias("cum_error_ppm"),
+        F.when(5 * F.col("errs") * 100 > F.col("n"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("burn_alert"),
+    )
