@@ -1612,3 +1612,50 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("burn_alert"),
     )
+
+
+@register(
+    "scalar_collation_groupby",
+    """
+    WITH s AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS et,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events)
+    SELECT lower(et) AS event_type_ci,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM s GROUP BY lower(et)
+    """,
+    tags=("scalar", "collation", "string", "agg"),
+    description=(
+        "collation-aware aggregation (Spark 4 collations): the fact "
+        "table carries mixed-case keys (half upper-cased here to "
+        "force the collision) and groups under UTF8_LCASE collation — "
+        "the engine-level case-insensitive grouping that replaces "
+        "scattering lower() into every query; the emitted key is "
+        "case-folded so both engines agree bit-for-bit.  The collated "
+        "group-by shuffles on the collation-aware key exactly like a "
+        "binary key (no pre-normalization projection needed)"
+    ),
+)
+def scalar_collation_groupby(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    s = e.select(
+        F.expr(
+            "CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END"
+        ).alias("et"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    return (
+        s.groupBy(F.expr("collate(et, 'UTF8_LCASE')").alias("etc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .select(
+            F.lower(F.col("etc")).cast("string").alias("event_type_ci"),
+            "n_events",
+            "cents_sum",
+        )
+    )
