@@ -502,3 +502,41 @@ def test_salted_groupby_count_equals_plain(spark, rows):
     plain = {(r["key"], r["count"]) for r in df.groupBy("key").count().collect()}
     salted = {(r["key"], r["n"]) for r in salted_groupby_count(df, "key").collect()}
     assert salted == plain
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4),     # n_buckets
+    st.integers(64, 1024),  # capacity
+)
+def test_pack_shards_invariants(spark, rows, n_buckets, capacity):
+    """pack_shards on arbitrary (id, n_tokens): every doc lands in
+    exactly one (bucket, shard); within a bucket the tokens BEFORE a
+    shard's first doc are a multiple-free fill (shard_id == floor of
+    cumulative-before / capacity, so shard boundaries are exactly the
+    capacity grid in the deterministic hash order)."""
+    from sfs3_kinesis_spark.operators.sampling import HASH_MOD, HASH_MULT, HASH_OFFSET, pack_shards
+
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = pack_shards(df, F.col("doc_id"), "n_tokens", n_buckets=n_buckets, capacity=capacity).collect()
+    assert len(out) == len(rows)  # totality: no row lost or duplicated
+    assert {r["doc_id"] for r in out} == {i for i, _ in rows}
+    # recompute the reference packing driver-side in the same order
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, members in by_bucket.items():
+        members.sort(
+            key=lambda r: ((r["doc_id"] * HASH_MULT + HASH_OFFSET) % HASH_MOD, r["doc_id"])
+        )
+        cum = 0
+        for r in members:
+            assert (r["doc_id"] * HASH_MULT + HASH_OFFSET) % HASH_MOD % n_buckets == bucket
+            assert r["shard_id"] == cum // capacity, (bucket, r)
+            cum += r["n_tokens"]
