@@ -540,3 +540,43 @@ def test_pack_shards_invariants(spark, rows, n_buckets, capacity):
             assert (r["doc_id"] * HASH_MULT + HASH_OFFSET) % HASH_MOD % n_buckets == bucket
             assert r["shard_id"] == cum // capacity, (bucket, r)
             cum += r["n_tokens"]
+
+
+@_slow
+@given(
+    st.lists(  # (doc_id, stratum 0..3)
+        st.tuples(st.integers(0, 10**6), st.integers(0, 3)),
+        min_size=2,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_temperature_resample_invariants(spark, rows):
+    """temperature_resample on arbitrary strata: output is a subset
+    of the input with the input schema, EVERY row of the smallest
+    stratum survives (keep probability 1), membership is
+    deterministic (two runs agree), and no stratum over-retains
+    (observed keep count <= ceil expectation bound is NOT asserted —
+    hash noise — but the minority-keeps-all and subset properties
+    are exact)."""
+    from sfs3_kinesis_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(rows, "doc_id bigint, lang bigint")
+    out1 = temperature_resample(df, F.col("doc_id"), "lang")
+    assert out1.columns == df.columns
+    got1 = {(r["doc_id"], r["lang"]) for r in out1.collect()}
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_resample(df, F.col("doc_id"), "lang").collect()
+    }
+    assert got1 == got2  # deterministic under re-execution
+    allrows = set(rows)
+    assert got1 <= allrows  # pure subset, no fabricated rows
+    from collections import Counter
+
+    sizes = Counter(l for _, l in rows)
+    min_size = min(sizes.values())
+    minority = {l for l, n in sizes.items() if n == min_size}
+    for d, l in rows:
+        if l in minority:
+            assert (d, l) in got1, ("minority row dropped", d, l)
