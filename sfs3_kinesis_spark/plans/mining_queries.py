@@ -1137,3 +1137,78 @@ def recsys_item_cosine(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("cosine2_bp"), "i_a", "i_b")
         .limit(50)
     )
+
+
+@register(
+    "mine_abc_classification",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey),
+    r AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cents) OVER () AS tot
+        FROM pr),
+    cls AS (
+        SELECT l_partkey, cents,
+               CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                    WHEN 20 * cum <= 19 * tot THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM r)
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST((10000 * sum(cents)) // (SELECT sum(cents) FROM pr) AS BIGINT)
+               AS revenue_share_bp
+    FROM cls GROUP BY abc
+    """,
+    tags=("mining", "abc", "concentration", "exact_arithmetic"),
+    description=(
+        "ABC revenue classification (the inventory-management 80/15/5 "
+        "split): parts ranked by exact-cent revenue, class boundaries "
+        "as pure integer comparisons (5*cum <= 4*tot for A, "
+        "20*cum <= 19*tot for A+B) over prefix sums — no percentage "
+        "doubles, so class membership is bit-stable under ties "
+        "(part-key tiebreak).  The ranking runs over the PART rollup "
+        "(dimension-sized), never line items; the class summary is a "
+        "3-row aggregate"
+    ),
+)
+def mine_abc_classification(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    wo = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.partitionBy()
+    r = pr.withColumn("cum", F.sum("cents").over(wo)).withColumn(
+        "tot", F.sum("cents").over(wa)
+    )
+    cls = r.withColumn(
+        "abc",
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C"),
+    )
+    tot = pr.agg(F.sum("cents").alias("gt"))
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_parts",
+            "revenue_cents",
+            F.expr("CAST((10000 * revenue_cents) DIV gt AS BIGINT)").alias(
+                "revenue_share_bp"
+            ),
+        )
+    )
