@@ -1847,3 +1847,57 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str):
     return split_assign(rep, F.col("cluster_rep")).select(
         "doc_id", "cluster_rep", "split"
     )
+
+
+@register(
+    "multimodal_dedup_binary",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               sha256(text) AS dg,
+               octet_length(encode(text)) AS byte_len
+        FROM documents)
+    SELECT dg AS sha_256,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(media_id) AS BIGINT) AS keeper_media_id,
+           CAST(max(byte_len) AS BIGINT) AS byte_len,
+           CAST((count(*) - 1) * max(byte_len) AS BIGINT) AS reclaimable_bytes
+    FROM m GROUP BY dg HAVING count(*) > 1
+    """,
+    tags=("multimodal", "dedup", "binary", "exact"),
+    description=(
+        "exact dedup over OPAQUE BINARY media payloads: group on the "
+        "sha-256 content digest (computed JVM-side, codec-free — the "
+        "one dedup that works on any modality before a single byte "
+        "is decoded), elect the minimum id as keeper, and report the "
+        "bytes reclaimable by deleting the copies.  Only 32-byte "
+        "digests enter the shuffle, never payloads — at 100 TB this "
+        "is the first pass of every media-corpus ingest; byte_len is "
+        "constant within a digest group by construction"
+    ),
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.multimodal import (
+        documents_as_media,
+        with_binary_metadata,
+    )
+
+    m = with_binary_metadata(documents_as_media(t(spark, sf_dir, "documents")))
+    return (
+        m.groupBy(F.col("sha256").alias("sha_256"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").cast("long").alias("keeper_media_id"),
+            F.max("byte_len").cast("long").alias("byte_len"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "sha_256",
+            "n_copies",
+            "keeper_media_id",
+            "byte_len",
+            ((F.col("n_copies") - 1) * F.col("byte_len"))
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+    )
