@@ -195,3 +195,36 @@ def test_corrupt_parquet_file_skipped_when_configured(spark, tmp_path):
         assert sorted(r["a"] for r in rows) == [1, 2, 3]
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_results_partitioning_independent(spark):
+    """The exact-arithmetic corpus claims results are independent of
+    partitioning (associative integer math, total-order tiebreaks).
+    Re-run a representative slice in a child session with a prime,
+    much smaller shuffle-partition count and hash-compare against the
+    DuckDB oracle — a pass under BOTH partitionings means the values
+    cannot depend on partial-aggregation order."""
+    from sfs3_kinesis_spark.plans import REGISTRY
+    from tests.oracle import compare, duck_connection
+
+    alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "5")
+    sf = "/root/testdata/sf0.001"
+    con = duck_connection(sf)
+    try:
+        for name in [
+            "q01_pricing_summary",
+            "agg_median_exact",
+            "events_zscore_anomalies",
+            "mine_change_point",
+            "cluster_kmeans_lloyd",
+            "retrieval_rrf_hybrid",
+            "mine_rfm_segmentation",
+            "spatial_grid_neighbors",
+            "window_salted_topk",
+            "mine_lorenz_concentration",
+        ]:
+            ok, detail = compare(REGISTRY[name].spark(alt, sf), con, REGISTRY[name].oracle)
+            assert ok, f"{name} under shuffle.partitions=5: {detail}"
+    finally:
+        con.close()
