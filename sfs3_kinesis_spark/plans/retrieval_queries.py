@@ -780,3 +780,116 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
         F.coalesce("component", "id").alias("cluster_rep"),
         F.col("n").cast("long").alias("n_neighbors"),
     )
+
+
+@register(
+    "text_term_burstiness",
+    """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    s AS (
+        SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tk GROUP BY term)
+    SELECT term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           CAST((100 * tf) // df AS BIGINT) AS burstiness_x100
+    FROM s WHERE df >= 10
+    ORDER BY burstiness_x100 DESC, term LIMIT 30
+    """,
+    tags=("text", "burstiness", "corpus_stats", "retrieval"),
+    description=(
+        "term burstiness (Church & Gale: mean occurrences per "
+        "containing document, x100 integer): separates topical terms "
+        "(bursty — many repeats once a doc mentions them) from "
+        "function words (evenly spread), the signal behind tf "
+        "saturation in ranking functions.  One term-key aggregate "
+        "with a multi-distinct pass; top-30 under a total order"
+    ),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str):
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    s = tk.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        s.filter(F.col("df") >= 10)
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.expr("CAST((100 * tf) DIV df AS BIGINT)").alias("burstiness_x100"),
+        )
+        .orderBy(F.desc("burstiness_x100"), "term")
+        .limit(30)
+    )
+
+
+NEG_RARE_DF = 25  # rare-token blocking bound for hard-negative mining
+
+
+@register(
+    "sample_hard_negatives",
+    f"""
+    WITH tk AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    rare AS (
+        SELECT term FROM tk GROUP BY term
+        HAVING count(*) <= {NEG_RARE_DF}),
+    rt AS (SELECT tk.doc_id, tk.term FROM tk JOIN rare USING (term)),
+    q AS (SELECT doc_id, term FROM rt WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id, term FROM rt WHERE doc_id % 50 <> 0),
+    shared AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neg_id, count(*) AS n_shared
+        FROM q JOIN c USING (term)
+        GROUP BY q.doc_id, c.doc_id),
+    rk AS (
+        SELECT query_id, neg_id, n_shared,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_shared DESC, neg_id) AS rk
+        FROM shared)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neg_id,
+           CAST(n_shared AS BIGINT) AS n_shared
+    FROM rk WHERE rk <= 3
+    """,
+    tags=("sampling", "hard_negatives", "retrieval", "training_data"),
+    description=(
+        "hard-negative mining for retrieval training: each query "
+        "document's top-3 most lexically confusable OTHER documents "
+        "(shared RARE-token count, df <= %d blocking — the same "
+        "rare-token pruning as the prefix-filter similarity join, "
+        "which is what keeps the token join from exploding on "
+        "stopword-frequency terms at corpus scale).  The negatives a "
+        "contrastive dual-encoder is trained against; exact integer "
+        "counts, (count DESC, id) total order"
+        % NEG_RARE_DF
+    ),
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str):
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    rare = tk.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= NEG_RARE_DF
+    ).select("term")
+    rt = tk.join(F.broadcast(rare), "term")
+    q = rt.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    c = rt.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("neg_id"), "term"
+    )
+    shared = q.join(c, "term").groupBy("query_id", "neg_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("n_shared"), "neg_id")
+    return (
+        shared.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "neg_id", F.col("n_shared").cast("long").alias("n_shared"))
+    )
