@@ -1659,3 +1659,64 @@ def scalar_collation_groupby(spark: SparkSession, sf_dir: str):
             "cents_sum",
         )
     )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM events GROUP BY user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))),
+    pts AS (
+        SELECT start_us AS us, 1 AS delta FROM s
+        UNION ALL SELECT end_us + 1 AS us, -1 AS delta FROM s),
+    sweep AS (
+        SELECT us,
+               sum(sum(delta)) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+                   AS concurrency
+        FROM pts GROUP BY us)
+    SELECT CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN concurrency = (SELECT max(concurrency) FROM sweep)
+                         THEN us END) AS BIGINT) AS first_peak_us,
+           CAST(count(*) AS BIGINT) AS n_change_points
+    FROM sweep
+    """,
+    tags=("events", "sweep_line", "concurrency", "window", "exact_arithmetic"),
+    description=(
+        "peak concurrency via the sweep line: each user-day activity "
+        "interval emits +1 at start and -1 just after end, the "
+        "running sum over event-ordered change points is the exact "
+        "concurrent-interval count, and its max is the capacity-"
+        "planning number (first time it is reached reported in epoch "
+        "micros).  Change points collapse by timestamp BEFORE the "
+        "running sum (one aggregate), so the window runs over "
+        "|distinct endpoints| rows; the +1/-1 trick is the standard "
+        "O(n log n) replacement for interval self-joins"
+    ),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    pts = s.select(F.col("start_us").alias("us"), F.lit(1).alias("delta")).unionByName(
+        s.select((F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    grouped = pts.groupBy("us").agg(F.sum("delta").alias("dsum"))
+    wo = W.orderBy("us").rowsBetween(W.unboundedPreceding, 0)
+    sweep = grouped.withColumn("concurrency", F.sum("dsum").over(wo))
+    wa = W.partitionBy()
+    peak = sweep.withColumn("pk", F.max("concurrency").over(wa))
+    return peak.agg(
+        F.max("concurrency").cast("long").alias("peak_concurrency"),
+        F.min(F.when(F.col("concurrency") == F.col("pk"), F.col("us")))
+        .cast("long")
+        .alias("first_peak_us"),
+        F.count(F.lit(1)).cast("long").alias("n_change_points"),
+    )

@@ -893,3 +893,65 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") <= 3)
         .select("query_id", "rk", "neg_id", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+@register(
+    "text_tv_distance_sources",
+    """
+    WITH tk AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE source IN ('src0', 'src1')),
+    c AS (
+        SELECT term,
+               count(*) FILTER (WHERE source = 'src0') AS a,
+               count(*) FILTER (WHERE source = 'src1') AS b
+        FROM tk GROUP BY term),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM c)
+    SELECT CAST(tot.na AS BIGINT) AS n_tokens_a,
+           CAST(tot.nb AS BIGINT) AS n_tokens_b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST((10000 * sum(abs(c.a * tot.nb - c.b * tot.na)))
+                // (2 * tot.na * tot.nb) AS BIGINT) AS tv_distance_bp
+    FROM c, tot GROUP BY tot.na, tot.nb
+    """,
+    tags=("text", "distribution_distance", "drift", "exact_arithmetic"),
+    description=(
+        "total-variation distance between two sources' term "
+        "distributions (the exact-integer stand-in for JS/KL "
+        "divergence, whose log() is not cross-engine bit-stable): "
+        "TV = sum|p_i - q_i|/2 cross-multiplied to "
+        "sum|a_i*Nb - b_i*Na| / (2*Na*Nb) in basis points — 0 = "
+        "identical vocabularies, 10000 = disjoint.  The corpus-"
+        "mixture similarity check run before weighting sources; one "
+        "term-key aggregate plus a 1-row total broadcast"
+    ),
+)
+def text_tv_distance_sources(spark: SparkSession, sf_dir: str):
+    tk = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+    )
+    c = tk.groupBy("term").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("a"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("b"),
+    )
+    tot = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    return (
+        c.join(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.abs(F.col("a") * F.col("nb") - F.col("b") * F.col("na"))).alias(
+                "sabs"
+            ),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_tokens_a"),
+            F.col("nb").cast("long").alias("n_tokens_b"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.expr("CAST((10000 * sabs) DIV (2 * na * nb) AS BIGINT)").alias(
+                "tv_distance_bp"
+            ),
+        )
+    )
