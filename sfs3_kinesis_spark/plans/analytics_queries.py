@@ -797,3 +797,64 @@ def cohort_dn_retention(spark: SparkSession, sf_dir: str):
         F.expr("CAST((10000 * sum(r7)) DIV count(1) AS BIGINT)").alias("d7_bp"),
         F.expr("CAST((10000 * sum(r14)) DIV count(1) AS BIGINT)").alias("d14_bp"),
     )
+
+
+@register(
+    "mine_churn_hazard",
+    """
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events GROUP BY user_id, d),
+    span AS (
+        SELECT user_id, min(d) AS d0, max(d) - min(d) AS last_age
+        FROM ud GROUP BY user_id),
+    ages AS (
+        SELECT user_id, last_age, unnest(range(0, last_age + 1)) AS age
+        FROM span),
+    lt AS (
+        SELECT age,
+               count(*) AS n_at_risk,
+               count(*) FILTER (WHERE age = last_age) AS n_churned
+        FROM ages GROUP BY age)
+    SELECT CAST(age AS BIGINT) AS age_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_last_seen,
+           CAST((10000 * n_churned) // n_at_risk AS BIGINT) AS hazard_bp
+    FROM lt
+    """,
+    tags=("analytics", "survival", "churn", "life_table", "exact_arithmetic"),
+    description=(
+        "churn life table (the count layer of a Kaplan-Meier "
+        "estimator): per lifetime age in days, how many users were "
+        "still inside their observed activity span (at risk) and how "
+        "many were last seen exactly at that age, with the discrete "
+        "hazard in exact basis points — survival products are "
+        "derived downstream; only exact counts and one truncating "
+        "division materialize here, so engines agree bit-for-bit.  "
+        "Each user explodes to their lifespan in days (bounded by "
+        "the observation window) and a single age-key aggregate "
+        "builds the table"
+    ),
+)
+def mine_churn_hazard(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    span = ud.groupBy("user_id").agg(
+        (F.max("d") - F.min("d")).alias("last_age")
+    )
+    ages = span.select(
+        "last_age", F.explode(F.expr("sequence(0, last_age)")).alias("age")
+    )
+    lt = ages.groupBy("age").agg(
+        F.count(F.lit(1)).alias("n_at_risk"),
+        F.count(F.when(F.col("age") == F.col("last_age"), 1)).alias("n_churned"),
+    )
+    return lt.select(
+        F.col("age").cast("long").alias("age_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_last_seen"),
+        F.expr("CAST((10000 * n_churned) DIV n_at_risk AS BIGINT)").alias("hazard_bp"),
+    )
