@@ -1901,3 +1901,53 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str):
             .alias("reclaimable_bytes"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT lang,
+             len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x)))                    AS n_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x)))  AS n_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht'], x))) AS n_de
+      FROM d),
+    pred AS (
+      SELECT lang AS label_lang,
+             CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en > 0 THEN 'en'
+                  WHEN n_es >= n_de AND n_es > 0 THEN 'es'
+                  WHEN n_de > 0 THEN 'de'
+                  ELSE 'und' END AS detected_lang
+      FROM scored)
+    SELECT label_lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN label_lang = detected_lang THEN 1 ELSE 0 END AS BIGINT)
+               AS is_correct
+    FROM pred GROUP BY label_lang, detected_lang
+    """,
+    tags=("text", "lang_id", "quality", "confusion_matrix"),
+    description=(
+        "language-ID confusion matrix: the stopword-vote classifier's "
+        "predictions crossed against the corpus's labeled lang column "
+        "— the accuracy audit every heuristic classifier needs before "
+        "it gates corpus filtering (per-cell counts + diagonal flag; "
+        "precision/recall derive downstream from exact counts).  "
+        "Row-local scoring fused into the scan, one tiny group-by"
+    ),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str):
+    d = with_lang_id(t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy(F.col("lang").alias("label_lang"), "detected_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "label_lang",
+            "detected_lang",
+            "n_docs",
+            F.when(F.col("label_lang") == F.col("detected_lang"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_correct"),
+        )
+    )
