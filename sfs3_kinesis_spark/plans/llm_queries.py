@@ -1951,3 +1951,52 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str):
             .alias("is_correct"),
         )
     )
+
+
+@register(
+    "quality_embedding_norms",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {KMEANS_SCALE} + 0.5) AS BIGINT)
+                        * CAST(floor(x * {KMEANS_SCALE} + 0.5) AS BIGINT)))
+                   AS norm2
+        FROM embeddings),
+    b AS (SELECT vec_id, norm2, norm2 // 100000000 AS bucket FROM q)
+    SELECT CAST(bucket AS BIGINT) AS norm2_bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(norm2) AS BIGINT) AS min_norm2,
+           CAST(max(norm2) AS BIGINT) AS max_norm2,
+           CAST(count(*) FILTER (WHERE norm2 = 0) AS BIGINT) AS n_zero
+    FROM b GROUP BY bucket
+    """,
+    tags=("quality", "embeddings", "similarity", "data_ops", "exact_arithmetic"),
+    description=(
+        "embedding-health audit: squared norms on the exact integer "
+        "grid (the quantization k-means/IVF use), bucketed into a "
+        "histogram with zero-vector counts — degenerate embeddings "
+        "(zero or far-outlier norms) break cosine similarity "
+        "silently, so every vector pipeline gates on this.  Row-"
+        "local lambda arithmetic fused into the scan + one tiny "
+        "bucket aggregate; bit-identical across engines because no "
+        "sqrt/double-sum enters"
+    ),
+)
+def quality_embedding_norms(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(transform(cast(embedding as array<double>), "
+            f"x -> cast(floor(x * {KMEANS_SCALE}D + 0.5D) as bigint)), 0L, "
+            f"(s, v) -> s + v * v)"
+        ).alias("norm2"),
+    )
+    b = q.withColumn("bucket", F.expr("norm2 DIV 100000000"))
+    return b.groupBy(F.col("bucket").cast("long").alias("norm2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+        F.count(F.when(F.col("norm2") == 0, 1)).cast("long").alias("n_zero"),
+    )
