@@ -580,3 +580,38 @@ def test_temperature_resample_invariants(spark, rows):
     for d, l in rows:
         if l in minority:
             assert (d, l) in got1, ("minority row dropped", d, l)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 120)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(1, 30),
+    st.integers(1, 4),
+)
+def test_grid_knn_matches_bruteforce(spark, pts, radius, k):
+    """grid_knn must return exactly the brute-force bounded kNN:
+    per point the k nearest within the radius, ranked by
+    (Chebyshev distance, id)."""
+    from sfs3_kinesis_spark.operators.spatial import grid_knn
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expected = set()
+    for a, xa, ya in rows:
+        cands = sorted(
+            (max(abs(xa - xb), abs(ya - yb)), b)
+            for b, xb, yb in rows
+            if b != a and max(abs(xa - xb), abs(ya - yb)) <= radius
+        )
+        for rk, (d, b) in enumerate(cands[:k], start=1):
+            expected.add((a, rk, b, d))
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    got = {
+        (r["a_id"], r["rk"], r["b_id"], r["d"])
+        for r in grid_knn(df, id_col="id", x="x", y="y", radius=radius, k=k).collect()
+    }
+    assert got == expected
