@@ -1212,3 +1212,58 @@ def mine_abc_classification(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "agg_bitmap_audience_overlap",
+    """
+    WITH b AS (
+      SELECT event_type,
+             user_id // 62 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS mask
+      FROM events GROUP BY event_type, bucket),
+    pair AS (
+      SELECT a.event_type AS type_a, b2.event_type AS type_b,
+             a.mask & b2.mask AS both_mask,
+             a.mask AS a_mask
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.event_type < b2.event_type)
+    SELECT type_a, type_b,
+           CAST(sum(bit_count(both_mask)) AS BIGINT) AS n_both,
+           CAST((10000 * sum(bit_count(both_mask)))
+                // sum(bit_count(a_mask)) AS BIGINT) AS overlap_of_a_bp
+    FROM pair GROUP BY type_a, type_b
+    """,
+    tags=("agg", "bitmap", "audience_overlap", "set_intersection", "exact_arithmetic"),
+    description=(
+        "audience-overlap cardinality via bitmap intersection (the "
+        "segment-overlap query every audience platform runs): per "
+        "behavior pair, |users doing BOTH| computed as popcount of "
+        "ANDed 62-key bucket masks — the intersection of two "
+        "multi-million-member sets costs one equi-join on the bucket "
+        "key over ONE int64 per 62 users per side, never a user-"
+        "level join; exact by construction, with the overlap share "
+        "of the first audience in basis points.  The mergeable-"
+        "bitmap representation that makes set algebra (AND/OR/"
+        "ANDNOT) on precomputed segments cheap at 100 TB"
+    ),
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy("event_type", F.expr("user_id div 62").alias("bucket")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 62 AS INT)))").alias("mask")
+    )
+    a = b.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("mask").alias("a_mask")
+    )
+    b2 = b.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("mask").alias("b_mask")
+    )
+    pair = a.join(b2, "bucket").filter(F.col("type_a") < F.col("type_b"))
+    return pair.groupBy("type_a", "type_b").agg(
+        F.sum(F.expr("bit_count(a_mask & b_mask)")).cast("long").alias("n_both"),
+        F.expr(
+            "CAST((10000 * sum(bit_count(a_mask & b_mask)))"
+            " DIV sum(bit_count(a_mask)) AS BIGINT)"
+        ).alias("overlap_of_a_bp"),
+    )
