@@ -955,3 +955,82 @@ def text_tv_distance_sources(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "retrieval_query_expansion",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    hits AS (
+        SELECT doc_id, count(*) AS tf FROM tk
+        WHERE term = '{KW_TERMS[0]}' GROUP BY doc_id
+        ORDER BY tf DESC, doc_id LIMIT 10),
+    fb AS (
+        SELECT tk.term, count(*) AS fb_tf
+        FROM tk JOIN hits USING (doc_id)
+        WHERE tk.term <> '{KW_TERMS[0]}'
+        GROUP BY tk.term),
+    corpus AS (SELECT term, count(*) AS c_tf FROM tk GROUP BY term),
+    tot AS (
+        SELECT (SELECT sum(fb_tf) FROM fb) AS fb_n,
+               (SELECT sum(c_tf) FROM corpus) AS c_n)
+    SELECT fb.term,
+           CAST(fb.fb_tf AS BIGINT) AS feedback_tf,
+           CAST(corpus.c_tf AS BIGINT) AS corpus_tf,
+           CAST((10000 * fb.fb_tf * tot.c_n) // (corpus.c_tf * tot.fb_n)
+                AS BIGINT) AS lift_bp
+    FROM fb JOIN corpus USING (term) CROSS JOIN tot
+    WHERE (10000 * fb.fb_tf * tot.c_n) // (corpus.c_tf * tot.fb_n) > 10000
+    ORDER BY lift_bp DESC, term LIMIT 15
+    """,
+    tags=("retrieval", "query_expansion", "prf", "exact_arithmetic"),
+    description=(
+        "pseudo-relevance-feedback query expansion (Rocchio-style, "
+        "public): retrieve the top-10 documents for the seed term, "
+        "then rank the terms OVER-REPRESENTED in that feedback set "
+        "vs the corpus (lift cross-multiplied to exact basis points "
+        "— share-in-feedback / share-in-corpus, no doubles), keeping "
+        "terms with lift > 1 — the expansion terms a second-round "
+        "query adds.  The feedback set is 10 docs (broadcast-sized "
+        "by construction); the corpus term table is the only "
+        "data-sized aggregate and it is shared with the index build"
+    ),
+)
+def retrieval_query_expansion(spark: SparkSession, sf_dir: str):
+    seed = KW_TERMS[0]
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    hits = (
+        tk.filter(F.col("term") == seed)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    fb = (
+        tk.join(F.broadcast(hits), "doc_id")
+        .filter(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    corpus = tk.groupBy("term").agg(F.count(F.lit(1)).alias("c_tf"))
+    tot = fb.agg(F.sum("fb_tf").alias("fb_n")).crossJoin(
+        corpus.agg(F.sum("c_tf").alias("c_n"))
+    )
+    lift = "CAST((10000 * fb_tf * c_n) DIV (c_tf * fb_n) AS BIGINT)"
+    return (
+        fb.join(corpus, "term")
+        .join(F.broadcast(tot))
+        .filter(F.expr(f"{lift} > 10000"))
+        .select(
+            "term",
+            F.col("fb_tf").cast("long").alias("feedback_tf"),
+            F.col("c_tf").cast("long").alias("corpus_tf"),
+            F.expr(lift).alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), "term")
+        .limit(15)
+    )
