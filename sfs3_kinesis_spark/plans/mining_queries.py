@@ -1267,3 +1267,69 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str):
             " DIV sum(bit_count(a_mask)) AS BIGINT)"
         ).alias("overlap_of_a_bp"),
     )
+
+
+@register(
+    "mine_trend_mann_kendall",
+    """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, di),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.cents > a.cents THEN 1
+                    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.di < b.di)
+    SELECT event_type,
+           CAST(sum(sgn) AS BIGINT) AS s_statistic,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN sum(sgn) > 0 THEN 'up'
+                WHEN sum(sgn) < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM pairs GROUP BY event_type
+    """,
+    tags=("mining", "trend", "mann_kendall", "timeseries", "exact_arithmetic"),
+    description=(
+        "Mann-Kendall trend test, S statistic (the nonparametric "
+        "monotone-trend detector — rank-based, so it needs NO "
+        "distributional assumptions and stays integer-exact): sum of "
+        "sign(x_j - x_i) over all ordered day pairs of the daily "
+        "revenue series.  The pair join runs over the DAY rollup "
+        "(|days|^2 per type, bounded by the observation window — 435 "
+        "pairs for a month), never events; the significance z "
+        "derives downstream from S and n"
+    ),
+)
+def mine_trend_mann_kendall(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+    ).agg(F.sum(F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)")).alias("cents"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") < F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_statistic"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    ).select(
+        "event_type",
+        "s_statistic",
+        "n_pairs",
+        F.when(F.col("s_statistic") > 0, "up")
+        .when(F.col("s_statistic") < 0, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )

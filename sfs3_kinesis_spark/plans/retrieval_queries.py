@@ -1034,3 +1034,45 @@ def retrieval_query_expansion(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("lift_bp"), "term")
         .limit(15)
     )
+
+
+@register(
+    "text_vocab_growth",
+    """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    fs AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY term),
+    b AS (
+        SELECT first_doc // 50 AS bucket, count(*) AS new_terms
+        FROM fs GROUP BY first_doc // 50)
+    SELECT CAST(bucket AS BIGINT) AS doc_bucket_50,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_vocab
+    FROM b
+    """,
+    tags=("text", "vocab_growth", "heaps_law", "corpus_stats"),
+    description=(
+        "vocabulary-growth curve (Heaps' law readout): new distinct "
+        "terms introduced per 50-document slab of the corpus in "
+        "doc_id order, plus the cumulative vocabulary size — the "
+        "curve that calibrates tokenizer vocab sizes and dedup "
+        "budgets as a corpus grows.  First-seen doc per term is one "
+        "term-key aggregate (the same shuffle the novelty score "
+        "uses); the growth curve is a prefix sum over |slabs| rows"
+    ),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str):
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    fs = tk.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    b = fs.groupBy(F.expr("first_doc DIV 50").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    wo = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return b.select(
+        F.col("bucket").cast("long").alias("doc_bucket_50"),
+        F.col("new_terms").cast("long").alias("new_terms"),
+        F.sum("new_terms").over(wo).cast("long").alias("cumulative_vocab"),
+    )
