@@ -1333,3 +1333,75 @@ def mine_trend_mann_kendall(spark: SparkSession, sf_dir: str):
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+@register(
+    "agg_hodges_lehmann",
+    """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, di),
+    walsh AS (
+        SELECT a.event_type, a.cents + b.cents AS w
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.di <= b.di),
+    r AS (
+        SELECT event_type, w,
+               row_number() OVER (PARTITION BY event_type ORDER BY w) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM walsh)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_walsh,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN w END)
+                + sum(CASE WHEN rn = (n + 2) // 2 THEN w END)
+                AS BIGINT) AS hl_x4_cents
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "robust_stats", "hodges_lehmann", "exact_arithmetic"),
+    description=(
+        "Hodges-Lehmann robust location estimator over the daily "
+        "revenue series: the median of all pairwise Walsh averages "
+        "(xi+xj)/2 — kept integer-exact by reporting 4x the "
+        "estimator (the two middle-row picks of the PAIR-SUM "
+        "multiset summed, each sum already 2x an average).  ~30% "
+        "efficiency gain over the median against outliers without "
+        "assuming symmetry-free contamination; the Walsh pair join "
+        "runs over the |days|-per-type rollup (bounded by the "
+        "window), and the median picks reuse the exact-median "
+        "keyed-window shape"
+    ),
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+    ).agg(F.sum(F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)")).alias("cents"))
+    a, b = d.alias("a"), d.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") <= F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.cents") + F.col("b.cents")).alias("w"),
+    )
+    wk = W.partitionBy("event_type").orderBy("w")
+    wn = W.partitionBy("event_type")
+    r = walsh.withColumn("rn", F.row_number().over(wk)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    lo = F.col("rn") == F.expr("(n + 1) DIV 2")
+    hi = F.col("rn") == F.expr("(n + 2) DIV 2")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_walsh"),
+            (F.sum(F.when(lo, F.col("w"))) + F.sum(F.when(hi, F.col("w"))))
+            .cast("long")
+            .alias("hl_x4_cents"),
+        )
+        .orderBy("event_type")
+    )
