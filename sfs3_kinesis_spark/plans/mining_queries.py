@@ -1405,3 +1405,54 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "mine_wilcoxon_rank_sum",
+    """
+    WITH c AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'view')),
+    r AS (
+        SELECT is_a, cents,
+               rank() OVER (ORDER BY cents) AS min_rank,
+               count(*) OVER (PARTITION BY cents) AS ties
+        FROM c)
+    SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+           CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN is_a = 1 THEN 2 * min_rank + ties - 1 END)
+                AS BIGINT) AS w2_a,
+           CAST(sum(CASE WHEN is_a = 1 THEN 2 * min_rank + ties - 1 END)
+                - sum(is_a) * (sum(is_a) + 1) AS BIGINT) AS u2_a
+    FROM r
+    """,
+    tags=("mining", "nonparametric", "wilcoxon", "rank_test", "exact_arithmetic"),
+    description=(
+        "Wilcoxon rank-sum / Mann-Whitney U between the purchase and "
+        "view value distributions, kept integer-exact by working in "
+        "DOUBLED ranks: a tie group's doubled average rank is "
+        "2*min_rank + ties - 1 (always an integer), so W and "
+        "U = W - n(n+1)/2 carry no fractions and both engines agree "
+        "bit-for-bit.  The global rank runs over the two-sample "
+        "subset; at 100 TB it shards via the salted two-phase "
+        "row-number (operators/sampling.py) exactly like the global "
+        "shuffle-order op; the z significance derives downstream"
+    ),
+)
+def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    r = c.withColumn("min_rank", F.rank().over(W.orderBy("cents"))).withColumn(
+        "ties", F.count("*").over(W.partitionBy("cents"))
+    )
+    w2 = F.sum(F.when(F.col("is_a") == 1, 2 * F.col("min_rank") + F.col("ties") - 1))
+    return r.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        w2.cast("long").alias("w2_a"),
+        (w2 - F.sum("is_a") * (F.sum("is_a") + 1)).cast("long").alias("u2_a"),
+    )
