@@ -1523,3 +1523,75 @@ def mine_ks_two_sample(spark: SparkSession, sf_dir: str):
             " AS BIGINT)"
         ).alias("ks_d_bp"),
     )
+
+
+@register(
+    "mine_spearman_daily_rho",
+    """
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS a,
+               sum(CASE WHEN event_type = 'click'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS b
+        FROM events GROUP BY di
+        HAVING a IS NOT NULL AND b IS NOT NULL),
+    r AS (
+        SELECT di,
+               2 * rank() OVER (ORDER BY a)
+                 + count(*) OVER (PARTITION BY a) - 1 AS ra2,
+               2 * rank() OVER (ORDER BY b)
+                 + count(*) OVER (PARTITION BY b) - 1 AS rb2
+        FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS sum_d2_x4,
+           CAST(10000 - (15000 * sum((ra2 - rb2) * (ra2 - rb2)))
+                // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+               AS spearman_rho_bp
+    FROM r
+    """,
+    tags=("mining", "correlation", "spearman", "nonparametric", "exact_arithmetic"),
+    description=(
+        "Spearman rank correlation between daily purchase and click "
+        "revenue, integer-exact end to end: tie-aware DOUBLED average "
+        "ranks (2*min_rank + ties - 1), squared rank gaps carry the "
+        "4x factor, and rho = 1 - 6*sum(d^2)/(n(n^2-1)) becomes "
+        "10000 - (15000 * sum_d2_x4) // (n(n^2-1)) in truncating "
+        "basis points — the monotone-association readout with no "
+        "doubles.  Day-rollup sized; completes the nonparametric "
+        "family (Mann-Kendall, Wilcoxon, Hodges-Lehmann, KS)"
+    ),
+)
+def mine_spearman_daily_rho(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)"),
+                )
+            ).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)"),
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    r = d.select(
+        (2 * F.rank().over(W.orderBy("a")) + F.count("*").over(W.partitionBy("a")) - 1).alias("ra2"),
+        (2 * F.rank().over(W.orderBy("b")) + F.count("*").over(W.partitionBy("b")) - 1).alias("rb2"),
+    )
+    d2 = (F.col("ra2") - F.col("rb2")) * (F.col("ra2") - F.col("rb2"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(d2).cast("long").alias("sum_d2_x4"),
+        F.expr(
+            "CAST(10000 - (15000 * sum((ra2 - rb2) * (ra2 - rb2)))"
+            " DIV (count(1) * (count(1) * count(1) - 1)) AS BIGINT)"
+        ).alias("spearman_rho_bp"),
+    )
