@@ -1595,3 +1595,63 @@ def mine_spearman_daily_rho(spark: SparkSession, sf_dir: str):
             " DIV (count(1) * (count(1) * count(1) - 1)) AS BIGINT)"
         ).alias("spearman_rho_bp"),
     )
+
+
+@register(
+    "quality_join_fanout_audit",
+    """
+    WITH l AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY k),
+    r AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY k),
+    j AS (
+        SELECT coalesce(l.k, r.k) AS k,
+               coalesce(l.n, 0) AS ln_, coalesce(r.n, 0) AS rn_
+        FROM l FULL OUTER JOIN r ON l.k = r.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(ln_) AS BIGINT) AS max_left_per_key,
+           CAST(max(rn_) AS BIGINT) AS max_right_per_key,
+           CAST(max(ln_ * rn_) AS BIGINT) AS max_pairs_per_key,
+           CAST(sum(ln_ * rn_) AS BIGINT) AS join_output_rows,
+           CAST(count(*) FILTER (WHERE ln_ > 1 AND rn_ > 1) AS BIGINT)
+               AS n_many_to_many_keys,
+           CAST(count(*) FILTER (WHERE ln_ = 0 OR rn_ = 0) AS BIGINT)
+               AS n_unmatched_keys
+    FROM j
+    """,
+    tags=("quality", "join_audit", "cardinality", "data_ops", "exact_arithmetic"),
+    description=(
+        "join fan-out audit (the pre-join safety check that catches "
+        "accidental many-to-many explosions BEFORE a 100 TB join "
+        "runs): per-key multiplicities on both sides of the "
+        "orders-lineitem key, the exact join output size "
+        "(sum of per-key products — computable from two key-rollups "
+        "without performing the join), the worst single-key fan-out, "
+        "many-to-many key count, and unmatched keys.  Two map-side-"
+        "combined rollups + a key-aligned full-outer merge; this is "
+        "also how a planner would detect skew before choosing a "
+        "salted strategy"
+    ),
+)
+def quality_join_fanout_audit(spark: SparkSession, sf_dir: str):
+    l = t(spark, sf_dir, "orders").groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ln_")
+    )
+    r = t(spark, sf_dir, "lineitem").groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("rn_")
+    )
+    j = l.join(r, "k", "full_outer").select(
+        F.coalesce("ln_", F.lit(0)).alias("ln_"),
+        F.coalesce("rn_", F.lit(0)).alias("rn_"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("ln_").cast("long").alias("max_left_per_key"),
+        F.max("rn_").cast("long").alias("max_right_per_key"),
+        F.max(F.col("ln_") * F.col("rn_")).cast("long").alias("max_pairs_per_key"),
+        F.sum(F.col("ln_") * F.col("rn_")).cast("long").alias("join_output_rows"),
+        F.count(F.when((F.col("ln_") > 1) & (F.col("rn_") > 1), 1))
+        .cast("long")
+        .alias("n_many_to_many_keys"),
+        F.count(F.when((F.col("ln_") == 0) | (F.col("rn_") == 0), 1))
+        .cast("long")
+        .alias("n_unmatched_keys"),
+    )
