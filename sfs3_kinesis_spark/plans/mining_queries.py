@@ -1655,3 +1655,76 @@ def quality_join_fanout_audit(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("n_unmatched_keys"),
     )
+
+
+@register(
+    "mine_cusum_drift",
+    """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, di),
+    m AS (
+        SELECT event_type, count(*) AS nd, sum(cents) AS total
+        FROM d GROUP BY event_type),
+    dev AS (
+        SELECT d.event_type, d.di,
+               m.nd * d.cents - m.total AS dev_scaled, m.total
+        FROM d JOIN m USING (event_type)),
+    pre AS (
+        SELECT event_type, di, total,
+               sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY di
+                                     ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev),
+    cus AS (
+        SELECT event_type, di, total, p,
+               least(0, min(p) OVER (PARTITION BY event_type ORDER BY di
+                                     ROWS UNBOUNDED PRECEDING)) AS mn
+        FROM pre)
+    SELECT event_type, CAST(di AS BIGINT) AS day,
+           CAST(p - mn AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN p - mn > abs(total) THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm
+    FROM cus
+    """,
+    tags=("mining", "cusum", "drift", "change_detection", "window", "exact_arithmetic"),
+    description=(
+        "one-sided CUSUM drift detector over daily revenue: the "
+        "sequential recurrence S_i = max(0, S_{i-1} + dev_i) has the "
+        "closed form prefix_i - min(0, running-min of prefixes), so "
+        "the 'unparallelizable' control chart becomes two keyed "
+        "window passes sharing one partitioning — fully distributed "
+        "and exact.  Deviations are mean-centered without division "
+        "(nd*x - total, the cross-multiplied form); the alarm fires "
+        "when the scaled CUSUM exceeds |total| (= nd * the mean "
+        "daily value, one full average day of accumulated drift)"
+    ),
+)
+def mine_cusum_drift(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+    ).agg(F.sum(F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)")).alias("cents"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("cents").alias("total")
+    )
+    dev = d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "di",
+        (F.col("nd") * F.col("cents") - F.col("total")).alias("dev_scaled"),
+        "total",
+    )
+    wo = W.partitionBy("event_type").orderBy("di").rowsBetween(W.unboundedPreceding, 0)
+    pre = dev.withColumn("p", F.sum("dev_scaled").over(wo))
+    cus = pre.withColumn("mn", F.least(F.lit(0), F.min("p").over(wo)))
+    return cus.select(
+        "event_type",
+        F.col("di").cast("long").alias("day"),
+        (F.col("p") - F.col("mn")).cast("long").alias("cusum_scaled"),
+        F.when(F.col("p") - F.col("mn") > F.abs(F.col("total")), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm"),
+    )
