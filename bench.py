@@ -80,10 +80,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("sfs3-kinesis-spark-bench")
+    # ERROR-only logging for the whole run: the final JSON line below is
+    # the driver's parse target and must not share stdout with WARN spam
+    # or streaming-shutdown stack traces (BENCH_r02 was parsed:null
+    # because exactly that happened).
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # Streaming throughput FIRST: q.stop() emits async TaskKilled noise
+    # for a few seconds after it returns; running it before the headline
+    # loop gives that noise the whole batch phase to drain, so it can
+    # never land on top of the final JSON line.  A small discarded
+    # warm-up drain first: the stateful operator's first run pays
+    # Arrow/pandas worker startup + state-store codegen, which would
+    # otherwise halve the reported steady-state rate.
+    _streaming_throughput(spark, n=200)
+    streaming = _streaming_throughput(spark)
+    _quiesce(spark)
 
     # Three runs per query: run 1 pays whole-stage-codegen
     # compilation, JIT and parquet footer reads (reported as cold);
@@ -111,21 +127,38 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(steady.values()), 3)
-    streaming = _streaming_throughput(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": steady,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "streaming_matched_pairs_per_sec": streaming,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": steady,
+            "cold_queries": cold,
+            "cold_total": round(sum(cold.values()), 3),
+            "streaming_matched_pairs_per_sec": streaming,
+            "sf": sf,
+        }
     )
+    # Quiesce again, then emit the metric as the genuinely LAST stdout
+    # line: flush both channels, let any straggler executor logs land,
+    # and only then print.
+    _quiesce(spark)
+    print(payload, flush=True)
+    sys.stdout.flush()
+
+
+def _quiesce(spark, settle_s: float = 3.0) -> None:
+    """Stop every active streaming query and wait for async shutdown
+    noise (TaskKilled stack traces, micro-batch teardown logs) to
+    drain before anything else is printed."""
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    time.sleep(settle_s)
 
 
 def _streaming_throughput(spark, n: int = 2000) -> float:

@@ -117,8 +117,8 @@ def mine_pareto_frontier(spark: SparkSession, sf_dir: str):
         FROM g)
     SELECT event_type,
            CAST(n AS BIGINT) AS n_rows,
-           CAST(num AS DECIMAL(38,0)) AS num,
-           CAST(den AS DECIMAL(38,0)) AS den,
+           CAST(CAST(num AS DECIMAL(38,0)) AS VARCHAR) AS num,
+           CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS den,
            CAST((1000000 * num - (((1000000 * num) % den) + den) % den) // den
                 AS BIGINT) AS slope_micro
     FROM d
@@ -155,15 +155,21 @@ def regress_group_trend(spark: SparkSession, sf_dir: str):
     d = g.select(
         "event_type",
         F.col("n").cast("long").alias("n_rows"),
-        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("num"),
-        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("den"),
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("_num"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("_den"),
     )
-    return d.withColumn(
-        "slope_micro",
+    # DECIMAL stays internal; the emitted num/den are canonical digit
+    # strings (the one rendering every harness hashes identically —
+    # same normalization as agg_decimal_exact_products).
+    return d.select(
+        "event_type",
+        "n_rows",
+        F.col("_num").cast("string").alias("num"),
+        F.col("_den").cast("string").alias("den"),
         F.expr(
-            "CAST((1000000 * num - (((1000000 * num) % den) + den) % den) / den"
+            "CAST((1000000 * _num - (((1000000 * _num) % _den) + _den) % _den) / _den"
             " AS BIGINT)"
-        ),
+        ).alias("slope_micro"),
     )
 
 

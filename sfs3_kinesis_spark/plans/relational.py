@@ -1480,9 +1480,9 @@ def agg_grouping_id_cube(spark: SparkSession, sf_dir: str):
                  AS cents
       FROM orders)
     SELECT o_orderpriority,
-           count(*)            AS n,
-           sum(cents)          AS sum_cents,
-           sum(cents * cents)  AS sum_sq_cents
+           count(*)                                AS n,
+           CAST(sum(cents) AS VARCHAR)             AS sum_cents,
+           CAST(sum(cents * cents) AS VARCHAR)     AS sum_sq_cents
     FROM c GROUP BY o_orderpriority
     """,
     tags=("agg", "decimal", "exact_arithmetic", "overflow_safe"),
@@ -1495,7 +1495,12 @@ def agg_grouping_id_cube(spark: SparkSession, sf_dir: str):
         "carry the same map-side-combine plan shape with 4x the "
         "headroom digits — the production arithmetic the z-score "
         "query's docstring promises (round-1 ADVICE), shipped as a "
-        "first-class operator"
+        "first-class operator.  The OUTPUT schema is canonical STRING "
+        "digits, not DECIMAL: the round-2 driver hashed DECIMAL(38,0) "
+        "cells differently from the builder's str(Decimal) canon "
+        "(CORRECTNESS_r02's one red row), and a digit string is the "
+        "one rendering every harness agrees on — the overflow-safe "
+        "DECIMAL partials stay internal to the aggregate"
     ),
 )
 def agg_decimal_exact_products(spark: SparkSession, sf_dir: str):
@@ -1506,8 +1511,8 @@ def agg_decimal_exact_products(spark: SparkSession, sf_dir: str):
     )
     return c.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("sum_cents"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sum_sq_cents"),
+        F.sum("cents").cast("string").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).cast("string").alias("sum_sq_cents"),
     )
 
 

@@ -76,3 +76,63 @@ def test_upsert_sink_time_travel_and_restart_resume(spark, tmp_path):
     resumed.apply_batch(b3, epoch_id=2)
     final = {r.txn_id: r.status for r in resumed.current().collect()}
     assert final == {"a": "SUCCEEDED", "b": "FAILED"}
+
+
+def test_upsert_sink_delta_append_and_compaction(spark, tmp_path):
+    """The LSM write path (VERDICT r02 #3): each micro-batch appends
+    ONE O(batch) delta dir; every ``compact_every`` versions a
+    snapshot folds the tail; time travel stays exact at EVERY
+    version, and restart resumes from the mixed snapshot+delta
+    layout."""
+    import os
+
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "state")
+    sink = KeyedUpsertSink(spark, path, key_col="k", compact_every=3)
+    for i in range(5):
+        sink.apply_batch(
+            spark.createDataFrame([(f"k{i % 2}", i)], "k string, val int"), epoch_id=i
+        )
+    dirs = sorted(os.listdir(path))
+    assert [d for d in dirs if d.startswith("d")] == ["d1", "d2", "d3", "d4", "d5"]
+    # exactly one compaction snapshot (at version 3), NOT one per batch
+    assert [d for d in dirs if d.startswith("v")] == ["v3"]
+    assert {r.k: r.val for r in sink.current().collect()} == {"k0": 4, "k1": 3}
+    # time travel across the compaction boundary
+    assert {r.k: r.val for r in sink.read_version(2).collect()} == {"k0": 0, "k1": 1}
+    assert {r.k: r.val for r in sink.read_version(4).collect()} == {"k0": 2, "k1": 3}
+    resumed = KeyedUpsertSink(spark, path, key_col="k", compact_every=3)
+    assert resumed._version == 5
+    assert {r.k: r.val for r in resumed.current().collect()} == {"k0": 4, "k1": 3}
+    # one more batch crosses the next compaction point
+    resumed.apply_batch(
+        spark.createDataFrame([("k0", 99)], "k string, val int"), epoch_id=5
+    )
+    assert sorted(d for d in os.listdir(path) if d.startswith("v")) == ["v3", "v6"]
+    assert {r.k: r.val for r in resumed.current().collect()} == {"k0": 99, "k1": 3}
+
+
+def test_upsert_sink_write_path_never_reads_base(spark, tmp_path):
+    """A non-compacting micro-batch write is O(batch): apply_batch
+    must not touch ``spark.read`` at all (round 2 re-read and
+    rewrote the full snapshot every batch)."""
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "state")
+    sink = KeyedUpsertSink(spark, path, key_col="k", compact_every=100)
+    sink.apply_batch(spark.createDataFrame([("a", 1)], "k string, v int"), epoch_id=0)
+
+    class _NoRead:
+        def __getattr__(self, name):
+            raise AssertionError(f"write path touched spark.{name}")
+
+    real_spark = sink.spark
+    sink.spark = _NoRead()
+    try:
+        sink.apply_batch(
+            real_spark.createDataFrame([("b", 2)], "k string, v int"), epoch_id=1
+        )
+    finally:
+        sink.spark = real_spark
+    assert {r.k: r.v for r in sink.current().collect()} == {"a": 1, "b": 2}
