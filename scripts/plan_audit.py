@@ -19,9 +19,43 @@ from sfs3_kinesis_spark.plans import REGISTRY  # noqa: E402
 from sfs3_kinesis_spark.session import get_spark  # noqa: E402
 
 
+def global_windows(plan: str) -> int:
+    """Count Window nodes that funnel their whole input through ONE
+    partition: an ORDER BY with no PARTITION BY (2 bracket groups,
+    second contains sort directions) or a fully global frame (1
+    group).  Windows whose sort key references ``_pid`` or ``_bucket`` are the
+    bucket-count offset tables of the two-phase global_rank /
+    global_cumsum / global_row_index machinery — bounded by
+    ``n_buckets`` regardless of data size, so not flagged."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        m = re.match(r"(?:\*\(\d+\) )?Window (.*)$", s)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            if "_pid#" not in groups[1] and "_bucket#" not in groups[1]:
+                n += 1
+        elif len(groups) == 1:
+            n += 1
+    return n
+
+
 def audit(plan: str) -> dict[str, int | str]:
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "gwin": global_windows(plan),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "shj": plan.count("ShuffledHashJoin"),
@@ -48,11 +82,36 @@ BNLJ_ALLOWED = {
     # 1-row total-weight broadcast onto the 100-row stride table +
     # 100-row stride broadcast interval lookup into the fact side
     "sample_systematic_pps": 2,
+    # 1-row total broadcasts joined onto two-phase rank/cumsum outputs
+    "mine_rfm_segmentation": 2,
+    "mine_abc_classification": 2,
+    "mine_ks_two_sample": 2,
+    "mine_lorenz_concentration": 2,
+    "funnel_time_to_convert": 2,
+    "feature_onehot_vocab": 2,
     # two ONE-ROW centroid-matrix broadcasts (cell assignment feeds
     # both sides of the within-cell pair join) — each is a projection
     # in join clothing, deliberately a column instead of a k x dim
     # literal so Catalyst compile time stays O(1) in k
     "dedup_semantic_cells": 2,
+}
+
+#: queries whose plans legitimately keep a single-partition ORDER BY
+#: window because the windowed input is PROVABLY BOUNDED — a rollup
+#: keyed on a finite domain (calendar buckets, nations, languages, a
+#: fixed stride table), never a dimension or fact table.  Unbounded
+#: inputs must use the two-phase global_rank / global_cumsum
+#: (operators/scale.py) instead; anything not listed here is a red
+#: flag.  Value = (allowed count, bound justification).
+GLOBAL_WINDOW_ALLOWED = {
+    "alloc_largest_remainder": (2, "|nations| rollup (25 rows)"),
+    "sample_mixture_budget": (2, "|languages| rollup"),
+    "sample_temperature_lang": (1, "|languages| rollup"),
+    "sample_systematic_pps": (1, "fixed 100-row stride table"),
+    "events_slo_burn_rate": (1, "hourly rollup (calendar-bounded)"),
+    "join_range_hot_hours": (2, "hourly rollup (calendar-bounded)"),
+    "mine_change_point": (2, "daily rollup (calendar-bounded)"),
+    "mine_spearman_daily_rho": (2, "daily rollup (calendar-bounded)"),
 }
 
 
@@ -75,12 +134,18 @@ def main() -> None:
         a = audit(plan)
         rows.append(
             f"| `{name}` | {a['exchanges']} | {a['bhj']}/{a['smj']}/{a['shj']} "
-            f"| {a['bnlj']}/{a['cartesian']} | {a['codegen']} | {a['pushed']} | {a['topk']} |"
+            f"| {a['bnlj']}/{a['cartesian']} | {a['gwin']} | {a['codegen']} "
+            f"| {a['pushed']} | {a['topk']} |"
         )
         if a["cartesian"]:
             flags.append(f"- `{name}`: CartesianProduct in plan")
         if a["bnlj"] > BNLJ_ALLOWED.get(name, 1):
             flags.append(f"- `{name}`: {a['bnlj']} BroadcastNestedLoopJoins")
+        if a["gwin"] > GLOBAL_WINDOW_ALLOWED.get(name, (0, ""))[0]:
+            flags.append(
+                f"- `{name}`: {a['gwin']} single-partition ORDER BY window(s) "
+                "over a potentially unbounded input"
+            )
     out = [
         "# PLANS — physical-plan audit of the query corpus",
         "",
@@ -88,11 +153,13 @@ def main() -> None:
         f"`{sf_dir}`).  Columns: shuffle Exchange count; equi-join",
         "strategies (broadcast/sort-merge/shuffled-hash); non-equi joins",
         "(nested-loop/cartesian — at most one 1-row broadcast NLJ is",
-        "acceptable, e.g. a scalar-subquery threshold); distinct",
-        "WholeStageCodegen spans; parquet filter pushdown; top-k strategy.",
+        "acceptable, e.g. a scalar-subquery threshold); single-partition",
+        "ORDER BY windows (gwin — only allowed over provably bounded",
+        "rollups, see GLOBAL_WINDOW_ALLOWED); distinct WholeStageCodegen",
+        "spans; parquet filter pushdown; top-k strategy.",
         "",
-        "| query | exch | bhj/smj/shj | bnlj/cart | codegen | pushdown | top-k |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exch | bhj/smj/shj | bnlj/cart | gwin | codegen | pushdown | top-k |",
+        "|---|---|---|---|---|---|---|---|",
         *rows,
         "",
         "## Red flags",

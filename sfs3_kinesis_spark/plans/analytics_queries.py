@@ -492,10 +492,18 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str):
         .groupBy("user_id")
         .agg(F.min("es").alias("purchase_s"))
     )
-    waits = s.join(p, "user_id").select((F.col("purchase_s") - F.col("signup_s")).alias("wait_s"))
-    w = W.orderBy("wait_s")
-    r = waits.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy())
+    waits = s.join(p, "user_id").select(
+        "user_id", (F.col("purchase_s") - F.col("signup_s")).alias("wait_s")
+    )
+    # |converted users| is unbounded — rank via the two-phase bucketed
+    # global_rank (user_id tiebreak for a total order; equal waits are
+    # interchangeable so the value at any rank is unchanged), total
+    # count via 1-row broadcast
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    tot = waits.agg(F.count(F.lit(1)).alias("n"))
+    r = global_rank(waits, [F.asc("wait_s"), F.asc("user_id")], out_col="rn").join(
+        F.broadcast(tot)
     )
     return r.agg(
         F.max("n").alias("n_converted"),
@@ -550,7 +558,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str):
     ),
 )
 def mine_rfm_segmentation(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window as W
+    from sfs3_kinesis_spark.operators.scale import global_rank
 
     o = t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
@@ -560,16 +568,16 @@ def mine_rfm_segmentation(spark: SparkSession, sf_dir: str):
             "monetary"
         ),
     )
-    r = (
-        base.withColumn(
-            "rr", F.row_number().over(W.orderBy(F.desc("last_day"), "o_custkey"))
-        )
-        .withColumn("rf", F.row_number().over(W.orderBy(F.desc("freq"), "o_custkey")))
-        .withColumn(
-            "rm", F.row_number().over(W.orderBy(F.desc("monetary"), "o_custkey"))
-        )
-        .withColumn("n", F.count("*").over(W.partitionBy()))
-    )
+    # the customer rollup is dimension-sized but NOT bounded (billions
+    # of customers at 100 TB) — each ranking runs the two-phase
+    # bucketed global_rank, and the total count joins in as a 1-row
+    # broadcast instead of an unpartitioned COUNT window (r02 verdict
+    # item #5)
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    r = global_rank(base, [F.desc("last_day"), F.asc("o_custkey")], out_col="rr")
+    r = global_rank(r, [F.desc("freq"), F.asc("o_custkey")], out_col="rf")
+    r = global_rank(r, [F.desc("monetary"), F.asc("o_custkey")], out_col="rm")
+    r = r.join(F.broadcast(tot))
     score = "5 - (5 * ({r} - 1)) DIV n"
     return r.select(
         "o_custkey",
@@ -658,24 +666,27 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str):
         "inequality readout behind 'power-user' analyses.  The "
         "80%% boundary is the integer comparison 5*cum >= 4*total "
         "(no percentages materialize), computed by prefix sums over "
-        "the USER rollup; the global sort ranks the user dimension, "
-        "never events, and shards via the salted two-phase "
-        "row-number past single-stage size"
+        "the USER rollup via the two-phase bucketed global_cumsum "
+        "(rank = prefix count of a constant 1, same single pass) — "
+        "the user dimension never funnels through one partition"
     ),
 )
 def mine_lorenz_concentration(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window as W
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
 
     e = t(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    wo = W.orderBy(F.desc("n"), "user_id").rowsBetween(W.unboundedPreceding, 0)
-    wa = W.partitionBy()
-    r = (
-        u.withColumn("rk", F.row_number().over(W.orderBy(F.desc("n"), "user_id")))
-        .withColumn("cum", F.sum("n").over(wo))
-        .withColumn("tot", F.sum("n").over(wa))
-        .withColumn("n_users", F.count("*").over(wa))
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.lit(1).alias("one")
     )
+    # the user rollup is unbounded — ONE two-phase bucketed pass
+    # yields both the prefix sum (cum) and the rank (prefix count of
+    # the constant 1); totals join in as a 1-row broadcast
+    tots = u.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_users")
+    )
+    r = global_cumsum(
+        u, [F.desc("n"), F.asc("user_id")], {"n": "cum", "one": "rk"}
+    ).join(F.broadcast(tots))
     at80 = F.min(F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rk")))
     return r.agg(
         F.max("n_users").cast("long").alias("n_users"),

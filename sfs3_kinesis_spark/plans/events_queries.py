@@ -1696,7 +1696,7 @@ def scalar_collation_groupby(spark: SparkSession, sf_dir: str):
     ),
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window as W
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
 
     e = t(spark, sf_dir, "events")
     s = e.groupBy(
@@ -1709,13 +1709,18 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str):
         s.select((F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta"))
     )
     grouped = pts.groupBy("us").agg(F.sum("delta").alias("dsum"))
-    wo = W.orderBy("us").rowsBetween(W.unboundedPreceding, 0)
-    sweep = grouped.withColumn("concurrency", F.sum("dsum").over(wo))
-    wa = W.partitionBy()
-    peak = sweep.withColumn("pk", F.max("concurrency").over(wa))
-    return peak.agg(
+    # the endpoint rollup is |sessions|-sized (unbounded) — the sweep
+    # runs the two-phase bucketed prefix sum, and peak/first-peak fold
+    # in the final aggregate via a max_by pair instead of a global MAX
+    # window (r02 verdict item #5)
+    sweep = global_cumsum(grouped, [F.asc("us")], {"dsum": "concurrency"})
+    return sweep.agg(
         F.max("concurrency").cast("long").alias("peak_concurrency"),
-        F.min(F.when(F.col("concurrency") == F.col("pk"), F.col("us")))
+        (
+            -F.max(
+                F.struct(F.col("concurrency").alias("c"), (-F.col("us")).alias("nus"))
+            ).getField("nus")
+        )
         .cast("long")
         .alias("first_peak_us"),
         F.count(F.lit(1)).cast("long").alias("n_change_points"),

@@ -240,15 +240,19 @@ def feature_robust_scale_params(spark: SparkSession, sf_dir: str):
     ),
 )
 def feature_onehot_vocab(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
     g = t(spark, sf_dir, "documents").groupBy("source").agg(
         F.count(F.lit(1)).alias("n")
     )
     tot = g.agg(F.sum("n").alias("total"))
-    return g.join(F.broadcast(tot)).select(
+    # the category table is a vocabulary — unbounded in principle
+    # (high-cardinality categoricals), so the index assignment is the
+    # two-phase bucketed global_rank, not a single-partition window
+    ranked = global_rank(g, [F.desc("n"), F.asc("source")], out_col="_rk")
+    return ranked.join(F.broadcast(tot)).select(
         "source",
-        (F.row_number().over(W.orderBy(F.desc("n"), "source")) - 1)
-        .cast("long")
-        .alias("onehot_idx"),
+        (F.col("_rk") - 1).cast("long").alias("onehot_idx"),
         F.col("n").cast("long").alias("n_docs"),
         F.expr("CAST((10000 * n) DIV total AS BIGINT)").alias("share_bp"),
     )

@@ -1184,11 +1184,14 @@ def mine_abc_classification(spark: SparkSession, sf_dir: str):
             "cents"
         )
     )
-    wo = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(W.unboundedPreceding, 0)
-    wa = W.partitionBy()
-    r = pr.withColumn("cum", F.sum("cents").over(wo)).withColumn(
-        "tot", F.sum("cents").over(wa)
-    )
+    # the part rollup is dimension-sized but unbounded (hundreds of
+    # millions of SKUs at 100 TB) — two-phase bucketed prefix sum,
+    # grand total as a 1-row broadcast
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
+    r = global_cumsum(
+        pr, [F.desc("cents"), F.asc("l_partkey")], {"cents": "cum"}
+    ).join(F.broadcast(pr.agg(F.sum("cents").alias("tot"))))
     cls = r.withColumn(
         "abc",
         F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
@@ -1434,27 +1437,38 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str):
         "DOUBLED ranks: a tie group's doubled average rank is "
         "2*min_rank + ties - 1 (always an integer), so W and "
         "U = W - n(n+1)/2 carry no fractions and both engines agree "
-        "bit-for-bit.  The global rank runs over the two-sample "
-        "subset; at 100 TB it shards via the salted two-phase "
-        "row-number (operators/sampling.py) exactly like the global "
-        "shuffle-order op; the z significance derives downstream"
+        "bit-for-bit.  Observations collapse to the distinct-value "
+        "rollup first (min_rank = cumulative ties - own ties + 1), "
+        "then the two-phase bucketed global_cumsum — no fact-sized "
+        "row ever crosses one window partition; the z significance "
+        "derives downstream"
     ),
 )
 def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
     e = t(spark, sf_dir, "events")
     c = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
         F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )
-    r = c.withColumn("min_rank", F.rank().over(W.orderBy("cents"))).withColumn(
-        "ties", F.count("*").over(W.partitionBy("cents"))
+    # ranking fact-sized observations through one window partition was
+    # the r02 red flag — collapse to the distinct-value rollup first
+    # (min_rank of value v = cumulative tie count through v minus its
+    # own tie group plus 1), then a two-phase bucketed prefix sum;
+    # each value contributes a_cnt copies of its doubled average rank
+    g = c.groupBy("cents").agg(
+        F.sum("is_a").alias("a_cnt"), F.count(F.lit(1)).alias("ties")
     )
-    w2 = F.sum(F.when(F.col("is_a") == 1, 2 * F.col("min_rank") + F.col("ties") - 1))
+    cum = global_cumsum(g, [F.asc("cents")], {"ties": "cum_ties"})
+    r = cum.withColumn("min_rank", F.col("cum_ties") - F.col("ties") + 1)
+    w2 = F.sum(F.col("a_cnt") * (2 * F.col("min_rank") + F.col("ties") - 1))
+    na = F.sum("a_cnt")
     return r.agg(
-        F.sum("is_a").cast("long").alias("n_a"),
-        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        na.cast("long").alias("n_a"),
+        (F.sum("ties") - F.sum("a_cnt")).cast("long").alias("n_b"),
         w2.cast("long").alias("w2_a"),
-        (w2 - F.sum("is_a") * (F.sum("is_a") + 1)).cast("long").alias("u2_a"),
+        (w2 - na * (na + 1)).cast("long").alias("u2_a"),
     )
 
 
@@ -1505,13 +1519,13 @@ def mine_ks_two_sample(spark: SparkSession, sf_dir: str):
         F.sum("is_a").alias("a_cnt"),
         (F.count(F.lit(1)) - F.sum("is_a")).alias("b_cnt"),
     )
-    wo = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
-    wa = W.partitionBy()
-    cum = (
-        g.withColumn("ca", F.sum("a_cnt").over(wo))
-        .withColumn("cb", F.sum("b_cnt").over(wo))
-        .withColumn("na", F.sum("a_cnt").over(wa))
-        .withColumn("nb", F.sum("b_cnt").over(wa))
+    # |distinct cents| is value-domain-sized (unbounded) — two-phase
+    # bucketed prefix sums for both ECDFs, totals as 1-row broadcast
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
+    tots = g.agg(F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb"))
+    cum = global_cumsum(g, [F.asc("cents")], {"a_cnt": "ca", "b_cnt": "cb"}).join(
+        F.broadcast(tots)
     )
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return cum.agg(

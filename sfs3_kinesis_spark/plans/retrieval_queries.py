@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank
 from sfs3_kinesis_spark.plans.core import register, t
 
 # Conjunctive-query / phrase / fusion constants shared by the Spark
@@ -228,9 +229,11 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    kr = kw.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.desc("tf"), "doc_id")).cast("long").alias("r_kw"),
+    # the keyword candidate list is corpus-sized for a common term —
+    # rank it with the two-phase bucketed global_rank, never an
+    # unpartitioned window (r02 verdict item #5)
+    kr = global_rank(kw, [F.desc("tf"), F.asc("doc_id")], out_col="r_kw").select(
+        "doc_id", "r_kw"
     )
     q = emb.select(
         "vec_id",
@@ -244,9 +247,8 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str):
         "vec_id",
         F.expr("aggregate(zip_with(vi, pv, (x, y) -> x * y), 0L, (s, x) -> s + x)").alias("dot"),
     )
-    vr = dots.select(
-        "vec_id",
-        F.row_number().over(W.orderBy(F.desc("dot"), "vec_id")).cast("long").alias("r_vec"),
+    vr = global_rank(dots, [F.desc("dot"), F.asc("vec_id")], out_col="r_vec").select(
+        "vec_id", "r_vec"
     )
     return kr.join(vr, kr["doc_id"] == vr["vec_id"]).select(
         "doc_id",
@@ -1070,9 +1072,10 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str):
     b = fs.groupBy(F.expr("first_doc DIV 50").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_terms")
     )
-    wo = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
-    return b.select(
+    # |slabs| grows with the corpus (docs/50) — two-phase bucketed
+    # prefix sum instead of a single-partition running total
+    return global_cumsum(b, [F.asc("bucket")], {"new_terms": "cumulative_vocab"}).select(
         F.col("bucket").cast("long").alias("doc_bucket_50"),
         F.col("new_terms").cast("long").alias("new_terms"),
-        F.sum("new_terms").over(wo).cast("long").alias("cumulative_vocab"),
+        F.col("cumulative_vocab").cast("long").alias("cumulative_vocab"),
     )

@@ -114,3 +114,76 @@ def test_resize_media_stub_plumbing(spark):
     a = {r.media_id: bytes(r.resized) for r in out.collect()}
     b = {r.media_id: bytes(r.resized) for r in resize_media(media, 16, 8).collect()}
     assert a == b
+
+
+def test_global_rank_matches_single_window(spark):
+    """Two-phase global_rank == row_number() OVER (ORDER BY ...) on a
+    tie-heavy leading key with a unique tiebreak (r02 verdict #5: the
+    shape that replaces every unbounded single-partition rank)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    df = spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("tf"))
+    order = [F.desc("tf"), F.asc("id")]
+    got = {r.id: r.rnk for r in global_rank(df, order, n_buckets=16).collect()}
+    exp = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk", F.row_number().over(W.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Two-phase global_cumsum == SUM() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) for multiple columns in one pass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 11).alias("v"), (F.col("id") % 3).alias("u")
+    )
+    order = [F.desc("v"), F.asc("id")]
+    out = global_cumsum(df, order, {"v": "cv", "u": "cu"}, n_buckets=16)
+    got = {r.id: (r.cv, r.cu) for r in out.collect()}
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    exp = {
+        r.id: (r.cv, r.cu)
+        for r in df.withColumn("cv", F.sum("v").over(w))
+        .withColumn("cu", F.sum("u").over(w))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_global_rank_no_unpartitioned_data_window(spark):
+    """The only ORDER-BY-without-PARTITION-BY window in a global_rank
+    plan is the n_buckets-row offset table (sorts on _pid) — the
+    data-sized sort never crosses one partition."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    df = spark.range(1_000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    plan = (
+        global_rank(df, [F.desc("v"), F.asc("id")], n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        m = re.match(r"(?:\*\(\d+\) )?Window (.*)$", s)
+        if not m:
+            continue
+        body = m.group(1)
+        # any single-partition ordered window must be the _pid offset table
+        if body.count("], [") == 1 and (" ASC" in body or " DESC" in body):
+            assert "_pid#" in body, f"unbucketed global window: {s}"
