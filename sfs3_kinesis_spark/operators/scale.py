@@ -267,3 +267,29 @@ def global_cumsum(
     for src, dst in sum_cols.items():
         out = out.withColumn(dst, F.col(f"_off_{src}") + F.sum(src).over(w_in))
     return out.drop("_pid", *[f"_off_{src}" for src in sum_cols])
+
+
+def guard_all_pairs(
+    df: DataFrame, *, op: str, scale_twin: str, max_rows: int = 65_536
+) -> DataFrame:
+    """Loud size gate in front of an O(n²) all-pairs operator.
+
+    The exact tiers (ngram-Jaccard, containment, cosine pairs) exist
+    as validation slices and LSH-recall oracles — by design they
+    compare every pair.  Above ``max_rows`` input rows (default 2^16
+    → ~2^31 candidate pairs) the comparison cannot be what the caller
+    meant on a corpus, so fail with a pointer at the bucketed twin
+    instead of launching a quadratic job (r02 verdict item #4).
+
+    The count is one cheap aggregated scan at build time — noise next
+    to the quadratic work it gates.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"{op}: refusing all-pairs comparison over {n:,} rows "
+            f"(limit {max_rows:,}).  This exact tier is O(n^2) by design "
+            f"for validation slices; at corpus scale use {scale_twin}, "
+            f"or raise max_rows explicitly if the slice really is this big."
+        )
+    return df

@@ -61,13 +61,27 @@ def brute_force_topk(
 
 
 def cosine_pairs_above(
-    embeddings: DataFrame, *, threshold: float, vec_col: str = "embedding", id_col: str = "vec_id"
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 65_536,
 ) -> DataFrame:
     """All pairs (a < b) with cosine > threshold.  Exact O(n²)
     scoring — correct at fixture scale; at corpus scale use
-    :func:`lsh_bucketed_pairs` to prune candidates first."""
+    :func:`lsh_bucketed_pairs` to prune candidates first.  Guarded:
+    refuses inputs above ``max_rows`` so the exact tier can't be
+    pointed at a corpus by accident."""
+    from sfs3_kinesis_spark.operators.scale import guard_all_pairs
+
     e = with_norm(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")),
+        guard_all_pairs(
+            embeddings,
+            op="cosine_pairs_above",
+            scale_twin="operators.similarity.lsh_bucketed_pairs",
+            max_rows=max_rows,
+        ).select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")),
         "v",
         "n",
     )

@@ -235,18 +235,36 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+#: writer-side twin of stream.KINESIS_SOURCE_FORMAT / reader options
+KINESIS_SINK_FORMAT = "aws-kinesis"
+
+#: the record projection the sink publishes: partition key = txn_id
+#: (per-key ordering, reference aprocess.js:157), payload = the
+#: {txnId, status} JSON the consumers parse — pinned here so the
+#: contract test and the wrapper can never drift apart
+KINESIS_SINK_PROJECTION = (
+    "txn_id AS partitionKey",
+    "to_json(struct(txn_id AS txnId, status)) AS data",
+)
+
+
+def kinesis_writer_options(stream_name: str, region: str = "us-east-1") -> dict[str, str]:
+    """Exact option map for the Kinesis DataStreamWriter — factored
+    out for jar-free contract testing (r02 verdict next-round #9)."""
+    return {
+        "kinesis.streamName": stream_name,
+        "kinesis.region": region,
+    }
+
+
 def kinesis_sink(df: DataFrame, stream_name: str, region: str = "us-east-1"):
     """Publish status events keyed by txn_id (per-key ordering via
     partition key — reference aprocess.js:157)."""
     try:
         return (
-            df.selectExpr(
-                "txn_id AS partitionKey",
-                "to_json(struct(txn_id AS txnId, status)) AS data",
-            )
-            .writeStream.format("aws-kinesis")
-            .option("kinesis.streamName", stream_name)
-            .option("kinesis.region", region)
+            df.selectExpr(*KINESIS_SINK_PROJECTION)
+            .writeStream.format(KINESIS_SINK_FORMAT)
+            .options(**kinesis_writer_options(stream_name, region))
         )
     except Exception as exc:  # pragma: no cover
         raise RuntimeError("Kinesis connector not available") from exc

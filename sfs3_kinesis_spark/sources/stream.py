@@ -47,6 +47,30 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     return spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
 
 
+#: the connector's format name — one definition shared by the wrapper
+#: and its contract test so a typo cannot ship silently (r02 verdict
+#: next-round #9)
+KINESIS_SOURCE_FORMAT = "aws-kinesis"
+
+
+def kinesis_reader_options(
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
+) -> dict[str, str]:
+    """The exact option map handed to the Kinesis DataStreamReader —
+    factored out of :func:`kinesis_stream` so its key spelling is
+    unit-testable without the connector jar (the wrapper itself can
+    only fail-to-load in this container).  Keys follow the
+    spark-sql-kinesis connector's documented ``kinesis.*`` surface."""
+    return {
+        "kinesis.streamName": stream_name,
+        "kinesis.region": region,
+        "kinesis.startingPosition": starting_position,
+        "kinesis.consumerType": "GetRecords",
+    }
+
+
 def kinesis_stream(
     spark: SparkSession,
     stream_name: str,
@@ -63,11 +87,8 @@ def kinesis_stream(
     """
     try:
         return (
-            spark.readStream.format("aws-kinesis")
-            .option("kinesis.streamName", stream_name)
-            .option("kinesis.region", region)
-            .option("kinesis.startingPosition", starting_position)
-            .option("kinesis.consumerType", "GetRecords")
+            spark.readStream.format(KINESIS_SOURCE_FORMAT)
+            .options(**kinesis_reader_options(stream_name, region, starting_position))
             .load()
         )
     except Exception as exc:  # pragma: no cover - connector not in test env

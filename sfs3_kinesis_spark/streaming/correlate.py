@@ -159,6 +159,44 @@ def outcome_metrics(out: DataFrame, name: str = "correlate_metrics") -> DataFram
     )
 
 
+def failover_resolve(correlate_out: DataFrame, state: DataFrame) -> DataFrame:
+    """The polling↔events failover handoff (reference
+    ``svcsample/svckinesis.js:70-78,126-152``): when the event path
+    never completes a pending request — stream down, producer dead,
+    or simply slower than the request budget — the reference moves
+    the pending entry to the *polling* transition map and completes
+    it from the Step Functions ``describeExecution`` status.
+
+    Engine form: ``timeout`` rows from :func:`correlate` (the evicted
+    pending requests) left-join the process-state store (the engine's
+    describeExecution surface, ``Engine.status``).  A txn the
+    pipeline HAS finished resolves with ``outcome='failover'`` and
+    the same 200/400 routing the event path would have used; a txn
+    the pipeline has not finished stays ``timeout`` (the reference's
+    still-RUNNING poll, pollingsvc.js:77-93).  Late events for these
+    txns remain accountable orphans in the correlate output — the
+    handoff never double-completes (the event path's state entry was
+    already evicted).
+
+    A broadcast-friendly keyed equi-join: timeout rows are the rare
+    tail of the outcome stream, so this runs as a tiny batch verb per
+    poll cycle (or ``foreachBatch``) at any scale.
+    """
+    t_rows = correlate_out.filter(F.col("outcome") == "timeout").select("txn_id")
+    s = state.select("txn_id", F.col("status").alias("_st"))
+    return t_rows.join(s, "txn_id", "left").select(
+        "txn_id",
+        F.when(F.col("_st").isin("SUCCEEDED", "FAILED"), F.lit("failover"))
+        .otherwise(F.lit("timeout"))
+        .alias("outcome"),
+        F.col("_st").alias("status"),
+        F.when(F.col("_st") == "SUCCEEDED", 200)
+        .when(F.col("_st").isNotNull(), 400)
+        .cast("int")
+        .alias("http_code"),
+    )
+
+
 def correlate(requests: DataFrame, events: DataFrame) -> DataFrame:
     """The correlation operator: streaming in, streaming out.
 

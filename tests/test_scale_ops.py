@@ -187,3 +187,21 @@ def test_global_rank_no_unpartitioned_data_window(spark):
         # any single-partition ordered window must be the _pid offset table
         if body.count("], [") == 1 and (" ASC" in body or " DESC" in body):
             assert "_pid#" in body, f"unbucketed global window: {s}"
+
+
+def test_guard_all_pairs_blocks_corpus_sized_input(spark):
+    """The all-pairs exact tiers must refuse unbounded inputs loudly,
+    pointing at the bucketed twin (r02 verdict #4) — and pass small
+    validation slices through unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import guard_all_pairs
+
+    small = spark.range(10).select(F.col("id"))
+    assert guard_all_pairs(
+        small, op="t", scale_twin="twin", max_rows=10
+    ).count() == 10
+    big = spark.range(11)
+    with pytest.raises(RuntimeError, match="twin"):
+        guard_all_pairs(big, op="t", scale_twin="twin", max_rows=10)

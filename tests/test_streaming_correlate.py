@@ -267,15 +267,27 @@ def test_pydatasource_feeds_correlation_end_to_end(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     txns = [f"0x{i:04x}" for i in range(12)]
 
-    path = str(tmp_path / "status.jsonl")
-    with open(path, "w") as fh:
-        for i, txn in enumerate(txns):
-            fh.write(json.dumps({"txnId": txn, "status": "SUCCEEDED" if i % 4 else "FAILED"}) + "\n")
+    # two shards (txn hash-split across them, like Kinesis partition
+    # keys) — the correlator must match across BOTH shard cursors
+    shard_dir = tmp_path / "status_shards"
+    shard_dir.mkdir()
+    shards: dict[str, list[tuple[int, str]]] = {"s0.jsonl": [], "s1.jsonl": []}
+    for i, txn in enumerate(txns):
+        shards[f"s{i % 2}.jsonl"].append((i, txn))
+    for name, members in shards.items():
+        with open(shard_dir / name, "w") as fh:
+            for i, txn in members:
+                fh.write(
+                    json.dumps(
+                        {"txnId": txn, "status": "SUCCEEDED" if i % 4 else "FAILED"}
+                    )
+                    + "\n"
+                )
 
     pydatasource.register(spark)
     event_stream = (
         spark.readStream.format("status_jsonl")
-        .option("path", path)
+        .option("path", str(shard_dir))
         .option("maxRecordsPerBatch", "5")
         .load()
         .select(
@@ -300,5 +312,74 @@ def test_pydatasource_feeds_correlation_end_to_end(spark, tmp_path):
         assert len(by_txn) == 12
         assert by_txn["0x0000"].http_code == 400  # FAILED -> 400
         assert by_txn["0x0001"].http_code == 200
+    finally:
+        q.stop()
+
+
+def test_failover_event_path_silent_poller_completes(spark, tmp_path):
+    """The polling↔events handoff (svckinesis.js:70-78,126-152,
+    r02 verdict next-round #6): the event path never delivers, the
+    request times out and is evicted, the POLLING path completes it
+    from the process-state store with the same 200 routing — and the
+    late event stays an accountable orphan, never a double-complete."""
+    import datetime as dt
+
+    from sfs3_kinesis_spark.engine import Engine
+    from sfs3_kinesis_spark.streaming.correlate import failover_resolve
+
+    # 1. the pipeline itself finishes the txn (state store says
+    # SUCCEEDED) — only the EVENT DELIVERY to the correlator is down
+    eng = Engine(spark, str(tmp_path / "eng"))
+    q_pipe = eng.start()
+    try:
+        txn = eng.submit('{"foo": true}')
+        assert eng.await_completion(txn, timeout_s=60) == "SUCCEEDED"
+    finally:
+        q_pipe.stop()
+
+    # 2. the correlator sees the request but no event within budget
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    req = unioned_input(
+        _requests_df(spark, [(txn, t0, 700)]),  # 0.7 s budget
+        _events_df(spark, []),
+    )
+    req.write.mode("append").parquet(str(stream_dir))
+    stream = spark.readStream.schema(req.schema).parquet(str(stream_dir))
+    q = run_stateful_to_memory(_correlated(stream), "corr_failover")
+    try:
+        n = wait_for_rows(spark, "SELECT count(*) FROM corr_failover", 1, timeout_s=60)
+        assert n >= 1, "timeout row never emitted"
+
+        # 3. the handoff: timeout rows + state store -> completed poll
+        out = spark.sql("SELECT * FROM corr_failover")
+        resolved = {r["txn_id"]: r for r in failover_resolve(out, eng._sink.current()).collect()}
+        assert resolved[txn]["outcome"] == "failover"
+        assert resolved[txn]["status"] == "SUCCEEDED"
+        assert resolved[txn]["http_code"] == 200
+
+        # a txn the pipeline has NOT finished stays timeout
+        ghost = spark.createDataFrame(
+            [("t-ghost", "timeout", None, None, None)], out.schema
+        )
+        unresolved = failover_resolve(ghost, eng._sink.current()).collect()[0]
+        assert unresolved["outcome"] == "timeout" and unresolved["status"] is None
+
+        # 4. the late event is an orphan in the correlate output —
+        # the evicted entry can never double-complete
+        late = unioned_input(
+            _requests_df(spark, []),
+            _events_df(spark, [(txn, "SUCCEEDED", t0 + dt.timedelta(seconds=2))]),
+        )
+        late.write.mode("append").parquet(str(stream_dir))
+        wait_for_rows(spark, "SELECT count(*) FROM corr_failover", 2, timeout_s=60)
+        outcomes = {
+            (r["txn_id"], r["outcome"])
+            for r in spark.sql("SELECT * FROM corr_failover").collect()
+        }
+        assert (txn, "timeout") in outcomes
+        assert (txn, "orphan") in outcomes
+        assert (txn, "matched") not in outcomes
     finally:
         q.stop()
