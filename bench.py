@@ -67,6 +67,9 @@ HEADLINE = [
     "feature_hashing_trick",
     "spatial_grid_neighbors",
     "quality_schema_drift",
+    # round 3: BM25 ranking, substring-window dedup
+    "retrieval_bm25",
+    "dedup_substring_windows",
 ]
 
 

@@ -281,39 +281,44 @@ def connected_components(
         .select("vertex", f.least(f.col("vertex"), f.col("_nbr_min")).alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # hop: for each vertex, the smallest label among itself and
-        # its neighbors
-        nbr = (
-            edges.join(labels, edges.dst == labels.vertex)
-            .select(f.col("src").alias("vertex"), f.col("component"))
-            .unionByName(labels)
-            .groupBy("vertex")
-            .agg(f.min("component").alias("c1"))
-        )
-        # pointer jump: follow the label one step — label(label(v)).
-        # Every label value IS a vertex of the graph (it is a min of
-        # vertex ids), so the self-join lookup is total; the parent's
-        # label is <= the child's by construction.
-        parent = nbr.select(f.col("vertex").alias("_pv"), f.col("c1").alias("_pc"))
-        jumped = (
-            nbr.join(parent, nbr.c1 == f.col("_pv"))
-            .select("vertex", f.col("_pc").alias("new_component"))
-        )
-        joined = labels.join(jumped, "vertex").localCheckpoint()
-        changed = joined.filter(f.col("component") != f.col("new_component")).count()
-        labels = joined.select("vertex", f.col("new_component").alias("component"))
-        if changed == 0:
-            break
-    else:
-        # silent wrong labels are worse than a loud failure: a graph
-        # that has not reached fixpoint within max_iter rounds (log-
-        # scale in diameter thanks to the jump step) must not be
-        # reported as clustered
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    edges.unpersist()
+    # try/finally so the persisted edge table is released on EVERY
+    # exit — the non-convergence raise included (r02 ADVICE: the
+    # failure path leaked cached storage)
+    try:
+        for _ in range(max_iter):
+            # hop: for each vertex, the smallest label among itself
+            # and its neighbors
+            nbr = (
+                edges.join(labels, edges.dst == labels.vertex)
+                .select(f.col("src").alias("vertex"), f.col("component"))
+                .unionByName(labels)
+                .groupBy("vertex")
+                .agg(f.min("component").alias("c1"))
+            )
+            # pointer jump: follow the label one step — label(label(v)).
+            # Every label value IS a vertex of the graph (it is a min
+            # of vertex ids), so the self-join lookup is total; the
+            # parent's label is <= the child's by construction.
+            parent = nbr.select(f.col("vertex").alias("_pv"), f.col("c1").alias("_pc"))
+            jumped = (
+                nbr.join(parent, nbr.c1 == f.col("_pv"))
+                .select("vertex", f.col("_pc").alias("new_component"))
+            )
+            joined = labels.join(jumped, "vertex").localCheckpoint()
+            changed = joined.filter(f.col("component") != f.col("new_component")).count()
+            labels = joined.select("vertex", f.col("new_component").alias("component"))
+            if changed == 0:
+                break
+        else:
+            # silent wrong labels are worse than a loud failure: a
+            # graph that has not reached fixpoint within max_iter
+            # rounds (log-scale in diameter thanks to the jump step)
+            # must not be reported as clustered
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels
 
 

@@ -226,9 +226,18 @@ def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
     No shuffle: the centroid matrix is a closure constant shipped to
     each Arrow worker; per 10k-row batch the work is one
     (n x k x dim) int64 broadcast subtract+square+sum.
+
+    Dispatch (r02 ADVICE): pandas/numpy are probed at call time —
+    an Arrow-less deployment falls back to the value-identical
+    column-expression twin :func:`_assign_cells_expr` instead of
+    hard-failing.  The id column's type is taken from the input
+    schema, not hardcoded.
     """
-    import numpy as np
-    import pandas as pd
+    try:
+        import numpy as np
+        import pandas as pd
+    except ImportError:  # pragma: no cover - both libs ship in tests
+        return _assign_cells_expr(dfv, cents)
 
     C = np.array([v for _, v in cents], dtype=np.int64)
     cids = np.array([c for c, _ in cents], dtype=np.int64)
@@ -249,13 +258,18 @@ def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
                 }
             )
 
-    return dfv.mapInPandas(fn, "id bigint, vi array<bigint>, cell bigint, dist bigint")
+    id_type = dict(dfv.dtypes)["id"]
+    return dfv.mapInPandas(
+        fn, f"id {id_type}, vi array<bigint>, cell bigint, dist bigint"
+    )
 
 
 def _assign_cells_expr(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Column-expression twin of :func:`_assign_cells` (argmin via
-    higher-order lambdas, zero Python).  Kept as the verification
-    twin and the fallback for Arrow-less deployments; the centroid
+    higher-order lambdas, zero Python) — the verification twin AND
+    the dispatched fallback when pandas/pyarrow are absent (see
+    :func:`_assign_cells`).  Output schema matches the Arrow path
+    exactly: (id, vi, cell bigint, dist bigint).  The centroid
     matrix rides in as a ONE-ROW broadcast DataFrame (a broadcast
     nested-loop join with a single row is just a projection), not as
     inline literals — a k x dim literal array inside a higher-order
@@ -270,9 +284,14 @@ def _assign_cells_expr(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> Da
     return (
         dfv.join(F.broadcast(cmat))
         .withColumn("dists", F.expr(f"transform(cvals, c -> {d})"))
-        .withColumn("dist", F.expr("array_min(dists)"))
-        .withColumn("cell", F.expr("element_at(cids, cast(array_position(dists, array_min(dists)) as int))"))
-        .drop("cvals", "cids", "dists")
+        .withColumn("dist", F.expr("array_min(dists)").cast("bigint"))
+        .withColumn(
+            "cell",
+            F.expr(
+                "element_at(cids, cast(array_position(dists, array_min(dists)) as int))"
+            ).cast("bigint"),
+        )
+        .select("id", "vi", "cell", "dist")
     )
 
 

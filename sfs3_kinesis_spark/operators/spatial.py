@@ -23,9 +23,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _floor_div(col: str, cell: int) -> str:
+    """Exact integer FLOOR division (toward -inf).  Spark's DIV
+    truncates toward zero, which makes cell 0 span (-cell, +cell) —
+    nearly double width — for negative coordinates, degrading the
+    3x3 pruning around the origin and breaking the uniform-width
+    assumption of the coverage proof (r02 ADVICE).  The pmod
+    adjustment keeps it pure int64 (no double round-trip)."""
+    return f"(({col} - ((({col} % {cell}) + {cell}) % {cell})) DIV {cell})"
+
+
 def _celled(points: DataFrame, x: str, y: str, cell: int) -> DataFrame:
-    return points.withColumn("_cx", F.expr(f"{x} DIV {cell}")).withColumn(
-        "_cy", F.expr(f"{y} DIV {cell}")
+    return points.withColumn("_cx", F.expr(_floor_div(x, cell))).withColumn(
+        "_cy", F.expr(_floor_div(y, cell))
     )
 
 

@@ -88,11 +88,17 @@ def asof_join(
         ).alias("_right"),
     )
     # right rows order before left rows at equal ts (<= semantics);
-    # strict mode flips the tie-break so the left row precedes it
+    # strict mode flips the tie-break so the left row precedes it.
+    # The payload struct is the deterministic TERTIARY key (r02
+    # ADVICE): duplicate right rows at the same (key, ts) would
+    # otherwise resolve to whichever the shuffle delivered last —
+    # with it, the GREATEST payload struct wins, bit-stably.
+    # (Payload fields must be orderable — no map columns; pass an
+    # explicit orderable payload_cols subset otherwise.)
     side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), side_order)
+        .orderBy(F.col("_ts").asc(), side_order, F.col("_right").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
     )
     matched = (
@@ -168,10 +174,13 @@ def asof_join_forward(
     # left rows order before right rows at equal ts (>= semantics: the
     # equal-ts right row falls INSIDE the following frame); strict
     # mode flips the tie so it falls outside
+    # tertiary payload-struct key: duplicate right rows at one
+    # (key, ts) resolve deterministically to the LEAST payload struct
+    # (first() over the following frame) — see asof_join
     side_order = F.col("_side").desc() if not strict else F.col("_side").asc()
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), side_order)
+        .orderBy(F.col("_ts").asc(), side_order, F.col("_right").asc_nulls_first())
         .rowsBetween(1, W.unboundedFollowing)
     )
     matched = (
@@ -246,7 +255,12 @@ def asof_join_nearest(
             *[F.col(c) for c in payload_cols], F.col(right_ts).alias("_rts")
         ).alias("_right"),
     )
-    base = W.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    # tertiary payload-struct key for duplicate (key, ts) right rows:
+    # backward candidate = greatest struct, forward = least — both
+    # deterministic (see asof_join)
+    base = W.partitionBy("_k").orderBy(
+        F.col("_ts").asc(), F.col("_side").asc(), F.col("_right").asc_nulls_first()
+    )
     wb = base.rowsBetween(W.unboundedPreceding, 0)
     wf = base.rowsBetween(1, W.unboundedFollowing)
     m = (

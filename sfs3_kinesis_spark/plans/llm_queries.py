@@ -2103,3 +2103,74 @@ def quality_embedding_norms(spark: SparkSession, sf_dir: str):
         F.max("norm2").cast("long").alias("max_norm2"),
         F.count(F.when(F.col("norm2") == 0, 1)).cast("long").alias("n_zero"),
     )
+
+
+@register(
+    "dedup_substring_windows",
+    """
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+        SELECT doc_id,
+               array_to_string(toks[i:i+7], ' ') AS win
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+              FROM tk WHERE len(toks) >= 8)),
+    g AS (SELECT win, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY win),
+    d AS (
+        SELECT w.doc_id,
+               count(*) AS n_windows,
+               count(*) FILTER (WHERE g.ndocs >= 2) AS n_dup
+        FROM w JOIN g USING (win) GROUP BY w.doc_id)
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup AS BIGINT) AS n_dup_windows,
+           CAST(n_dup * 10000 // n_windows AS BIGINT) AS dup_span_bp
+    FROM d WHERE n_dup > 0
+    """,
+    tags=("dedup", "substring", "exact_arithmetic", "training_data"),
+    description=(
+        "exact substring-window dedup signal (the public 'Deduplicating "
+        "Training Data Makes Language Models Better' recipe, shrunk "
+        "from 50-token to 8-token windows for the fixture's short "
+        "docs): every consecutive 8-token window, one shuffle on the "
+        "window key counting distinct source docs, join back to score "
+        "each doc's duplicated-span fraction in basis points — the "
+        "per-doc signal that drives span REMOVAL (vs whole-doc "
+        "near-dup dropping, which misses partial copies).  At 100 TB "
+        "the window string would be xxhash64'd before the shuffle "
+        "(collision-checked on candidates) so shuffle bytes are "
+        "8 bytes/window, not the text — kept as plain strings here "
+        "for cross-engine hash parity; same plan shape either way"
+    ),
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str):
+    W_TOK = 8
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= W_TOK)
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {W_TOK - 1}), "
+                f"i -> array_join(slice(toks, i, {W_TOK}), ' '))"
+            )
+        ).alias("win"),
+    )
+    g = w.groupBy("win").agg(F.count_distinct("doc_id").alias("ndocs"))
+    agg = (
+        w.join(g, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup"),
+        )
+    )
+    return agg.filter(F.col("n_dup") > 0).select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup").cast("long").alias("n_dup_windows"),
+        F.expr("CAST(n_dup * 10000 DIV n_windows AS BIGINT)").alias("dup_span_bp"),
+    )

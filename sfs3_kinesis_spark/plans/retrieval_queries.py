@@ -1079,3 +1079,74 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str):
         F.col("new_terms").cast("long").alias("new_terms"),
         F.col("cumulative_vocab").cast("long").alias("cumulative_vocab"),
     )
+
+
+@register(
+    "retrieval_bm25",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS dl FROM tk GROUP BY doc_id),
+    tot AS (SELECT CAST(sum(dl) AS HUGEINT) AS tt, CAST(count(*) AS HUGEINT) AS nd
+            FROM dl),
+    tf AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS tf FROM tk
+           WHERE term = '{KW_TERMS[1]}' GROUP BY doc_id),
+    dfc AS (SELECT CAST(count(*) AS HUGEINT) AS df FROM tf)
+    SELECT tf.doc_id,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(dl AS BIGINT) AS dl,
+           CAST((2 * nd - 2 * df + 1) * (2200 * tf * tt) * 1000000
+                // ((2 * df + 1) * (1000 * tf * tt + 300 * tt + 900 * dl * nd))
+                AS BIGINT) AS bm25_micro
+    FROM tf JOIN dl USING (doc_id), tot, dfc
+    ORDER BY bm25_micro DESC, tf.doc_id LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "ranking", "exact_arithmetic", "topk"),
+    description=(
+        "BM25 top-20 ranking (Robertson-Sparck Jones, public) for one "
+        "query term, in EXACT integer arithmetic so both engines "
+        "agree bit-for-bit: with k1=1.2, b=0.75 the score "
+        "idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) becomes the "
+        "single integer ratio (2N-2df+1)(2200*tf*T)*1e6 // "
+        "((2df+1)(1000*tf*T + 300*T + 900*dl*N)) — the raw "
+        "Robertson idf odds-ratio replaces the log (log is "
+        "monotone, so top-k order is IDENTICAL for a single term, "
+        "and libm ln() is not bit-stable across JVMs/engines).  "
+        "Products run in DECIMAL(38,0)/HUGEINT so corpus-scale token "
+        "totals cannot wrap; corpus stats (T, N, df) ride in as "
+        "1-row broadcasts; final top-20 is TakeOrderedAndProject"
+    ),
+)
+def retrieval_bm25(spark: SparkSession, sf_dir: str):
+    term = KW_TERMS[1]
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("dl")
+    )
+    tot = dl.agg(
+        F.sum("dl").cast("decimal(38,0)").alias("tt"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+    )
+    tf = (
+        tk.filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("tf"))
+    )
+    dfc = tf.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(dfc))
+        .select(
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.expr(
+                "CAST((2 * nd - 2 * df + 1) * (2200 * tf * tt) * 1000000"
+                " DIV ((2 * df + 1) * (1000 * tf * tt + 300 * tt + 900 * dl * nd))"
+                " AS BIGINT)"
+            ).alias("bm25_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_micro"), "doc_id").limit(20)

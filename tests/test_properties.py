@@ -419,7 +419,9 @@ def test_asof_nearest_matches_pandas(spark, left_rows, right_rows, tol):
 @_slow
 @given(
     st.lists(
-        st.tuples(st.integers(0, 200), st.integers(0, 200)),
+        # straddle the origin: truncating (toward-zero) cell
+        # division would double-width cell 0 here (r02 ADVICE)
+        st.tuples(st.integers(-200, 200), st.integers(-200, 200)),
         min_size=1,
         max_size=40,
         unique=True,
@@ -585,7 +587,7 @@ def test_temperature_resample_invariants(spark, rows):
 @_slow
 @given(
     st.lists(
-        st.tuples(st.integers(0, 120), st.integers(0, 120)),
+        st.tuples(st.integers(-120, 120), st.integers(-120, 120)),
         min_size=2,
         max_size=30,
         unique=True,

@@ -110,8 +110,57 @@ def test_assign_cells_arrow_matches_expression_twin(spark):
     dfv = _quantized(emb, "embedding", "vec_id", 10000)
     seed = dfv.orderBy("id").limit(8).collect()
     cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
-    fast = {(r["id"], r["cell"], r["dist"]) for r in _assign_cells(dfv, cents).collect()}
-    slow = {
-        (r["id"], r["cell"], r["dist"]) for r in _assign_cells_expr(dfv, cents).collect()
-    }
+    fast_df = _assign_cells(dfv, cents)
+    slow_df = _assign_cells_expr(dfv, cents)
+    # interchangeable fallback (r02 ADVICE): identical schema too
+    assert fast_df.columns == slow_df.columns
+    assert [f.dataType for f in fast_df.schema.fields] == [
+        f.dataType for f in slow_df.schema.fields
+    ]
+    fast = {(r["id"], r["cell"], r["dist"]) for r in fast_df.collect()}
+    slow = {(r["id"], r["cell"], r["dist"]) for r in slow_df.collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_assign_cells_dispatches_to_expr_without_pandas(spark, monkeypatch):
+    """Arrow-less deployment (r02 ADVICE): when pandas/numpy cannot
+    import, _assign_cells transparently builds the column-expression
+    plan instead of hard-failing."""
+    import builtins
+
+    from sfs3_kinesis_spark.operators.similarity import _assign_cells, _quantized
+    from sfs3_kinesis_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dfv = _quantized(emb, "embedding", "vec_id", 10000)
+    seed = dfv.orderBy("id").limit(4).collect()
+    cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
+
+    import sfs3_kinesis_spark.operators.similarity as sim
+
+    real_import = builtins.__import__
+    real_expr = sim._assign_cells_expr
+    called = []
+
+    def no_pandas(name, *args, **kwargs):
+        if name in ("numpy", "pandas"):
+            raise ImportError(f"blocked: {name}")
+        return real_import(name, *args, **kwargs)
+
+    def sentinel(dfv_, cents_):
+        called.append(True)
+        # restore imports before building the expression plan —
+        # pyspark itself imports numpy opportunistically, so the
+        # block only exists to prove _assign_cells probed and fell
+        # back rather than hard-failing
+        monkeypatch.undo()
+        return real_expr(dfv_, cents_)
+
+    monkeypatch.setattr(sim, "_assign_cells_expr", sentinel)
+    monkeypatch.setattr(builtins, "__import__", no_pandas)
+    out = _assign_cells(dfv, cents)
+    assert called, "Arrow-less path did not dispatch to the expression twin"
+    # the fallback plan is pure column expressions — no Python eval
+    assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    assert len(rows) > 0 and {type(r["cell"]) for r in rows} == {int}

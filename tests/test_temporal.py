@@ -119,3 +119,31 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert out[0]["payload"] == "a"      # exactly 30 min old: kept
     assert out[1]["payload"] is None     # 3 h old: rejected
     assert len(out) == 2                 # left rows always survive
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate right rows at one (key, ts) resolve bit-stably (r02
+    ADVICE): the payload struct is the tertiary sort key, so backward
+    picks the GREATEST struct, forward the LEAST — independent of
+    shuffle arrival order or input partitioning."""
+    from sfs3_kinesis_spark.operators.temporal import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", ts(10), 100)], "k string, ts timestamp, lid int"
+    )
+    dup_rows = [("u1", ts(5), v) for v in (3.0, 1.0, 2.0)] + [
+        ("u1", ts(20), v) for v in (7.0, 9.0, 8.0)
+    ]
+    for n_parts in (1, 3, 7):
+        right = spark.createDataFrame(
+            dup_rows, "k string, ts timestamp, rv double"
+        ).repartition(n_parts)
+        b = asof_join(left, right, key="k").collect()[0]["rv"]
+        f = asof_join_forward(left, right, key="k").collect()[0]["rv"]
+        n = asof_join_nearest(left, right, key="k").collect()[0]["rv"]
+        assert b == 3.0, f"backward must take greatest dup payload, got {b}"
+        assert f == 7.0, f"forward must take least dup payload, got {f}"
+        assert b == n  # nearest tie breaks to the earlier (backward) row
