@@ -82,6 +82,9 @@ BNLJ_ALLOWED = {
     # 1-row total-weight broadcast onto the 100-row stride table +
     # 100-row stride broadcast interval lookup into the fact side
     "sample_systematic_pps": 2,
+    # two ONE-ROW corpus-stat broadcasts (T,N totals and the df
+    # count) fused into the BM25 score projection
+    "retrieval_bm25": 2,
     # 1-row total broadcasts joined onto two-phase rank/cumsum outputs
     "mine_rfm_segmentation": 2,
     "mine_abc_classification": 2,
