@@ -1742,3 +1742,54 @@ def mine_cusum_drift(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("alarm"),
     )
+
+
+@register(
+    "agg_quantile_sketch_audit",
+    None,  # self-auditing: sketch vs exact inside one plan, rows-only
+    tags=("agg", "approx", "sketch", "percentile", "audit"),
+    description=(
+        "quantile-sketch accuracy self-audit (the third member of the "
+        "audit family, with similarity_ivf_recall_audit and "
+        "dedup_lsh_recall_audit): per order priority, "
+        "approx_percentile's p50/p90/p99 against the EXACT "
+        "nearest-rank percentiles from one keyed window pass, error "
+        "reported in basis points of the exact value — the number an "
+        "operator checks before trusting a sketch tier at 100 TB, "
+        "where only the sketch is affordable but a validation slice "
+        "can still run the exact tier.  Both tiers share the same "
+        "scan; the exact side shuffles once on the group key"
+    ),
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    wt = W.partitionBy("o_orderpriority")
+    r = o.withColumn("rn", F.row_number().over(wt.orderBy("cents"))).withColumn(
+        "n", F.count(F.lit(1)).over(wt)
+    )
+    exact = r.groupBy("o_orderpriority").agg(
+        *[
+            F.max(
+                F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
+            ).alias(f"exact_p{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        *[
+            F.approx_percentile("cents", F.lit(p / 100)).alias(f"approx_p{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    out = exact.join(approx, "o_orderpriority")
+    for p in (50, 90, 99):
+        out = out.withColumn(
+            f"err_p{p}_bp",
+            F.expr(
+                f"CAST(abs(approx_p{p} - exact_p{p}) * 10000 DIV exact_p{p} AS BIGINT)"
+            ),
+        )
+    return out.orderBy("o_orderpriority")

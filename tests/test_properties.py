@@ -617,3 +617,59 @@ def test_grid_knn_matches_bruteforce(spark, pts, radius, k):
         for r in grid_knn(df, id_col="id", x="x", y="y", radius=radius, k=k).collect()
     }
     assert got == expected
+
+
+@_slow
+@given(
+    st.lists(  # (value with heavy ties, unique-ish tiebreak payload)
+        st.tuples(st.integers(0, 4), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=64,
+    ),
+    st.integers(2, 9),
+)
+def test_global_rank_property_matches_window(spark, rows, n_buckets):
+    """Two-phase global_rank == single-window ROW_NUMBER for ANY
+    value distribution (including all-ties) and ANY bucket count —
+    the equivalence the r02-verdict rewiring rests on."""
+    from pyspark.sql import Window as W
+
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    data = [(i, v, p) for i, (v, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, p long")
+    order = [F.desc("v"), F.asc("id")]
+    got = {r.id: r.rnk for r in global_rank(df, order, n_buckets=n_buckets).collect()}
+    exp = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk", F.row_number().over(W.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == exp
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=64,
+    ),
+    st.integers(2, 9),
+)
+def test_global_cumsum_property_matches_window(spark, rows, n_buckets):
+    """Two-phase global_cumsum == single-window running SUM for ANY
+    (possibly negative) values and ANY bucket count."""
+    from pyspark.sql import Window as W
+
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
+    data = [(i, v, w) for i, (v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, w long")
+    order = [F.asc("v"), F.asc("id")]
+    out = global_cumsum(df, order, {"w": "cw"}, n_buckets=n_buckets)
+    got = {r.id: r.cw for r in out.collect()}
+    win = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    exp = {r.id: r.cw for r in df.withColumn("cw", F.sum("w").over(win)).collect()}
+    assert got == exp
