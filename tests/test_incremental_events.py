@@ -136,3 +136,33 @@ def test_upsert_sink_write_path_never_reads_base(spark, tmp_path):
     finally:
         sink.spark = real_spark
     assert {r.k: r.v for r in sink.current().collect()} == {"a": 1, "b": 2}
+
+
+def test_upsert_sink_schema_evolution_across_compaction(spark, tmp_path):
+    """A later micro-batch may carry NEW columns (the reference's
+    process documents accrete fields, aprocess.js:57-58): merged
+    reads and the compaction fold must evolve the schema — old rows
+    get NULLs, no column is dropped, last-writer-wins unchanged."""
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "st"), key_col="k", compact_every=2)
+    sink.apply_batch(
+        spark.createDataFrame([("a", "RUNNING")], "k string, status string"),
+        epoch_id=0,
+    )
+    # epoch 1 adds a column AND triggers compaction (2 % 2 == 0)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [("b", "RUNNING", "x")], "k string, status string, extra string"
+        ),
+        epoch_id=1,
+    )
+    cur = {r.k: (r.status, r.extra) for r in sink.current().collect()}
+    assert cur == {"a": ("RUNNING", None), "b": ("RUNNING", "x")}
+    # post-compaction upsert of the OLD schema still merges cleanly
+    sink.apply_batch(
+        spark.createDataFrame([("a", "SUCCEEDED")], "k string, status string"),
+        epoch_id=2,
+    )
+    cur = {r.k: (r.status, r.extra) for r in sink.current().collect()}
+    assert cur == {"a": ("SUCCEEDED", None), "b": ("RUNNING", "x")}
