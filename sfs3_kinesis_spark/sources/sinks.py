@@ -208,6 +208,46 @@ class KeyedUpsertSink:
         )
         self._snapshots.append(version)
 
+    def vacuum(self, keep_from_version: int | None = None) -> int:
+        """Garbage-collect history: drop snapshots and deltas no
+        longer needed to reconstruct versions >= ``keep_from_version``
+        (default: the latest compaction point — current state and
+        everything after it stays readable).  Returns the number of
+        directories removed.
+
+        The retention contract mirrors a Delta/Iceberg VACUUM: time
+        travel BEFORE the horizon is forfeited (read_version raises
+        once its base snapshot is gone), everything at or after it is
+        untouched.  Refuses a horizon the on-disk layout cannot serve
+        (no snapshot at or below it would remain)."""
+        import shutil
+
+        if keep_from_version is None:
+            keep_from_version = max(
+                (s for s in self._snapshots), default=self._version
+            )
+        anchors = [s for s in self._snapshots if s <= keep_from_version]
+        if self._version and not anchors and keep_from_version < self._version:
+            # versions (0, keep) would need deltas from 0 — nothing to GC
+            # below a horizon with no snapshot anchor
+            raise ValueError(
+                f"no snapshot at or below version {keep_from_version}; "
+                "compact first or raise the horizon"
+            )
+        anchor = max(anchors, default=0)
+        removed = 0
+        for v in list(self._deltas):
+            if v <= anchor:
+                shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+                self._deltas.remove(v)
+                removed += 1
+        for s in list(self._snapshots):
+            if s < anchor:
+                shutil.rmtree(self._snapshot_dir(s), ignore_errors=True)
+                self._snapshots.remove(s)
+                removed += 1
+        return removed
+
     def writer(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.apply_batch).outputMode("update")
 

@@ -166,3 +166,39 @@ def test_upsert_sink_schema_evolution_across_compaction(spark, tmp_path):
     )
     cur = {r.k: (r.status, r.extra) for r in sink.current().collect()}
     assert cur == {"a": ("SUCCEEDED", None), "b": ("RUNNING", "x")}
+
+
+def test_upsert_sink_vacuum_retention(spark, tmp_path):
+    """VACUUM: history before the latest compaction anchor is GC'd
+    (time travel there forfeited, loudly), everything at or after it
+    stays exact, and a restarted sink resumes over the vacuumed
+    layout."""
+    import pytest
+
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "st")
+    sink = KeyedUpsertSink(spark, path, key_col="k", compact_every=2)
+    for i in range(5):
+        sink.apply_batch(
+            spark.createDataFrame([(f"k{i % 2}", i)], "k string, val int"), epoch_id=i
+        )
+    # snapshots at v2, v4; deltas d1..d5
+    removed = sink.vacuum()  # default horizon = latest compaction (4)
+    assert removed == 5  # d1..d4 + v2
+    assert {r.k: r.val for r in sink.current().collect()} == {"k0": 4, "k1": 3}
+    assert {r.k: r.val for r in sink.read_version(4).collect()} == {"k0": 2, "k1": 3}
+    assert {r.k: r.val for r in sink.read_version(5).collect()} == {"k0": 4, "k1": 3}
+    with pytest.raises(ValueError):
+        sink.read_version(3).collect()
+
+    resumed = KeyedUpsertSink(spark, path, key_col="k", compact_every=2)
+    assert resumed._version == 5
+    assert {r.k: r.val for r in resumed.current().collect()} == {"k0": 4, "k1": 3}
+
+    # a horizon with no snapshot anchor below it is refused
+    fresh = KeyedUpsertSink(spark, str(tmp_path / "st2"), key_col="k", compact_every=100)
+    fresh.apply_batch(spark.createDataFrame([("a", 1)], "k string, v int"), epoch_id=0)
+    fresh.apply_batch(spark.createDataFrame([("b", 2)], "k string, v int"), epoch_id=1)
+    with pytest.raises(ValueError, match="compact first"):
+        fresh.vacuum(keep_from_version=1)
