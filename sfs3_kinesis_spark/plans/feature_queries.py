@@ -234,9 +234,11 @@ def feature_robust_scale_params(spark: SparkSession, sf_dir: str):
         "one-hot vocabulary induction: categories ranked by frequency "
         "(name tiebreak) into contiguous indices 0..|V|-1 plus their "
         "corpus share in basis points — the mapping table an encoder "
-        "broadcasts.  The global rank runs over the CATEGORY table "
-        "(|V| rows, already aggregated), never the corpus, so the "
-        "single-partition window is a constant-size step at any scale"
+        "broadcasts.  The rank runs over the CATEGORY table (already "
+        "aggregated), never the corpus — and because high-cardinality "
+        "categoricals make |V| unbounded in principle, it uses the "
+        "two-phase bucketed global_rank rather than a single-partition "
+        "window (r02 verdict #5)"
     ),
 )
 def feature_onehot_vocab(spark: SparkSession, sf_dir: str):
