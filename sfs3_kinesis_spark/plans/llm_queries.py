@@ -2180,3 +2180,130 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str):
         F.col("n_dup").cast("long").alias("n_dup_windows"),
         F.expr("CAST(n_dup * 10000 DIV n_windows AS BIGINT)").alias("dup_span_bp"),
     )
+
+
+def _bbit_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{h} % 4 = sb.m{h} % 4 THEN 1 ELSE 0 END)"
+        for h in range(_MHX_HASHES)
+    )
+    n = _MHX_HASHES
+    return f"""
+    WITH {_mhx_ctes()},
+    ba AS (
+      SELECT c.doc_a, c.doc_b, ({agree}) AS agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b)
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.inter * 10000 // v.uni AS BIGINT) AS true_jaccard_bp,
+           CAST(ba.agree AS BIGINT) AS agree{n},
+           CAST(CASE WHEN 4 * ba.agree <= {n} THEN 0
+                     ELSE (10000 * (4 * ba.agree - {n})) // {3 * n} END
+                AS BIGINT) AS bbit_est_bp,
+           CAST(abs(CASE WHEN 4 * ba.agree <= {n} THEN 0
+                         ELSE (10000 * (4 * ba.agree - {n})) // {3 * n} END
+                    - v.inter * 10000 // v.uni) AS BIGINT) AS err_bp
+    FROM verified v JOIN ba ON ba.doc_a = v.doc_a AND ba.doc_b = v.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_bbit",
+    _bbit_oracle(),
+    tags=("dedup", "minhash", "bbit", "compression", "exact_arithmetic", "audit"),
+    description=(
+        "b-bit MinHash (Li & Koenig 2010, public): keep only the low "
+        "b=2 bits of each of the 16 md5-grid minhash values — an 8x "
+        "signature compression (the difference between signatures "
+        "fitting executor memory or not at 100 TB) — and estimate "
+        "Jaccard from the agreement count with the collision "
+        "correction J = (2^b*agree - n) / (n*(2^b - 1)), floored in "
+        "basis points and clamped at 0 BEFORE the division so "
+        "truncating (Spark DIV) and flooring (DuckDB //) division "
+        "agree on every row.  Emitted per band-join candidate pair "
+        "next to the TRUE shingle Jaccard and the absolute error — "
+        "the audit that tells an operator how much recall/precision "
+        "the 8x memory saving costs on their corpus.  Same md5 "
+        "integer grid as dedup_minhash_exact, so the whole chain is "
+        "value-verified cross-engine"
+    ),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    rpb = _MHX_HASHES // _MHX_BANDS
+    n = _MHX_HASHES
+    sh = shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(
+                f"array_min(transform(transform(shingles, s -> {base}), "
+                f"x -> {_mhx_min(h)}))"
+            ).alias(f"m{h}")
+            for h in range(_MHX_HASHES)
+        ],
+    ).persist()
+
+    def band_df(bnd: int):
+        mins = ", ".join(
+            f"CAST(m{h} AS STRING)" for h in range(bnd * rpb, (bnd + 1) * rpb)
+        )
+        return sig.select(
+            "doc_id",
+            F.lit(bnd).alias("band_id"),
+            F.expr(f"md5(concat_ws(',', {mins}))").alias("band_key"),
+        )
+
+    bands = reduce(DataFrame.unionByName, [band_df(b) for b in range(_MHX_BANDS)])
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"),
+        *[F.col(f"m{h}").alias(f"a{h}") for h in range(n)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"),
+        *[F.col(f"m{h}").alias(f"b{h}") for h in range(n)],
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a{h} % 4 = b{h} % 4 THEN 1 ELSE 0 END)" for h in range(n)
+    )
+    inter = "size(array_intersect(sha, shb))"
+    uni = f"size(sha) + size(shb) - {inter}"
+    est = f"CASE WHEN 4 * agree <= {n} THEN 0 ELSE (10000 * (4 * agree - {n})) DIV {3 * n} END"
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("agree", F.expr(agree))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({inter} * 10000 DIV ({uni}) AS BIGINT)").alias(
+                "true_jaccard_bp"
+            ),
+            F.col("agree").cast("long").alias(f"agree{n}"),
+            F.expr(f"CAST({est} AS BIGINT)").alias("bbit_est_bp"),
+            F.expr(
+                f"CAST(abs(({est}) - {inter} * 10000 DIV ({uni})) AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )
