@@ -83,13 +83,48 @@ def _http_code(status: str) -> int:
     return 200 if status == "SUCCEEDED" else 400
 
 
-def _correlate_group(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_correlate_group(event_time_timers: bool):
+    """Build the keyed state-machine body with the timer axis baked
+    into the closure (a module global would not survive the worker
+    re-import that cloudpickle's deserialization performs):
+
+    * ``event_time_timers=False`` — processing-time budget, the
+      reference's literal wall-clock 20 s timeout
+      (pollingsvc.js:133); evictions depend on when batches run.
+    * ``event_time_timers=True`` — the deadline lives on the EVENT-
+      TIME axis (``submitted_at + timeout``) and fires when the
+      WATERMARK passes it: same inputs always produce the same
+      evictions, so a checkpoint replay or backfill reproduces the
+      round bit-for-bit — the form a deterministic pipeline wants.
+    """
+
+    def _correlate_group(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _correlate_group_impl(key, pdfs, state, event_time_timers)
+
+    return _correlate_group
+
+
+def _correlate_group_impl(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    _EVENT_TIME_TIMERS: bool = False,
 ) -> Iterator[pd.DataFrame]:
     txn_id = key[0]
     out: list[dict] = []
 
     if state.hasTimedOut:
+        if not state.exists:
+            # a timer can outlive its request: the pandas GroupState
+            # bridge does not clear a registered timeout when
+            # ``remove()`` runs in the same invocation that armed it
+            # (observed with EventTimeTimeout: a matched-and-removed
+            # request still fired later).  No pending state = nothing
+            # was evicted — suppress the spurious timeout row.
+            state.remove()
+            return
         # evict the pending request; its response was never completed
         # (svckinesis.js:80-88) — late events will be orphans
         state.remove()
@@ -109,7 +144,13 @@ def _correlate_group(
             timeout_ms = int(row.timeout_ms)
             pending = (submitted_ms, timeout_ms)
             state.update(pending)
-            state.setTimeoutDuration(timeout_ms)
+            if _EVENT_TIME_TIMERS:
+                # deadline on the EVENT-TIME axis: fires when the
+                # watermark passes submitted_at + budget — replay-
+                # deterministic (same inputs -> same evictions)
+                state.setTimeoutTimestamp(submitted_ms + timeout_ms)
+            else:
+                state.setTimeoutDuration(timeout_ms)
         else:  # event
             if pending is not None:
                 submitted_ms = pending[0]
@@ -207,9 +248,42 @@ def correlate(requests: DataFrame, events: DataFrame) -> DataFrame:
     """
     merged = unioned_input(requests, events)
     return merged.groupBy("txn_id").applyInPandasWithState(
-        _correlate_group,
+        _make_correlate_group(event_time_timers=False),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def correlate_event_time(
+    requests: DataFrame, events: DataFrame, *, watermark: str = "10 seconds"
+) -> DataFrame:
+    """The replay-deterministic twin of :func:`correlate`: request
+    deadlines live in EVENT TIME (``submitted_at + timeout_ms``) and
+    fire when the stream's WATERMARK passes them, not when a wall
+    clock does.
+
+    Consequences, versus the processing-time form:
+
+    * a checkpoint replay / backfill reproduces the identical
+      matched/timeout/orphan rows — wall-clock timers cannot promise
+      that (the reference's 20 s budget, pollingsvc.js:133, is
+      inherently wall-clock and so inherently non-replayable);
+    * an idle stream evicts NOTHING (the watermark only advances
+      with data) — the honest semantics for backfills, where "20
+      seconds" means twenty seconds of STREAM time, not of operator
+      wall time.
+
+    ``watermark`` is the lateness allowance on the unioned input —
+    state size is bounded by (timeout + watermark) × arrival rate,
+    the same budget arithmetic the stream-stream join form uses.
+    """
+    merged = unioned_input(requests, events).withWatermark("ts", watermark)
+    return merged.groupBy("txn_id").applyInPandasWithState(
+        _make_correlate_group(event_time_timers=True),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -383,3 +383,85 @@ def test_failover_event_path_silent_poller_completes(spark, tmp_path):
         assert (txn, "matched") not in outcomes
     finally:
         q.stop()
+
+
+def test_correlate_event_time_deterministic_eviction(spark, tmp_path):
+    """Event-time timers (W5 deepened): the request's deadline is
+    submitted_at + timeout on the EVENT-TIME axis and fires when the
+    WATERMARK crosses it — wall-clock independent, so the eviction
+    set is a pure function of the input data.  A later event for the
+    evicted txn is an accountable orphan; an in-budget event matches
+    normally."""
+    import datetime as dt
+
+    from sfs3_kinesis_spark.streaming.correlate import correlate_event_time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+
+    # batch 1: two requests with a 5 s event-time budget, plus an
+    # in-budget event for t-fast (matches) — watermark still early
+    b1 = unioned_input(
+        _requests_df(spark, [("t-fast", t0, 5_000), ("t-slow", t0, 5_000)]),
+        _events_df(spark, [("t-fast", "SUCCEEDED", t0 + dt.timedelta(seconds=2))]),
+    )
+    b1.write.mode("append").parquet(str(stream_dir))
+
+    stream = spark.readStream.schema(b1.schema).parquet(str(stream_dir))
+    out = correlate_event_time(
+        stream.filter(F.col("kind") == "request").select(
+            "txn_id", F.col("ts").alias("submitted_at"), "timeout_ms"
+        ),
+        stream.filter(F.col("kind") == "event").select(
+            "txn_id", "status", F.col("ts").alias("event_time")
+        ),
+        watermark="1 second",
+    )
+    q = run_stateful_to_memory(out, "corr_evt")
+    try:
+        wait_for_rows(spark, "SELECT count(*) FROM corr_evt", 1, timeout_s=60)
+
+        # batch 2: an unrelated far-future event pushes the watermark
+        # past t0+5s — t-slow's deadline fires DATA-driven, no sleep
+        # arithmetic involved
+        b2 = unioned_input(
+            _requests_df(spark, []),
+            _events_df(spark, [("t-other", "SUCCEEDED", t0 + dt.timedelta(seconds=120))]),
+        )
+        b2.write.mode("append").parquet(str(stream_dir))
+        wait_for_rows(
+            spark,
+            "SELECT count(*) FROM corr_evt WHERE outcome = 'timeout'",
+            1,
+            timeout_s=60,
+        )
+
+        # batch 3: the late event for the evicted txn -> orphan
+        b3 = unioned_input(
+            _requests_df(spark, []),
+            _events_df(spark, [("t-slow", "SUCCEEDED", t0 + dt.timedelta(seconds=121))]),
+        )
+        b3.write.mode("append").parquet(str(stream_dir))
+        # two orphans total: t-other (batch 2, no pending request) and
+        # t-slow's late event after its eviction
+        wait_for_rows(
+            spark,
+            "SELECT count(*) FROM corr_evt WHERE outcome = 'orphan'",
+            2,
+            timeout_s=60,
+        )
+        rows = spark.sql("SELECT * FROM corr_evt").collect()
+    finally:
+        q.stop()
+
+    outcomes = {(r["txn_id"], r["outcome"]) for r in rows}
+    assert ("t-fast", "matched") in outcomes
+    # regression (pandas GroupState bridge): a matched request's
+    # already-armed timer must NOT produce a spurious eviction row
+    assert ("t-fast", "timeout") not in outcomes
+    assert ("t-slow", "timeout") in outcomes
+    assert ("t-slow", "orphan") in outcomes
+    assert ("t-slow", "matched") not in outcomes
+    # t-other's own event is an orphan too (no pending request)
+    assert ("t-other", "orphan") in outcomes
