@@ -160,18 +160,27 @@ def agg_median_exact(spark: SparkSession, sf_dir: str):
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
-    w = W.partitionBy("event_type").orderBy("cents")
-    wn = W.partitionBy("event_type")
-    r = c.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count("*").over(wn))
-    lo = F.col("rn") == F.expr("(n + 1) DIV 2")
-    hi = F.col("rn") == F.expr("(n + 2) DIV 2")
+    # collapse to the (group, value) rollup BEFORE any window: the
+    # k-th order statistic is the smallest value whose cumulative
+    # count reaches k, so the keyed window runs over |distinct
+    # values| rows (value-domain-bounded) — never fact rows through
+    # a handful of group reducers (the grouped cousin of the r02
+    # global-window flag); group totals ride in as a broadcast
+    g = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = g.withColumn("cum", F.sum("cnt").over(wc)).join(F.broadcast(tot), "event_type")
+    lo = F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("cents")))
+    hi = F.min(F.when(F.col("cum") >= F.expr("(n + 2) DIV 2"), F.col("cents")))
     return (
         r.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_rows"),
-            (F.sum(F.when(lo, F.col("cents"))) + F.sum(F.when(hi, F.col("cents"))))
-            .cast("long")
-            .alias("median_x2_cents"),
+            (lo + hi).cast("long").alias("median_x2_cents"),
         )
         .orderBy("event_type")
     )
@@ -446,18 +455,23 @@ def agg_mad_anomalies(spark: SparkSession, sf_dir: str):
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
-    wt = W.partitionBy("event_type")
-
     def middle_pair_sum(df, col, out):
-        r = df.withColumn("rn", F.row_number().over(wt.orderBy(col))).withColumn(
-            "n", F.count(F.lit(1)).over(wt)
+        # distinct-value rollup form (see agg_median_exact): the
+        # middle order statistics come from cumulative counts over
+        # |distinct values| rows, never a fact-sized keyed rank
+        g = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("cnt"))
+        tot = g.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+        wc = (
+            W.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, 0)
         )
-        return r.groupBy("event_type").agg(
-            (
-                F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)))
-                + F.sum(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col(col)))
-            ).alias(out)
+        r = g.withColumn("cum", F.sum("cnt").over(wc)).join(
+            F.broadcast(tot), "event_type"
         )
+        lo = F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col)))
+        hi = F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col(col)))
+        return r.groupBy("event_type").agg((lo + hi).alias(out))
 
     med = middle_pair_sum(c, "cents", "med2")
     dev = c.join(F.broadcast(med), "event_type").select(
@@ -617,13 +631,19 @@ def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
-    wt = W.partitionBy("event_type")
-    r = c.withColumn("rn", F.row_number().over(wt.orderBy("cents"))).withColumn(
-        "n", F.count(F.lit(1)).over(wt)
+    # distinct-value rollup first (see agg_median_exact): the window
+    # input is value-domain-bounded, not fact-sized
+    g = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
+    r = g.withColumn("cum", F.sum("cnt").over(wc)).join(F.broadcast(tot), "event_type")
     picks = [
-        F.max(
-            F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
         ).alias(f"p{p}_cents")
         for p in (25, 50, 75, 90)
     ]
@@ -671,16 +691,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str):
         F.col("l_returnflag").alias("flag"),
         F.expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
         F.col("l_quantity").cast("long").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    wc = W.partitionBy("flag").orderBy("cents", "l_orderkey", "l_linenumber").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    wt = W.partitionBy("flag")
-    r = c.withColumn("cum", F.sum("qty").over(wc)).withColumn(
-        "tot", F.sum("qty").over(wt)
-    )
+    # per-(flag, price) weight rollup first: the threshold crossing
+    # 2*cum >= tot always lands inside one price block (the oracle's
+    # per-row tie-break order cannot change WHICH price crosses), so
+    # the windowed input is value-domain-bounded, not fact-sized —
+    # same rework as agg_median_exact
+    g = c.groupBy("flag", "cents").agg(F.sum("qty").alias("q"))
+    tot = g.groupBy("flag").agg(F.sum("q").alias("tot"))
+    wc = W.partitionBy("flag").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    r = g.withColumn("cum", F.sum("q").over(wc)).join(F.broadcast(tot), "flag")
     return (
         r.groupBy("flag")
         .agg(
@@ -1766,14 +1786,22 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str):
         "o_orderpriority",
         F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )
-    wt = W.partitionBy("o_orderpriority")
-    r = o.withColumn("rn", F.row_number().over(wt.orderBy("cents"))).withColumn(
-        "n", F.count(F.lit(1)).over(wt)
+    # exact tier on the distinct-value rollup (see agg_median_exact):
+    # value-domain-bounded window input
+    g = o.groupBy("o_orderpriority", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g.groupBy("o_orderpriority").agg(F.sum("cnt").alias("n"))
+    wc = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = g.withColumn("cum", F.sum("cnt").over(wc)).join(
+        F.broadcast(tot), "o_orderpriority"
     )
     exact = r.groupBy("o_orderpriority").agg(
         *[
-            F.max(
-                F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
+            F.min(
+                F.when(F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("cents"))
             ).alias(f"exact_p{p}")
             for p in (50, 90, 99)
         ]
