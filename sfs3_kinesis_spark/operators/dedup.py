@@ -99,6 +99,44 @@ def minhash_signature(docs_with_shingles: DataFrame, num_hashes: int = 32, out_c
     return docs_with_shingles.withColumn(out_col, mins)
 
 
+def banded_keys(
+    docs_with_shingles: DataFrame, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket keys from a shingle
+    table — the narrow projection both the batch pair-join and the
+    streaming delta-index share.
+
+    Each band hash is computed DIRECTLY from its own rows_per_band
+    minhash functions (one narrow union branch per band) rather than
+    slicing a materialized signature column through posexplode:
+    Catalyst inlines column aliases into the Generate, re-evaluating
+    the full num_hashes-pass signature once per exploded row — a
+    ``bands×`` blowup of the dominant xxhash cost.  The union form
+    evaluates exactly num_hashes transforms."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> str:
+        mins = ", ".join(
+            f"cast(array_min(transform(shingles, s -> xxhash64(s, {h}))) as string)"
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        return f"xxhash64(concat_ws(',', {mins}))"
+
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName,
+        [
+            docs_with_shingles.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.expr(band_hash(b)).alias("band_hash"),
+            )
+            for b in range(bands)
+        ],
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -123,33 +161,7 @@ def minhash_lsh_pairs(
     # storage once and reuse; recomputing it per consumer would scan
     # the corpus five times.
     sh = shingles(docs, n=shingle_n).select("doc_id", "shingles").persist()
-    # Each band hash is computed DIRECTLY from its own rows_per_band
-    # minhash functions (one narrow union branch per band) rather
-    # than slicing a materialized signature column through
-    # posexplode: Catalyst inlines column aliases into the Generate,
-    # re-evaluating the full num_hashes-pass signature once per
-    # exploded row — an ``bands×`` blowup of the dominant xxhash
-    # cost.  The union form evaluates exactly num_hashes transforms.
-    def band_hash(b: int) -> str:
-        mins = ", ".join(
-            f"cast(array_min(transform(shingles, s -> xxhash64(s, {h}))) as string)"
-            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
-        )
-        return f"xxhash64(concat_ws(',', {mins}))"
-
-    from functools import reduce
-
-    banded = reduce(
-        DataFrame.unionByName,
-        [
-            sh.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.expr(band_hash(b)).alias("band_hash"),
-            )
-            for b in range(bands)
-        ],
-    )
+    banded = banded_keys(sh, num_hashes=num_hashes, bands=bands)
     # Candidate generation stays NARROW: only (doc_id, band_id,
     # band_hash) ever enters the self-join shuffle.  Shipping the
     # shingle arrays through the band join would multiply shuffle

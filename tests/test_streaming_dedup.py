@@ -79,3 +79,72 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert "first" in rows and "advance" in rows
     assert "near-dup" not in rows  # suppressed while state held
     assert "late-redelivery" in rows  # state evicted -> readmitted
+
+
+def test_streaming_near_dup_against_historical_index(spark, tmp_path):
+    """Continuous near-dup ingestion: each micro-batch is checked
+    against the PERSISTED signature index of all prior batches plus
+    itself; matches land in an append-only log; the index is the
+    state, so a restarted pipeline (fresh operator instance) keeps
+    matching against history.  Batch primitives and the streaming
+    tier share one band-key expression tree (operators.dedup.
+    banded_keys), so they cannot drift."""
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and parquet files"
+    )
+    mutated = base.replace("lazy", "sleepy")  # near-dup of base
+    other = (
+        "completely different content about stochastic gradient descent "
+        "and learning rate warmup schedules for very large models"
+    )
+    doc_schema = "doc_id long, text string"
+
+    src = tmp_path / "in"
+    src.mkdir()
+    nd = StreamingNearDup(spark, str(tmp_path / "ndx"))
+
+    def feed(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(doc_schema).parquet(str(src))
+    q = (
+        nd.writer(stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed([(1, base), (2, other)])
+        q.processAllAvailable()
+        assert nd.matches() is None or nd.matches().count() == 0
+
+        # batch 2: a near-dup of doc 1 (history!) and a within-batch
+        # dup pair (4, 5)
+        feed([(3, mutated), (4, other + " v2"), (5, other + " v2")])
+        q.processAllAvailable()
+        got = {(r.new_doc_id, r.dup_of) for r in nd.matches().collect()}
+        assert (3, 1) in got, got  # matched against the historical index
+        assert (5, 4) in got, got  # within-batch pair (new side = larger id)
+        assert all(a > b for a, b in got)  # new doc is always the left side
+    finally:
+        q.stop()
+
+    # restart with a FRESH operator over the same index: history kept
+    nd2 = StreamingNearDup(spark, str(tmp_path / "ndx"))
+    stream2 = spark.readStream.schema(doc_schema).parquet(str(src))
+    q2 = (
+        nd2.writer(stream2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        feed([(6, base + " extra tail words here")])
+        q2.processAllAvailable()
+        got = {(r.new_doc_id, r.dup_of) for r in nd2.matches().collect()}
+        assert (6, 1) in got, got  # matches the doc ingested before restart
+    finally:
+        q2.stop()
