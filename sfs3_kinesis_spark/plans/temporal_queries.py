@@ -522,3 +522,128 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str):
         )
         .orderBy("hour")
     )
+
+
+#: the query pattern for subsequence similarity search: a 7-day
+#: up-trend (scaled units are irrelevant — Pearson correlation is
+#: shift/scale invariant, which is the point of z-normalization)
+_TSS_Q = [1, 2, 3, 4, 5, 6, 7]
+_TSS_M = len(_TSS_Q)
+_TSS_SY = sum(_TSS_Q)
+_TSS_SYY = sum(v * v for v in _TSS_Q)
+_TSS_DB = _TSS_M * _TSS_SYY - _TSS_SY * _TSS_SY  # query variance term
+
+
+def _tss_oracle() -> str:
+    m = _TSS_M
+    xs = ", ".join(
+        f"lead(cents, {i}) OVER (PARTITION BY user_id ORDER BY d) AS x{i}"
+        for i in range(m)
+    )
+    dd = f"lead(d, {m - 1}) OVER (PARTITION BY user_id ORDER BY d)"
+    sx = " + ".join(f"x{i}" for i in range(m))
+    sxx = " + ".join(f"x{i} * x{i}" for i in range(m))
+    sxy = " + ".join(f"{_TSS_Q[i]} * x{i}" for i in range(m))
+    return f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+                   AS cents
+        FROM events GROUP BY user_id, d),
+    w AS (
+        SELECT user_id, d AS start_day, {xs}, {dd} AS d_end
+        FROM daily),
+    f AS (
+        SELECT user_id, start_day,
+               CAST({sx} AS HUGEINT) AS sx,
+               CAST({sxx} AS HUGEINT) AS sxx,
+               CAST({sxy} AS HUGEINT) AS sxy
+        FROM w WHERE x{m - 1} IS NOT NULL AND d_end = start_day + {m - 1}),
+    s AS (
+        SELECT user_id, start_day,
+               {m} * sxy - sx * {_TSS_SY} AS nd,
+               {m} * sxx - sx * sx AS da
+        FROM f)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(start_day AS BIGINT) AS start_day,
+           CAST(CASE WHEN da = 0 THEN 0
+                     WHEN nd >= 0 THEN (10000 * nd * nd) // (da * {_TSS_DB})
+                     ELSE -((10000 * nd * nd) // (da * {_TSS_DB})) END
+                AS BIGINT) AS corr2_bp
+    FROM s
+    ORDER BY corr2_bp DESC, user_id, start_day LIMIT 20
+    """
+
+
+@register(
+    "ts_similarity_znorm_topk",
+    _tss_oracle(),
+    tags=("timeseries", "similarity", "znorm", "window", "exact_arithmetic", "topk"),
+    description=(
+        "z-normalized time-series subsequence search (the distributed "
+        "form of the streaming similarity-search workload in the "
+        "retrieved EDBT'19 paper): find the 20 per-user 7-day daily-"
+        "revenue windows most correlated with a query pattern.  "
+        "Z-normalized Euclidean distance is a monotone transform of "
+        "Pearson correlation (d^2 = 2m(1 - r)), and SIGNED r^2 in "
+        "basis points — sign(nd) * 10000*nd^2 // (da*db) with "
+        "nd = m*Sxy - Sx*Sy, da = m*Sxx - Sx^2 — ranks windows "
+        "identically to r while staying pure integer (HUGEINT / "
+        "DECIMAL(38,0) internally; nd^2 reaches ~1e27), so both "
+        "engines produce the identical top-k with zero float ops.  "
+        "Plan: daily rollup (one shuffle), m-1 LEADs over one keyed "
+        "window (consecutive-day windows only — the d_end guard "
+        "rejects gapped windows), row-local scoring, "
+        "TakeOrderedAndProject top-20.  No self-join, no explode: "
+        "cost is O(series length), the scalable sliding-window shape"
+    ),
+)
+def ts_similarity_znorm_topk(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    m = _TSS_M
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    wk = W.partitionBy("user_id").orderBy("d")
+    w = daily.select(
+        "user_id",
+        F.col("d").alias("start_day"),
+        *[F.lead("cents", i).over(wk).alias(f"x{i}") for i in range(m)],
+        F.lead("d", m - 1).over(wk).alias("d_end"),
+    )
+    sx = " + ".join(f"x{i}" for i in range(m))
+    sxx = " + ".join(f"x{i} * x{i}" for i in range(m))
+    sxy = " + ".join(f"{_TSS_Q[i]} * x{i}" for i in range(m))
+    f = w.filter(
+        F.col(f"x{m - 1}").isNotNull()
+        & (F.col("d_end") == F.col("start_day") + (m - 1))
+    ).select(
+        "user_id",
+        "start_day",
+        F.expr(f"CAST({sx} AS DECIMAL(38,0))").alias("sx"),
+        F.expr(f"CAST({sxx} AS DECIMAL(38,0))").alias("sxx"),
+        F.expr(f"CAST({sxy} AS DECIMAL(38,0))").alias("sxy"),
+    )
+    s = f.select(
+        "user_id",
+        "start_day",
+        F.expr(f"CAST({m} * sxy - sx * {_TSS_SY} AS DECIMAL(38,0))").alias("nd"),
+        F.expr(f"CAST({m} * sxx - sx * sx AS DECIMAL(38,0))").alias("da"),
+    )
+    scored = s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("start_day").cast("long").alias("start_day"),
+        F.expr(
+            f"CAST(CASE WHEN da = 0 THEN 0 "
+            f"WHEN nd >= 0 THEN (10000 * nd * nd) DIV (da * {_TSS_DB}) "
+            f"ELSE -((10000 * nd * nd) DIV (da * {_TSS_DB})) END AS BIGINT)"
+        ).alias("corr2_bp"),
+    )
+    return scored.orderBy(F.desc("corr2_bp"), "user_id", "start_day").limit(20)
