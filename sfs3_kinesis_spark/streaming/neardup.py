@@ -81,6 +81,10 @@ class StreamingNearDup:
     # -- the foreachBatch body ----------------------------------------- #
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            # idle trigger / empty file: don't litter the index and
+            # match log with zero-row delta files
+            return
         sh = (
             shingles(batch_df, n=self.shingle_n)
             .select("doc_id", "shingles")
@@ -124,7 +128,16 @@ class StreamingNearDup:
             cand = cand.unionByName(p)
         cand = cand.dropDuplicates(["new_doc_id", "dup_of"])
 
-        # verify tier: exact Jaccard against the shingle store
+        # verify tier: exact Jaccard against the shingle store.
+        # Locally this scans the store per batch; at 100 TB the
+        # shingle table is BUCKETED BY doc_id (and the band index by
+        # (band_id, band_hash)), so this probe is a bucket-pruned
+        # point lookup over only the candidate doc_ids — plus
+        # Catalyst's runtime bloom filter on the join key prunes the
+        # scan even without bucketing (tests/test_plans.py pins the
+        # bloom-injection behavior).  The plan SHAPE (narrow probe,
+        # verify only candidates) is the scale story; the storage
+        # layout is deployment detail.
         hist_sh = self._read(self.shingles_dir)
         all_sh = sh if hist_sh is None else sh.unionByName(hist_sh)
         sa = sh.select(F.col("doc_id").alias("new_doc_id"), F.col("shingles").alias("sa"))
