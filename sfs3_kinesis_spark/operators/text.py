@@ -101,3 +101,44 @@ def chunk_udtf(max_tokens: int = 32):
                 yield (i // max_tokens, " ".join(chunk), len(chunk))
 
     return ChunkUdtf
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark_grams: DataFrame, *, n: int = 5
+) -> DataFrame:
+    """Benchmark-decontamination flags, batch OR streaming.
+
+    Every ``n``-gram of each document probes the benchmark n-gram
+    set (one column, ``gram``); output is the input plus
+    ``n_shared_grams`` / ``contaminated`` columns.  The probe is a
+    broadcast join against the benchmark set — small and static by
+    construction (frozen eval suites).
+
+    Streaming use: run inside ``foreachBatch`` (each crawl drop is
+    one micro-batch) — the gram aggregate is per-doc WITHIN a batch,
+    so no cross-batch state, watermark, or state store is involved;
+    a direct ``groupBy`` on a live stream would instead demand
+    stateful aggregation semantics the operation doesn't need.
+
+    The batch corpus twin is ``dedup_decontaminate``
+    (plans/llm_queries.py); this operator is its ingest-time form —
+    a training pipeline filters each crawl drop against frozen eval
+    benchmarks before anything lands in the corpus.
+    """
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    g = shingles(docs, n=n, out_col="_grams").select(
+        "doc_id", F.explode("_grams").alias("gram")
+    )
+    hits = (
+        g.join(F.broadcast(benchmark_grams.select("gram").distinct()), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_shared_grams", F.coalesce("n_shared_grams", F.lit(0)).cast("long")
+        )
+        .withColumn("contaminated", F.col("n_shared_grams") > 0)
+    )

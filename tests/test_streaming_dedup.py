@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
@@ -148,3 +150,53 @@ def test_streaming_near_dup_against_historical_index(spark, tmp_path):
         assert (6, 1) in got, got  # matches the doc ingested before restart
     finally:
         q2.stop()
+
+
+def test_streaming_ingest_decontamination(spark, tmp_path):
+    """Ingest-time benchmark decontamination: each micro-batch of
+    documents is flagged against the frozen eval n-gram set inside
+    foreachBatch (no cross-batch state); contaminated docs route to
+    quarantine, clean docs to the corpus — the gate a training
+    pipeline runs before anything lands."""
+    from sfs3_kinesis_spark.operators.text import contamination_flags
+
+    bench_text = "the held out benchmark question about spark shuffles and joins"
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    from sfs3_kinesis_spark.operators.dedup import shingles
+
+    bench_grams = shingles(bench, n=5, out_col="g").select(
+        F.explode("g").alias("gram")
+    )
+
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quarantine")
+
+    def gate(batch_df, epoch_id):
+        flagged = contamination_flags(batch_df, bench_grams, n=5)
+        flagged.filter("contaminated").write.mode("append").parquet(quar_dir)
+        flagged.filter("NOT contaminated").write.mode("append").parquet(clean_dir)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    leak = "prefix words then " + bench_text + " trailing words"
+    ok1 = "a perfectly ordinary training document about gardening tips"
+    ok2 = "another clean document covering sourdough hydration ratios"
+    spark.createDataFrame(
+        [(1, leak), (2, ok1), (3, ok2)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    quarantined = {r.doc_id: r.n_shared_grams for r in spark.read.parquet(quar_dir).collect()}
+    clean = {r.doc_id for r in spark.read.parquet(clean_dir).collect()}
+    assert set(quarantined) == {1} and quarantined[1] > 0
+    assert clean == {2, 3}
