@@ -1,14 +1,21 @@
 """Benchmark harness: runs the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall time of the headline set (the driver
-compares it against BASELINE.md).  Each query is fully materialized
-through the noop sink — ``count()`` would let Catalyst prune every
-unreferenced expression column, so narrow projections would measure
-the parquet row count instead of the actual compute.
+compares it against BASELINE.md).  The FINAL stdout line is kept well
+under 2 KB because the driver records only the last 2000 bytes of
+stdout — r02 and r03 both lost their numbers to an oversized tail
+(first to stderr noise, then to a 4.1 KB line).  Per-query timings go
+to ``BENCH_DETAIL.json`` next to this file and to an earlier stdout
+line, so humans still get them; the driver gets the totals.
+
+Each query is fully materialized through the noop sink — ``count()``
+would let Catalyst prune every unreferenced expression column, so
+narrow projections would measure the parquet row count instead of the
+actual compute.
 """
 
 from __future__ import annotations
@@ -103,6 +110,7 @@ def main() -> None:
     _streaming_throughput(spark, n=200)
     streaming = _streaming_throughput(spark)
     _quiesce(spark)
+    neardup_rate = _neardup_throughput(spark)
 
     # Three runs per query: run 1 pays whole-stage-codegen
     # compilation, JIT and parquet footer reads (reported as cold);
@@ -130,23 +138,56 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(steady.values()), 3)
-    payload = json.dumps(
+    # Machine-noise context (VERDICT r03 item 8): a noisy-box run is
+    # distinguishable from a regression when the load average and CPU
+    # affinity are recorded alongside the numbers.
+    try:
+        n_cpus = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        n_cpus = os.cpu_count() or 0
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
+    detail = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": steady,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "streaming_matched_pairs_per_sec": streaming,
+        "streaming_neardup_docs_per_sec": neardup_rate,
+        "sf": sf,
+        "cpus_affinity": n_cpus,
+        "load_1m": load_1m,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # Per-query detail on an EARLY stdout line (humans / full captures),
+    # compact totals as the genuinely LAST line (the driver keeps only
+    # the final 2000 bytes of stdout — r02/r03 both lost their numbers
+    # to an oversized tail).
+    print(json.dumps(detail), flush=True)
+    compact = json.dumps(
         {
             "metric": "headline_query_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": steady,
-            "cold_queries": cold,
-            "cold_total": round(sum(cold.values()), 3),
+            "cold_total": detail["cold_total"],
             "streaming_matched_pairs_per_sec": streaming,
+            "streaming_neardup_docs_per_sec": neardup_rate,
+            "load_1m": load_1m,
             "sf": sf,
         }
     )
+    assert len(compact) < 1500, f"final bench line too long: {len(compact)}B"
     # Quiesce again, then emit the metric as the genuinely LAST stdout
     # line: flush both channels, let any straggler executor logs land,
     # and only then print.
     _quiesce(spark)
-    print(payload, flush=True)
+    print(compact, flush=True)
     sys.stdout.flush()
 
 
@@ -215,6 +256,51 @@ def _streaming_throughput(spark, n: int = 2000) -> float:
             q.stop()
         elapsed = time.time() - start
         return round(matched / elapsed, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _neardup_throughput(spark, n_docs: int = 3000, batches: int = 3) -> float:
+    """Docs per second through ``StreamingNearDup.process_batch`` —
+    the continuous-ingestion near-dup gate (band-key LSH probe against
+    the persisted index + semi-join-pruned Jaccard verify).  Three
+    epochs so later batches pay the real cost of probing history.
+    A warm-up epoch first (Arrow + codegen startup, same reasoning as
+    the correlation warm-up)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(words + " document number "),
+            F.col("id"),
+            F.lit(" shared trailing corpus text about spark shuffles joins"),
+            # every 10th doc is a near-dup of its predecessor's body
+            F.when(F.col("id") % 10 == 0, F.lit(" " + words + " " + words)).otherwise(
+                F.concat(F.lit(" unique tail "), F.col("id") * 7919)
+            ),
+        ).alias("text"),
+    )
+    per_batch = n_docs // batches
+    tmp = tempfile.mkdtemp(prefix="bench_neardup_")
+    try:
+        warm = StreamingNearDup(spark, os.path.join(tmp, "warm"))
+        warm.process_batch(docs.limit(50), 0)
+        nd = StreamingNearDup(spark, os.path.join(tmp, "ndx"))
+        start = time.time()
+        for i in range(batches):
+            batch = docs.filter(
+                (F.col("doc_id") >= i * per_batch) & (F.col("doc_id") < (i + 1) * per_batch)
+            )
+            nd.process_batch(batch, i)
+        elapsed = time.time() - start
+        return round((per_batch * batches) / elapsed, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
