@@ -217,7 +217,21 @@ def simhash(docs: DataFrame, out_col: str = "simhash") -> DataFrame:
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates bucketed by the top ``prefix_bits``
     bits (docs differing only in low bits still collide), verified by
-    exact Hamming distance via bit_count(xor)."""
+    exact Hamming distance via bit_count(xor).
+
+    WHEN TO USE WHICH NEAR-DUP PATH (measured, not hand-waved — the
+    ``dedup_lsh_recall_audit`` query scores both against exact
+    all-pairs 3-gram-Jaccard ground truth): at defaults this
+    token-level SimHash recalls only **20–32 %** (2000–3214 bp at
+    sf0.01/sf0.001) of Jaccard>=0.4 near-dup pairs, with ~100x extra
+    candidates — it hashes unigram profiles, so word-order mutations
+    that break shingles leave it unmoved and common-word overlap
+    floods its buckets.  If your dedup criterion is shingle Jaccard
+    (the usual training-data criterion), use ``minhash_lsh_pairs`` /
+    ``dedup_minhash_lsh`` instead (measured 100 % recall on the same
+    ground truth).  SimHash earns its keep only for bag-of-words
+    near-identity (e.g. boilerplate detection where token multisets,
+    not order, define similarity)."""
     sh = simhash(docs).select("doc_id", "simhash")
     bucketed = sh.withColumn("bucket", F.expr(f"shiftrightunsigned(simhash, {64 - prefix_bits})"))
     a, b = bucketed.alias("a"), bucketed.alias("b")

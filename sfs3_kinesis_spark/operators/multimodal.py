@@ -10,7 +10,7 @@ deterministic fake, clearly marked below.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -68,33 +68,45 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_and_featurize(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def default_fake_decode(payload: bytes) -> list[float]:
+    """STUB codec (real PIL / ffmpeg / torchaudio are unavailable in
+    this container): a deterministic FEATURE_DIM-vector from the
+    payload bytes — byte histogram folded to FEATURE_DIM buckets."""
+    if payload is None:
+        raise NotImplementedError("real codec path not available in this container")
+    acc = [0] * FEATURE_DIM
+    for i, byte in enumerate(payload[:4096]):
+        acc[byte % FEATURE_DIM] += 1
+    total = max(sum(acc), 1)
+    return [a / total for a in acc]
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    batch_size_hint: int = 1024,
+    *,
+    codec: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
 
-    STUB: real codecs (PIL / ffmpeg / torchaudio) are unavailable in
-    this container.  ``_fake_decode`` derives a deterministic
-    FEATURE_DIM-vector from the payload bytes so the operator's
-    distributed shape — per-partition Arrow batch iteration, stable
-    output schema, no driver collect — is fully real and testable.
-    Swap ``_fake_decode`` for the codec call in production.
+    ``codec`` is the INJECTABLE decode seam (VERDICT r03 item 6): any
+    picklable ``bytes -> list[float]`` callable — in production pass
+    a closure over PIL / ffmpeg / torchaudio; the default is the
+    deterministic container stub :func:`default_fake_decode`.  The
+    operator's distributed shape — per-partition Arrow batch
+    iteration, stable output schema, no driver collect — is
+    codec-agnostic (property-tested with a second fake codec in
+    ``tests/test_scale_ops.py``), so the production swap is a
+    parameter, not an edit.
     """
-
-    def _fake_decode(payload: bytes) -> list[float]:
-        if payload is None:
-            raise NotImplementedError("real codec path not available in this container")
-        # deterministic fake: byte histogram folded to FEATURE_DIM buckets
-        acc = [0] * FEATURE_DIM
-        for i, byte in enumerate(payload[:4096]):
-            acc[byte % FEATURE_DIM] += 1
-        total = max(sum(acc), 1)
-        return [a / total for a in acc]
+    decode = codec if codec is not None else default_fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "features": [_fake_decode(p) for p in pdf["payload"]],
+                    "features": [decode(p) for p in pdf["payload"]],
                 }
             )
 
@@ -131,18 +143,11 @@ _RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
-    """Resize images/frames to (out_w, out_h) via ``mapInPandas``.
-
-    STUB codec (PIL/cv2 absent in this container): the "resize"
-    deterministically re-samples the payload byte stream to exactly
-    ``out_w * out_h`` bytes by striding, so output size, schema, and
-    Arrow batch shape match what a real thumbnailer produces — the
-    Spark-side plumbing (binary-in/binary-out columns, per-partition
-    batching, no driver collect, stable output schema for a
-    downstream parquet write) is the part under test.  Swap the body
-    of ``_fake_resize`` for ``PIL.Image.resize`` in production.
-    """
+def make_fake_resize(out_w: int, out_h: int) -> Callable[[bytes], bytes]:
+    """STUB resizer factory (PIL/cv2 absent in this container): a
+    deterministic nearest-neighbor stride over the byte stream to
+    exactly ``out_w * out_h`` bytes — output size matches what a real
+    thumbnailer produces."""
     n_out = out_w * out_h
 
     def _fake_resize(payload: bytes) -> bytes:
@@ -150,14 +155,35 @@ def resize_media(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
             raise NotImplementedError("real codec path not available in this container")
         if len(payload) == 0:
             return b"\x00" * n_out
-        # deterministic nearest-neighbor stride over the byte stream
         step = max(len(payload) // n_out, 1)
         out = (payload[::step])[:n_out]
         return out + b"\x00" * (n_out - len(out))
 
+    return _fake_resize
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    *,
+    codec: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """Resize images/frames to (out_w, out_h) via ``mapInPandas``.
+
+    ``codec`` is the injectable resize seam: any picklable ``bytes ->
+    bytes`` callable (production: a closure over
+    ``PIL.Image.resize``); default is the deterministic container
+    stub from :func:`make_fake_resize`.  The Spark-side plumbing —
+    binary-in/binary-out columns, per-partition Arrow batching, no
+    driver collect, stable output schema for a downstream parquet
+    write — is codec-agnostic and is the part under test.
+    """
+    resize = codec if codec is not None else make_fake_resize(out_w, out_h)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [_fake_resize(p) for p in pdf["payload"]]
+            resized = [resize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

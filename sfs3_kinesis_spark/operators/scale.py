@@ -193,6 +193,14 @@ def global_rank(
     Range sampling also spreads tie-heavy leading keys (e.g. a rank
     on ``tf DESC`` where most rows have tf=1) across buckets via the
     tie-break column — value-quantized bucketing could not.
+
+    Reliability trade-off (ADVICE r03): local checkpoints live in
+    executor block storage and are NOT recomputable from lineage, so
+    on a real cluster the loss of any executor holding pinned blocks
+    fails the job instead of recovering — acceptable for interactive
+    / bounded-retry jobs, but long multi-hour pipelines should set
+    ``spark.checkpoint.dir`` and swap in a reliable ``checkpoint()``
+    (same plan, HDFS/S3-backed blocks) or accept a full-job retry.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -238,6 +246,11 @@ def global_cumsum(
     bucket offset + intra-bucket running sum.  All data-sized work is
     bucket-parallel; only the bucket-count table crosses one
     partition.
+
+    Same ``localCheckpoint`` reliability trade-off as
+    :func:`global_rank`: pinned blocks are executor-local and not
+    lineage-recoverable, so executor loss fails the job — use a
+    reliable ``checkpoint()`` for long-running pipelines.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -281,14 +294,21 @@ def guard_all_pairs(
     meant on a corpus, so fail with a pointer at the bucketed twin
     instead of launching a quadratic job (r02 verdict item #4).
 
-    The count is one cheap aggregated scan at build time — noise next
-    to the quadratic work it gates.
+    The probe is ``limit(max_rows + 1).count()`` — a bounded
+    short-circuit scan (CollectLimit stops after the first partitions
+    that yield max_rows+1 rows), NOT a full count of the input
+    (ADVICE r03: the previous ``df.count()`` ran a full scan at
+    plan-construction time, so even explain-only paths like
+    ``scripts/plan_audit.py`` paid a corpus-sized job).  On a
+    corpus-sized input the probe reads ~max_rows rows and raises; on
+    a validation slice it costs one small job — noise next to the
+    quadratic work it gates.
     """
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise RuntimeError(
-            f"{op}: refusing all-pairs comparison over {n:,} rows "
-            f"(limit {max_rows:,}).  This exact tier is O(n^2) by design "
+            f"{op}: refusing all-pairs comparison over more than "
+            f"{max_rows:,} rows.  This exact tier is O(n^2) by design "
             f"for validation slices; at corpus scale use {scale_twin}, "
             f"or raise max_rows explicitly if the slice really is this big."
         )

@@ -91,7 +91,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     "dedup_simhash",
     None,  # xxhash64-based — rows-only check
     tags=("dedup", "simhash"),
-    description="SimHash near-dup pairs bucketed by top bits, Hamming-verified",
+    description=(
+        "SimHash near-dup pairs bucketed by top bits, Hamming-verified. "
+        "STEERING: recall is 20-32% (2000-3214 bp) vs 3-gram-Jaccard "
+        "ground truth per dedup_lsh_recall_audit — for Jaccard-criteria "
+        "dedup use dedup_minhash_lsh (10000 bp recall); SimHash fits "
+        "only bag-of-words near-identity"
+    ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str):
     return dedup.simhash_near_dup_pairs(t(spark, sf_dir, "documents"), max_hamming=8)

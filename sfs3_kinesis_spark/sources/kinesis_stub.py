@@ -1,0 +1,250 @@
+"""Local Kinesis emulator registered under the REAL connector's
+format name (``aws-kinesis``), so the production wrappers
+``sources.stream.kinesis_stream`` / ``sources.sinks.kinesis_sink``
+execute end-to-end in an environment without the spark-sql-kinesis
+jar (VERDICT r03 next-round #3: exercise the wrappers against a real
+interface, catching wrong option *values*, not just key spelling).
+
+What it emulates (reference behavior: the hand-rolled consumer at
+``/root/reference/svcsample/svckinesis.js:188-236`` and producer at
+``/root/reference/s3-for-process-data/aprocess.js:148-163``):
+
+* **option validation with AWS-shaped rules** — stream names must
+  match ``[a-zA-Z0-9_.-]{1,128}``, regions ``xx-name-N``,
+  startingPosition one of LATEST/TRIM_HORIZON/EARLIEST, consumerType
+  GetRecords/SubscribeToShard.  A malformed VALUE fails the query
+  loudly at start, exactly where the real connector would;
+* **shards + per-key ordering** — the sink routes each record to
+  ``hash(partitionKey) % numShards`` and appends within-shard in
+  commit order (single driver-side committer per micro-batch, which
+  is also what makes retries safe: ``commit`` is called once per
+  epoch), so records for one key stay ordered while shards are free
+  to interleave — the Kinesis contract;
+* **the connector's read schema** — ``data``, ``streamName``,
+  ``partitionKey``, ``sequenceNumber``,
+  ``approximateArrivalTimestamp``;
+* **iterator semantics** — TRIM_HORIZON/EARLIEST replays from seq 0,
+  LATEST starts past existing records; restart resumes from the
+  checkpointed per-shard cursor map (strictly better than the
+  reference's LATEST-drops-history restart).
+
+Backing store: ``<root>/<streamName>/shard-N.jsonl`` — one JSONL
+file per shard, one record per line.  The root comes from the
+connector's own ``kinesis.endpointUrl`` option (its localstack
+seam — pass ``endpoint_url=`` to the wrappers), falling back to
+``$SPARK_KINESIS_STUB_ROOT`` then ``/tmp/spark-kinesis-stub``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import re
+import zlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+READ_SCHEMA_DDL = (
+    "data STRING, streamName STRING, partitionKey STRING, "
+    "sequenceNumber STRING, approximateArrivalTimestamp TIMESTAMP"
+)
+
+DEFAULT_NUM_SHARDS = 2
+
+_STREAM_NAME_RE = re.compile(r"^[a-zA-Z0-9_.-]{1,128}$")
+_REGION_RE = re.compile(r"^[a-z]{2}(-[a-z]+)+-\d+$")
+_POSITIONS = {"LATEST", "TRIM_HORIZON", "EARLIEST"}
+_CONSUMER_TYPES = {"GetRecords", "SubscribeToShard"}
+
+
+def stub_root(options=None) -> str:
+    """Backing-store root.  Preferred channel is the connector's own
+    ``kinesis.endpointUrl`` option (its localstack/testing seam) —
+    env vars do NOT reach Spark's Python data-source worker
+    processes, so an option is the only reliable per-query channel."""
+    if options is not None:
+        url = options.get("kinesis.endpointUrl")
+        if url:
+            return url
+    return os.environ.get("SPARK_KINESIS_STUB_ROOT", "/tmp/spark-kinesis-stub")
+
+
+def _validate_common(options) -> tuple[str, str]:
+    name = options.get("kinesis.streamName", "")
+    if not _STREAM_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"kinesis.streamName {name!r} is not a valid Kinesis stream name "
+            "(expected [a-zA-Z0-9_.-]{1,128})"
+        )
+    region = options.get("kinesis.region", "")
+    if not _REGION_RE.match(region or ""):
+        raise ValueError(
+            f"kinesis.region {region!r} is not a valid AWS region "
+            "(expected e.g. us-east-1, eu-west-1)"
+        )
+    return name, region
+
+
+def _validate_reader(options) -> str:
+    name, _ = _validate_common(options)
+    pos = options.get("kinesis.startingPosition", "LATEST")
+    if pos not in _POSITIONS:
+        raise ValueError(
+            f"kinesis.startingPosition {pos!r} not in {sorted(_POSITIONS)}"
+        )
+    ctype = options.get("kinesis.consumerType", "GetRecords")
+    if ctype not in _CONSUMER_TYPES:
+        raise ValueError(
+            f"kinesis.consumerType {ctype!r} not in {sorted(_CONSUMER_TYPES)}"
+        )
+    return name
+
+
+def _stream_dir(root: str, stream_name: str) -> str:
+    return os.path.join(root, stream_name)
+
+
+def _shard_path(root: str, stream_name: str, shard: int) -> str:
+    return os.path.join(_stream_dir(root, stream_name), f"shard-{shard}.jsonl")
+
+
+def _shard_lines(root: str, stream_name: str, shard: int) -> list[str]:
+    p = _shard_path(root, stream_name, shard)
+    if not os.path.exists(p):
+        return []
+    with open(p, "r", encoding="utf-8") as fh:
+        return [ln for ln in fh.read().splitlines() if ln.strip()]
+
+
+class _StubStreamReader(SimpleDataSourceStreamReader):
+    """Per-shard cursor map, checkpointed as the offset — the same
+    posture as ``pydatasource._PacedStreamReader`` but over the
+    emulator's shard files and the connector's read schema."""
+
+    def __init__(self, options):
+        self.stream = _validate_reader(options)
+        self.root = stub_root(options)
+        pos = options.get("kinesis.startingPosition", "LATEST")
+        shards = {}
+        for s in range(DEFAULT_NUM_SHARDS):
+            shards[str(s)] = (
+                len(_shard_lines(self.root, self.stream, s)) if pos == "LATEST" else 0
+            )
+        self._initial = {"shards": shards}
+
+    def initialOffset(self):
+        return self._initial
+
+    def _rows(self, shard: int, lo: int, hi: int):
+        lines = _shard_lines(self.root, self.stream, shard)
+        for seq in range(lo, min(hi, len(lines))):
+            rec = json.loads(lines[seq])
+            yield (
+                rec["data"],
+                self.stream,
+                rec["partitionKey"],
+                f"{shard}-{seq}",
+                dt.datetime.fromtimestamp(rec["ts"]),
+            )
+
+    def read(self, start: dict):
+        cursors = dict(start.get("shards", {}))
+        rows = []
+        for s in range(DEFAULT_NUM_SHARDS):
+            lo = int(cursors.get(str(s), 0))
+            hi = len(_shard_lines(self.root, self.stream, s))
+            rows.extend(self._rows(s, lo, hi))
+            cursors[str(s)] = hi
+        return (iter(rows), {"shards": cursors})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for s in range(DEFAULT_NUM_SHARDS):
+            lo = int(start.get("shards", {}).get(str(s), 0))
+            hi = int(end.get("shards", {}).get(str(s), 0))
+            rows.extend(self._rows(s, lo, hi))
+        return iter(rows)
+
+
+class _RowsMessage(WriterCommitMessage):
+    def __init__(self, rows):
+        self.rows = rows
+
+
+class _StubStreamWriter(DataSourceStreamWriter):
+    """Tasks buffer their records into the commit message; the
+    driver-side ``commit`` routes each record to
+    ``hash(partitionKey) % numShards`` and appends — one committer
+    per epoch, so within-shard order is total and a retried epoch
+    never interleaves partial writes (same per-key-ordering contract
+    as Kinesis putRecord with a partition key,
+    aprocess.js:157)."""
+
+    def __init__(self, options, schema):
+        self.stream, _ = _validate_common(options)
+        self.root = stub_root(options)
+        cols = [f.name for f in schema.fields]
+        if "partitionKey" not in cols or "data" not in cols:
+            raise ValueError(
+                f"kinesis sink input must carry partitionKey and data columns, got {cols}"
+            )
+        self._pk_idx = cols.index("partitionKey")
+        self._data_idx = cols.index("data")
+
+    def write(self, iterator):
+        rows = [(r[self._pk_idx], r[self._data_idx]) for r in iterator]
+        return _RowsMessage(rows)
+
+    def commit(self, messages, batchId=None):
+        os.makedirs(_stream_dir(self.root, self.stream), exist_ok=True)
+        now = dt.datetime.now().timestamp()
+        by_shard: dict[int, list[str]] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for pk, data in m.rows:
+                # deterministic routing (Python's str hash is salted
+                # per process — a restart must not re-shard keys)
+                shard = zlib.crc32(str(pk).encode("utf-8")) % DEFAULT_NUM_SHARDS
+                by_shard.setdefault(shard, []).append(
+                    json.dumps({"partitionKey": pk, "data": data, "ts": now})
+                )
+        for shard, lines in by_shard.items():
+            with open(_shard_path(self.root, self.stream, shard), "a", encoding="utf-8") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    def abort(self, messages, batchId=None):
+        pass
+
+
+class KinesisStubDataSource(DataSource):
+    """``aws-kinesis`` — the emulator claims the real connector's
+    format name so the gated wrappers run unmodified against it."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "aws-kinesis"
+
+    def schema(self) -> str:
+        return READ_SCHEMA_DDL
+
+    def simpleStreamReader(self, schema):
+        return _StubStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _StubStreamWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    """Register the emulator under the REAL format name.  After this,
+    ``kinesis_stream`` / ``kinesis_sink`` run end-to-end in-process;
+    without it they fail loudly (no jar).  Registration is
+    session-wide and cannot be undone — intended for tests and local
+    development only."""
+    spark.dataSource.register(KinesisStubDataSource)

@@ -288,23 +288,35 @@ KINESIS_SINK_PROJECTION = (
 )
 
 
-def kinesis_writer_options(stream_name: str, region: str = "us-east-1") -> dict[str, str]:
+def kinesis_writer_options(
+    stream_name: str, region: str = "us-east-1", endpoint_url: str | None = None
+) -> dict[str, str]:
     """Exact option map for the Kinesis DataStreamWriter — factored
-    out for jar-free contract testing (r02 verdict next-round #9)."""
-    return {
+    out for jar-free contract testing (r02 verdict next-round #9).
+    ``endpoint_url`` is the connector's localstack/testing seam (the
+    in-process emulator reads it as the backing-store root)."""
+    opts = {
         "kinesis.streamName": stream_name,
         "kinesis.region": region,
     }
+    if endpoint_url is not None:
+        opts["kinesis.endpointUrl"] = endpoint_url
+    return opts
 
 
-def kinesis_sink(df: DataFrame, stream_name: str, region: str = "us-east-1"):
+def kinesis_sink(
+    df: DataFrame,
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint_url: str | None = None,
+):
     """Publish status events keyed by txn_id (per-key ordering via
     partition key — reference aprocess.js:157)."""
     try:
         return (
             df.selectExpr(*KINESIS_SINK_PROJECTION)
             .writeStream.format(KINESIS_SINK_FORMAT)
-            .options(**kinesis_writer_options(stream_name, region))
+            .options(**kinesis_writer_options(stream_name, region, endpoint_url))
         )
     except Exception as exc:  # pragma: no cover
         raise RuntimeError("Kinesis connector not available") from exc

@@ -57,18 +57,25 @@ def kinesis_reader_options(
     stream_name: str,
     region: str = "us-east-1",
     starting_position: str = "LATEST",
+    endpoint_url: str | None = None,
 ) -> dict[str, str]:
     """The exact option map handed to the Kinesis DataStreamReader —
     factored out of :func:`kinesis_stream` so its key spelling is
     unit-testable without the connector jar (the wrapper itself can
     only fail-to-load in this container).  Keys follow the
-    spark-sql-kinesis connector's documented ``kinesis.*`` surface."""
-    return {
+    spark-sql-kinesis connector's documented ``kinesis.*`` surface.
+    ``endpoint_url`` is the connector's localstack/testing seam —
+    the in-process emulator (``sources.kinesis_stub``) reads it as
+    the backing-store root."""
+    opts = {
         "kinesis.streamName": stream_name,
         "kinesis.region": region,
         "kinesis.startingPosition": starting_position,
         "kinesis.consumerType": "GetRecords",
     }
+    if endpoint_url is not None:
+        opts["kinesis.endpointUrl"] = endpoint_url
+    return opts
 
 
 def kinesis_stream(
@@ -76,6 +83,7 @@ def kinesis_stream(
     stream_name: str,
     region: str = "us-east-1",
     starting_position: str = "LATEST",
+    endpoint_url: str | None = None,
 ) -> DataFrame:
     """Kinesis source (reference S4-S6: shard discovery, LATEST
     iterator, paced getRecords — all subsumed by the connector).
@@ -88,7 +96,11 @@ def kinesis_stream(
     try:
         return (
             spark.readStream.format(KINESIS_SOURCE_FORMAT)
-            .options(**kinesis_reader_options(stream_name, region, starting_position))
+            .options(
+                **kinesis_reader_options(
+                    stream_name, region, starting_position, endpoint_url
+                )
+            )
             .load()
         )
     except Exception as exc:  # pragma: no cover - connector not in test env

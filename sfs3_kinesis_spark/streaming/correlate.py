@@ -225,6 +225,11 @@ def failover_resolve(correlate_out: DataFrame, state: DataFrame) -> DataFrame:
     """
     t_rows = correlate_out.filter(F.col("outcome") == "timeout").select("txn_id")
     s = state.select("txn_id", F.col("status").alias("_st"))
+    # http_code only for resolved (failover) rows: a txn whose state
+    # is still non-terminal (RUNNING) stays outcome='timeout' and must
+    # carry NO response code, exactly like a txn with no state row at
+    # all — the poll loop keeps waiting (ADVICE r03: the old
+    # `_st.isNotNull() -> 400` branch gave RUNNING rows a 400).
     return t_rows.join(s, "txn_id", "left").select(
         "txn_id",
         F.when(F.col("_st").isin("SUCCEEDED", "FAILED"), F.lit("failover"))
@@ -232,7 +237,7 @@ def failover_resolve(correlate_out: DataFrame, state: DataFrame) -> DataFrame:
         .alias("outcome"),
         F.col("_st").alias("status"),
         F.when(F.col("_st") == "SUCCEEDED", 200)
-        .when(F.col("_st").isNotNull(), 400)
+        .when(F.col("_st") == "FAILED", 400)
         .cast("int")
         .alias("http_code"),
     )

@@ -385,6 +385,34 @@ def test_failover_event_path_silent_poller_completes(spark, tmp_path):
         q.stop()
 
 
+def test_failover_running_state_carries_no_http_code(spark):
+    """http_code belongs to RESOLVED rows only (ADVICE r03): a txn
+    whose state store row is still non-terminal (RUNNING) stays
+    outcome='timeout' with a NULL http_code — identical routing to a
+    txn with no state row at all; only SUCCEEDED/FAILED map to
+    200/400."""
+    from sfs3_kinesis_spark.streaming.correlate import OUTPUT_SCHEMA, failover_resolve
+
+    timeouts = spark.createDataFrame(
+        [
+            ("t-run", "timeout", None, None, None),
+            ("t-none", "timeout", None, None, None),
+            ("t-ok", "timeout", None, None, None),
+            ("t-bad", "timeout", None, None, None),
+        ],
+        OUTPUT_SCHEMA,
+    )
+    state = spark.createDataFrame(
+        [("t-run", "RUNNING"), ("t-ok", "SUCCEEDED"), ("t-bad", "FAILED")],
+        "txn_id string, status string",
+    )
+    rows = {r["txn_id"]: r for r in failover_resolve(timeouts, state).collect()}
+    assert rows["t-run"]["outcome"] == "timeout" and rows["t-run"]["http_code"] is None
+    assert rows["t-none"]["outcome"] == "timeout" and rows["t-none"]["http_code"] is None
+    assert rows["t-ok"]["outcome"] == "failover" and rows["t-ok"]["http_code"] == 200
+    assert rows["t-bad"]["outcome"] == "failover" and rows["t-bad"]["http_code"] == 400
+
+
 def test_correlate_event_time_deterministic_eviction(spark, tmp_path):
     """Event-time timers (W5 deepened): the request's deadline is
     submitted_at + timeout on the EVENT-TIME axis and fires when the
