@@ -173,11 +173,15 @@ the engine.
 | exact dedup | hash groupBy | `dedup_exact_text`, `dedup_prefix_key` |
 | fingerprint dedup | rolling-hash fold | `dedup_fingerprint` |
 | MinHash+LSH near-dup | shingle→minhash→band join→Jaccard verify | `dedup_minhash_lsh` |
-| SimHash near-dup | 64-bit simhash, prefix buckets, Hamming verify | `dedup_simhash` |
+| SimHash near-dup | 64-bit simhash, prefix buckets, Hamming verify — recall 20–32 % vs 3-gram-Jaccard truth (`dedup_lsh_recall_audit`); for Jaccard-criteria dedup use MinHash-LSH (100 % on same truth), SimHash fits only bag-of-words near-identity | `dedup_simhash` |
 | n-gram Jaccard (exact tier) | array intersect/union | `dedup_ngram_jaccard` |
 | embedding near-dup | exact cosine pairs | `similarity_pairs` |
 | ANN top-k | brute-force cosine (baseline) | `similarity_topk` |
 | ANN scale path | random-hyperplane LSH buckets | `similarity_lsh_pairs` |
+| Matryoshka truncation audit | prefix-dim cosine top-k vs full-dim truth, per-query recall bp | `similarity_matryoshka_audit` |
+| per-domain cap | C4-style limit-per-host: salted two-phase window top-k per source | `sample_domain_cap` |
+| curriculum bucketing | exact integer stage boundaries over the two-phase global rank | `sample_curriculum_stages` |
+| GDPR erasure | `KeyedUpsertSink.forget_keys`: physical rewrite of every snapshot+delta (history too, not a tombstone) | `tests/test_incremental_events.py::test_forget_keys_erases_current_and_history` |
 | language ID | stopword vote | `text_lang_id` |
 | token stats | counts/ratios | `text_token_stats` |
 | quality score | composite filter score | `text_quality_score` |

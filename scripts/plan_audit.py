@@ -97,6 +97,10 @@ BNLJ_ALLOWED = {
     # in join clothing, deliberately a column instead of a k x dim
     # literal so Catalyst compile time stays O(1) in k
     "dedup_semantic_cells": 2,
+    # full-dim and truncated-dim brute-force tiers in ONE plan, each
+    # a 5-query-vector broadcast against the corpus (the same bounded
+    # shape similarity_ivf_recall_audit composes)
+    "similarity_matryoshka_audit": 2,
 }
 
 #: queries whose plans legitimately keep a single-partition ORDER BY

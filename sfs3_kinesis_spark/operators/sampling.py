@@ -205,3 +205,69 @@ def temperature_resample(df: DataFrame, key: Column, stratum_col: str) -> DataFr
         .drop("_tr_u", "_tr_keep_p")
         .select(*df.columns)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    order_exprs: list,
+    *,
+    cap: int,
+    salt: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the crawl-balancing step that stops
+    a single giant host/source from dominating a pretraining mix
+    (the C4/CommonCrawl "limit documents per domain" rule): keep the
+    top ``cap`` documents per ``domain_col`` under ``order_exprs``
+    (the keep-priority, e.g. longest-first with doc_id tie-break so
+    the survivor set is deterministic).
+
+    Scale shape: delegates to :func:`~sfs3_kinesis_spark.operators.
+    scale.salted_window_topk` — domains are the textbook hot-key
+    distribution (a head domain can hold 1000x the median), so the
+    per-domain rank runs two-phase: rank inside (domain, salt) and
+    keep each bucket's local top-``cap``, then rank the ≤ salt*cap
+    survivors per domain.  Output carries ``rnk`` (1..cap within the
+    domain).
+    """
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    return salted_window_topk(
+        df, domain_col, order_exprs, k=cap, salt=salt, salt_on=salt_on
+    )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    order_exprs: list,
+    *,
+    n_stages: int,
+    out_col: str = "stage",
+) -> DataFrame:
+    """Curriculum bucketing: assign every document a training stage
+    1..``n_stages`` by its global rank under ``order_exprs`` (the
+    difficulty/quality axis — e.g. short-and-clean first), stage
+    boundaries exact: ``stage = ((rank-1) * n_stages) div n + 1``
+    (pure integer arithmetic, so the oracle reproduces it bit-for-bit
+    — unlike NTILE, whose remainder distribution differs, this floor
+    rule is the same one-line formula in every engine).
+
+    Scale shape: the global rank is the two-phase
+    :func:`~sfs3_kinesis_spark.operators.scale.global_rank` (no
+    single-reducer sort); ``n`` is a 1-row aggregate broadcast back.
+    Callers must make ``order_exprs`` a total order (tie-break on a
+    unique key).
+    """
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    ranked = global_rank(df, order_exprs, out_col="_cur_rnk")
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_cur_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            out_col,
+            F.expr(f"((_cur_rnk - 1) * {int(n_stages)}) div _cur_n + 1").cast("long"),
+        )
+        .drop("_cur_rnk", "_cur_n")
+    )

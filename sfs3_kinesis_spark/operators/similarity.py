@@ -482,3 +482,59 @@ def semantic_dedup_pairs(
             F.round("cos", 4).alias("cosine"),
         )
     )
+
+
+def matryoshka_recall_audit(
+    embeddings: DataFrame,
+    *,
+    dims: int = 16,
+    k: int = 10,
+    n_queries: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-truncation recall audit (Kusupati et al. 2022,
+    arXiv:2205.13147 — public): rank the corpus twice — full-dim
+    cosine top-``k`` vs cosine over only the FIRST ``dims``
+    coordinates (the MRL deployment trick: serve a prefix of the
+    embedding to cut index memory/compute) — and report per query how
+    many of the true top-``k`` the truncated index still finds.
+
+    This is the measurement a pipeline runs before committing to a
+    truncated serving dimension; the same audit-not-assume posture as
+    ``similarity_ivf_recall_audit`` / ``dedup_lsh_recall_audit``.
+
+    Scale shape: two broadcast-query brute-force scans (the query set
+    is tiny; the corpus is scanned twice, each a single codegen
+    projection + per-query windowed top-k) and a broadcast-size
+    overlap join — output is ``n_queries`` rows: (query_id,
+    n_overlap, recall_bp) with recall in integer basis points.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries)
+    c = embeddings.filter(F.col(id_col) >= n_queries)
+    full = brute_force_topk(c, q, k=k, vec_col=vec_col, id_col=id_col).select(
+        "query_id", "cand_id"
+    )
+    trunc = F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    tr = brute_force_topk(
+        c.select(F.col(id_col), trunc),
+        q.select(F.col(id_col), trunc),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select("query_id", "cand_id")
+    hits = full.join(tr, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        q.select(F.col(id_col).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_overlap"),
+            # integer div: bit-stable across engines (float / is not)
+            F.expr(f"coalesce(_n, 0L) * 10000 div {int(k)}")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

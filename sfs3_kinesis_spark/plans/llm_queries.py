@@ -2313,3 +2313,45 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str):
             ).alias("err_bp"),
         )
     )
+
+
+@register(
+    "similarity_matryoshka_audit",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 5),
+    full_k AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(v, qv) DESC,
+                                         cand_id) AS rnk
+      FROM c, q QUALIFY rnk <= 10),
+    trunc_k AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(v[1:16], qv[1:16]) DESC,
+                                         cand_id) AS rnk
+      FROM c, q QUALIFY rnk <= 10),
+    hits AS (
+      SELECT f.query_id, count(*) AS n
+      FROM full_k f JOIN trunc_k tr
+        ON f.query_id = tr.query_id AND f.cand_id = tr.cand_id
+      GROUP BY f.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(n, 0) AS BIGINT)               AS n_overlap,
+           CAST(coalesce(n, 0) * 10000 // 10 AS BIGINT) AS recall_bp
+    FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
+    tags=("similarity", "matryoshka", "recall", "audit"),
+    description=(
+        "Matryoshka-truncation recall audit (arXiv:2205.13147): cosine "
+        "top-10 over the FIRST 16 of 64 dims vs the full-dim truth, per "
+        "query — the measurement before committing to a truncated "
+        "serving dimension; integer basis points"
+    ),
+)
+def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str):
+    return similarity.matryoshka_recall_audit(
+        t(spark, sf_dir, "embeddings"), dims=16, k=10, n_queries=5
+    )

@@ -523,3 +523,61 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str):
         .select(F.col("fold").cast("long").alias("fold"), "n_docs", "doc_id_sum", "n_langs")
         .orderBy("fold")
     )
+
+
+@register(
+    "sample_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rnk AS BIGINT)    AS rnk
+    FROM ranked WHERE rnk <= 50
+    """,
+    tags=("sampling", "dedup_adjacent", "skew"),
+    description=(
+        "per-domain document cap (the C4/CommonCrawl limit-per-host "
+        "rule): keep the top-50 docs per source, longest-first with "
+        "doc_id tie-break — two-phase salted window top-k, since "
+        "domains are the textbook hot-key distribution"
+    ),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.domain_cap(
+        d,
+        "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        cap=50,
+        salt_on="doc_id",
+    ).select("doc_id", "source", "rnk")
+
+
+@register(
+    "sample_curriculum_stages",
+    """
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             count(*)     OVER ()                         AS n
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT)                   AS doc_id,
+           CAST(((rnk - 1) * 4) // n + 1 AS BIGINT) AS stage
+    FROM ranked
+    """,
+    tags=("sampling", "curriculum"),
+    description=(
+        "curriculum bucketing: every doc assigned a training stage 1..4 "
+        "by global rank on (n_chars, doc_id) — short-and-simple first; "
+        "exact integer stage boundaries via the two-phase global_rank "
+        "(no single-reducer sort), n broadcast back from a 1-row agg"
+    ),
+)
+def sample_curriculum_stages(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.curriculum_stages(
+        d, [F.asc("n_chars"), F.asc("doc_id")], n_stages=4
+    ).select("doc_id", "stage")

@@ -248,6 +248,54 @@ class KeyedUpsertSink:
                 removed += 1
         return removed
 
+    def forget_keys(self, keys) -> int:
+        """GDPR right-to-be-forgotten: physically erase every row for
+        the given keys from CURRENT state **and all history** —
+        time-travel reads must not resurrect a forgotten subject, so
+        every snapshot and delta directory is rewritten with a
+        broadcast anti-join on the forget set (the same
+        rewrite-the-files posture as a Delta ``DELETE`` followed by
+        ``VACUUM 0``; a tombstone row would hide, not erase).
+
+        ``keys`` is a one-column DataFrame of key values or a plain
+        list.  Returns the number of rows erased across all versions.
+
+        Scale shape: the forget set is tiny (a deletion request
+        batch) and broadcast; each version directory is rewritten
+        once — O(total state) I/O per call, which is the honest
+        floor for physical erasure, so production batches requests
+        and runs this on a cadence, not per request.
+        """
+        import shutil
+
+        if isinstance(keys, DataFrame):
+            key_df = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
+        else:
+            if not keys:
+                return 0
+            key_df = self.spark.createDataFrame(
+                [(k,) for k in keys], [self.key_col]
+            ).distinct()
+        removed = 0
+        dirs = [self._snapshot_dir(s) for s in self._snapshots] + [
+            self._delta_dir(v) for v in self._deltas
+        ]
+        for d in dirs:
+            df = self.spark.read.parquet(d)
+            kept = df.join(F.broadcast(key_df), self.key_col, "left_anti").persist()
+            n_kept = kept.count()
+            n_all = df.count()
+            if n_kept == n_all:
+                kept.unpersist()
+                continue  # no forgotten key in this version: leave the files alone
+            tmp = d + ".tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            kept.unpersist()
+            shutil.rmtree(d)
+            os.rename(tmp, d)
+            removed += n_all - n_kept
+        return removed
+
     def writer(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.apply_batch).outputMode("update")
 

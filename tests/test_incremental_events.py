@@ -202,3 +202,43 @@ def test_upsert_sink_vacuum_retention(spark, tmp_path):
     fresh.apply_batch(spark.createDataFrame([("b", 2)], "k string, v int"), epoch_id=1)
     with pytest.raises(ValueError, match="compact first"):
         fresh.vacuum(keep_from_version=1)
+
+
+def test_forget_keys_erases_current_and_history(spark, tmp_path):
+    """GDPR erasure: forget_keys must remove a subject from the
+    CURRENT merged state AND from every time-travel version (a
+    tombstone that only masks current reads is not erasure), leave
+    all other keys bit-intact at every version, and compose with
+    vacuum.  Idempotent: forgetting again removes nothing."""
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "store")
+    sink = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=2)
+    schema = "txn_id string, status string"
+    sink.apply_batch(spark.createDataFrame([("a", "RUNNING"), ("b", "RUNNING")], schema), 0)
+    sink.apply_batch(spark.createDataFrame([("a", "SUCCEEDED"), ("c", "RUNNING")], schema), 1)
+    sink.apply_batch(spark.createDataFrame([("b", "FAILED")], schema), 2)
+
+    removed = sink.forget_keys(["a"])
+    assert removed == 3  # v1 snapshot copy + two delta rows (d1, d2)
+
+    # current state: a gone, b/c intact with their latest values
+    cur = {r.txn_id: r.status for r in sink.current().collect()}
+    assert cur == {"b": "FAILED", "c": "RUNNING"}
+    # EVERY historical version is scrubbed too
+    for v in range(1, sink._version + 1):
+        hist = {r.txn_id for r in sink.read_version(v).collect()}
+        assert "a" not in hist, f"version {v} resurrects the forgotten key"
+    # version 1 still serves the other keys as of then
+    v1 = {r.txn_id: r.status for r in sink.read_version(1).collect()}
+    assert v1 == {"b": "RUNNING"}
+
+    # idempotent; DataFrame-typed forget set also accepted
+    assert sink.forget_keys(["a"]) == 0
+    assert sink.forget_keys(spark.createDataFrame([("zzz",)], ["txn_id"])) == 0
+
+    # erasure survives vacuum + a fresh instance re-scanning disk
+    sink.vacuum()
+    resumed = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=2)
+    cur2 = {r.txn_id: r.status for r in resumed.current().collect()}
+    assert cur2 == {"b": "FAILED", "c": "RUNNING"}
