@@ -30,8 +30,8 @@ registry by `scripts/gen_coverage.py`.
 | S2 | S3 JSON whole-doc upsert | `sources/sinks.py:KeyedUpsertSink` (keyed MERGE per micro-batch, idempotent) | `tests/test_streaming_windows.py::test_incremental_pipeline_checkpoint_restart` |
 | S3op | Kinesis producer (keyed append) | `sources/sinks.py:kinesis_sink` (connector-gated); tests use memory/file sinks with `partitionKey=txn_id` shape | corpus `pipeline_run` events; `tests/test_pipeline.py::test_status_events_shape` |
 | S4-S6 | Kinesis consumer (shards, LATEST iterator, paced getRecords) | `sources/stream.py:kinesis_stream` (connector-gated; `startingPosition=LATEST` default); pacing = `maxFilesPerTrigger` / trigger intervals; **plus a full Python DataSource** `sources/pydatasource.py` (`status_jsonl`): batch line-range partitions + `SimpleDataSourceStreamReader` with `maxRecordsPerBatch=5` pacing and checkpointed exactly-once restart (the reference's LATEST iterator drops history on restart, `svckinesis.js:215-219`) | `tests/test_sources.py::test_python_datasource_batch_read` / `::test_python_datasource_paced_stream`; end-to-end into the correlate operator: `tests/test_streaming_correlate.py::test_pydatasource_feeds_correlation_end_to_end` |
-| S7 | HTTP POST ingress | engine ingress = request rows into a stream (`stream_from_batch`, `rate_stream`) | streaming tests |
-| S8 | HTTP response egress | emitted rows of the correlate operator (`outcome`, `http_code`) | `tests/test_streaming_correlate.py` |
+| S7 | HTTP POST ingress | REAL socket: `http_service.EngineHttpService` (`POST /p1`, stdlib `http.server`) feeding `Engine.submit`; plus library-verb and stream ingress forms | `tests/test_http_service.py` |
+| S8 | HTTP response egress | REAL socket: terminal 200/400/500 routing over HTTP (`pollingsvc.js:126-141` semantics), plus the correlate operator's (`outcome`, `http_code`) rows | `tests/test_http_service.py`, `tests/test_streaming_correlate.py` |
 | S9/S10 | Step Functions start / status read | pipeline launch = rows entering `IncrementalPipeline`; status view = `process_state.status` | `tests/test_streaming_windows.py` |
 | S11 | CloudWatch metrics sink | `streaming/windows.py` (A1/A2 aggregations) + `streaming/correlate.py:outcome_metrics` (`observe()`) | `tests/test_streaming_windows.py`, `tests/test_observe.py` |
 

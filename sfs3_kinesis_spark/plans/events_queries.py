@@ -1725,3 +1725,39 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str):
         .alias("first_peak_us"),
         F.count(F.lit(1)).cast("long").alias("n_change_points"),
     )
+
+
+@register(
+    "events_debounce_throttle",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS rn
+      FROM events),
+    walk AS (
+      SELECT user_id, ts, event_type, rn, epoch_ms(ts) AS last_emit_ms,
+             true AS emitted
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.ts, e.event_type, e.rn,
+             CASE WHEN epoch_ms(e.ts) >= w.last_emit_ms + 300000
+                  THEN epoch_ms(e.ts) ELSE w.last_emit_ms END,
+             epoch_ms(e.ts) >= w.last_emit_ms + 300000
+      FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+    SELECT user_id, ts, event_type FROM walk WHERE emitted
+    """,
+    tags=("events", "streaming_twin", "stateful", "debounce"),
+    description=(
+        "per-key debounce/throttle (alert dedup): emit only if the event "
+        "is >= 5 min after the LAST EMITTED event for the key — the "
+        "anchor is the previous emission, not the previous event, so no "
+        "window function expresses it; batch twin of the keyed-state "
+        "streaming operator, oracle = recursive CTE over the same "
+        "recurrence"
+    ),
+)
+def events_debounce_throttle(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.streaming.debounce import debounce_batch
+
+    return debounce_batch(t(spark, sf_dir, "events"), cooldown_ms=300_000)

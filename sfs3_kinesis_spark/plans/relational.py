@@ -1550,3 +1550,34 @@ def scalar_bitwise_family(spark: SparkSession, sf_dir: str):
         F.expr("shiftright(o_orderkey, 2)").alias("shr2"),
         F.bit_count("o_orderkey").cast("long").alias("popcount"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT nullif(lang, 'en') AS lang_key, count(*) AS n_docs
+      FROM documents GROUP BY 1),
+    b AS (
+      SELECT nullif(lang, 'en') AS lang_key, sum(n_chars) AS sum_chars
+      FROM documents GROUP BY 1)
+    SELECT a.lang_key, a.n_docs, CAST(b.sum_chars AS BIGINT) AS sum_chars
+    FROM a JOIN b ON a.lang_key IS NOT DISTINCT FROM b.lang_key
+    """,
+    tags=("join", "null_semantics"),
+    description=(
+        "null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL-keyed "
+        "group joins to itself where plain = would drop it — Spark still "
+        "plans a hash equi-join on the null-safe key, no nested loop"
+    ),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    key = F.nullif(F.col("lang"), F.lit("en")).alias("lang_key")
+    a = d.groupBy(key).agg(F.count(F.lit(1)).alias("n_docs"))
+    b = d.groupBy(key).agg(F.sum("n_chars").alias("sum_chars"))
+    return a.join(b, a["lang_key"].eqNullSafe(b["lang_key"])).select(
+        a["lang_key"].alias("lang_key"),
+        "n_docs",
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+    )

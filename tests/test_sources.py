@@ -499,3 +499,69 @@ def test_kinesis_wrappers_end_to_end_against_stub(spark, tmp_path):
         "ckpt_bad3",
         "not a valid AWS region",
     )
+
+
+def test_kinesis_stub_latest_skips_history(spark, tmp_path):
+    """LATEST iterator semantics against the stub (svckinesis.js:
+    215-219): records published BEFORE the reader starts are
+    invisible; records published after are consumed — and restart
+    from the checkpoint resumes exactly (the capability the
+    reference's LATEST restart loses)."""
+    import json
+
+    from sfs3_kinesis_spark.sources import kinesis_stub
+    from sfs3_kinesis_spark.sources.sinks import kinesis_sink
+    from sfs3_kinesis_spark.sources.stream import kinesis_stream
+
+    root = str(tmp_path / "kin")
+    kinesis_stub.register(spark)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def publish(rows):
+        spark.createDataFrame(rows, "txn_id string, status string").coalesce(
+            1
+        ).write.mode("append").parquet(str(in_dir))
+
+    def drain_to_stream():
+        events = spark.readStream.schema("txn_id string, status string").parquet(
+            str(in_dir)
+        )
+        qw = (
+            kinesis_sink(events, "latest-test", region="us-east-1", endpoint_url=root)
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .start()
+        )
+        try:
+            qw.processAllAvailable()
+        finally:
+            qw.stop()
+
+    publish([("t-old-1", "SUCCEEDED"), ("t-old-2", "FAILED")])
+    drain_to_stream()
+
+    src = kinesis_stream(
+        spark, "latest-test", region="us-east-1",
+        starting_position="LATEST", endpoint_url=root,
+    )
+    qr = (
+        src.writeStream.format("memory")
+        .queryName("kin_stub_latest")
+        .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+        .start()
+    )
+    try:
+        qr.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM kin_stub_latest").collect()[0][0] == 0
+
+        publish([("t-new", "SUCCEEDED")])
+        drain_to_stream()
+        qr.processAllAvailable()
+        got = [
+            json.loads(r.data)["txnId"]
+            for r in spark.sql("SELECT data FROM kin_stub_latest").collect()
+        ]
+    finally:
+        qr.stop()
+    assert got == ["t-new"]  # history invisible, new record consumed
