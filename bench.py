@@ -205,11 +205,17 @@ def _quiesce(spark, settle_s: float = 3.0) -> None:
     time.sleep(settle_s)
 
 
-def _streaming_throughput(spark, n: int = 2000) -> float:
+def _streaming_throughput(spark, n: int = 10000) -> float:
     """Matched request/event pairs per second through the stateful
     correlation operator (reference ceiling: 3.3 events/s — polite
     polling, svckinesis.js:193,207-211).  One micro-batch drain of
-    ``n`` pairs, wall-clocked end to end including query startup."""
+    ``n`` pairs, wall-clocked end to end including query startup.
+
+    n is sized so the measured work dominates the ~1 s of fixed
+    startup/trigger overhead: at n=2000 the whole run was 2-3 s and
+    that overhead swung the reported rate by 30-50 % between
+    back-to-back runs on an idle box (934 vs 605 pairs/s); at
+    n=10000 the run is ~8-10 s and repeats within a few percent."""
     import datetime as dt
     import shutil
     import tempfile
@@ -260,13 +266,19 @@ def _streaming_throughput(spark, n: int = 2000) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _neardup_throughput(spark, n_docs: int = 3000, batches: int = 3) -> float:
+def _neardup_throughput(spark, n_docs: int = 12000, batches: int = 3) -> float:
     """Docs per second through ``StreamingNearDup.process_batch`` —
     the continuous-ingestion near-dup gate (band-key LSH probe against
     the persisted index + semi-join-pruned Jaccard verify).  Three
     epochs so later batches pay the real cost of probing history.
     A warm-up epoch first (Arrow + codegen startup, same reasoning as
-    the correlation warm-up)."""
+    the correlation warm-up).
+
+    Batch size is sized for saturation: each epoch is a fixed fan of
+    ~dozens of small Spark jobs (signature build, band probe, verify
+    join, three index writes), so at 1000 docs/batch the fixed stage
+    overhead dominated and back-to-back runs swung 2x (135 vs 69
+    docs/s); at 4000 docs/batch the rate repeats within ~10 %."""
     import shutil
     import tempfile
 

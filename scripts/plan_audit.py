@@ -101,6 +101,12 @@ BNLJ_ALLOWED = {
     # a 5-query-vector broadcast against the corpus (the same bounded
     # shape similarity_ivf_recall_audit composes)
     "similarity_matryoshka_audit": 2,
+    # ONE bounded pair grid (|event_type| distinct rows, a<b) whose
+    # subtree is duplicated into both equi-join branches of the
+    # synopsis union; the sketch algebra itself is hash joins over
+    # <=256-row synopses and the exact tier is a BroadcastHashJoin
+    # on user_id (verified in the physical plan)
+    "agg_kmv_intersection_audit": 2,
 }
 
 #: queries whose plans legitimately keep a single-partition ORDER BY

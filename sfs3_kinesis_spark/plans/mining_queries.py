@@ -1821,3 +1821,227 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str):
             ),
         )
     return out.orderBy("o_orderpriority")
+
+
+@register(
+    "agg_kmv_distinct_audit",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ((user_id % 2147483648) * 1103515245 + 12345)
+                 % 2147483648 AS h
+        FROM events),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+    s AS (
+        SELECT event_type, max(h) AS mk, count(*) AS n_kept
+        FROM r WHERE rn <= 256 GROUP BY event_type),
+    x AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type),
+    est AS (
+        SELECT s.event_type,
+               CAST(CASE WHEN s.n_kept < 256 THEN s.n_kept
+                    ELSE (255 * 2147483648) // GREATEST(s.mk, 1) END
+                    AS BIGINT) AS kmv_estimate,
+               CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+        FROM s JOIN x ON s.event_type = x.event_type)
+    SELECT event_type, kmv_estimate, exact_distinct,
+           CAST(10000 * ABS(kmv_estimate - exact_distinct)
+                // exact_distinct AS BIGINT) AS err_bp
+    FROM est
+    """,
+    tags=("agg", "sketch", "kmv", "distinct", "audit", "exact_arithmetic"),
+    description=(
+        "KMV (k-minimum-values) distinct-count sketch with an exact "
+        "audit: hash every user to a 31-bit value with an integer LCG "
+        "both engines compute bit-identically, keep the 256 smallest "
+        "distinct hashes per event_type (two-phase salted top-k — no "
+        "per-key global sort), and estimate D = (k-1)*2^31 / h_(k).  "
+        "Unlike HLL the KMV synopsis supports set INTERSECTION "
+        "estimation (see agg_kmv_intersection_audit), and unlike the "
+        "exact bitmap family its size is O(k) regardless of the ID "
+        "domain — the sketch a 100 TB pipeline ships between stages "
+        "when IDs are sparse 64-bit values.  Deterministic end to "
+        "end, so the audit (error in basis points vs the exact "
+        "distinct count) is oracle-exact"
+    ),
+)
+def agg_kmv_distinct_audit(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    K, M = 256, 2147483648
+    e = t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        (((F.col("user_id") % M) * F.lit(1103515245) + F.lit(12345)) % M).alias("h"),
+    ).distinct()
+    topk = salted_window_topk(h, "event_type", [F.col("h").asc()], k=K)
+    sketch = topk.groupBy("event_type").agg(
+        F.max("h").alias("mk"), F.count("*").alias("n_kept")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = sketch.join(exact, "event_type").select(
+        "event_type",
+        F.expr(
+            f"CAST(CASE WHEN n_kept < {K} THEN n_kept"
+            f" ELSE ({K - 1}L * {M}L) DIV GREATEST(mk, 1L) END AS BIGINT)"
+        ).alias("kmv_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+    return est.withColumn(
+        "err_bp",
+        F.expr(
+            "CAST(10000 * ABS(kmv_estimate - exact_distinct)"
+            " DIV exact_distinct AS BIGINT)"
+        ),
+    )
+
+
+@register(
+    "agg_kmv_intersection_audit",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ((user_id % 2147483648) * 1103515245 + 12345)
+                 % 2147483648 AS h
+        FROM events),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+    sk AS (SELECT event_type, h FROM r WHERE rn <= 256),
+    pairrows AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, u.h,
+               max(CASE WHEN u.event_type = a.event_type THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN u.event_type = b.event_type THEN 1 ELSE 0 END) AS in_b
+        FROM (SELECT DISTINCT event_type FROM sk) a
+        JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+        JOIN sk u ON u.event_type IN (a.event_type, b.event_type)
+        GROUP BY a.event_type, b.event_type, u.h),
+    ranked AS (
+        SELECT type_a, type_b, h, in_a * in_b AS in_both,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM pairrows),
+    u AS (
+        SELECT type_a, type_b, max(h) AS mk, count(*) AS n_kept,
+               sum(in_both) AS k_cap
+        FROM ranked WHERE rn <= 256 GROUP BY type_a, type_b),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(CASE WHEN n_kept < 256 THEN k_cap
+                    ELSE (k_cap * ((255 * 2147483648) // GREATEST(mk, 1)))
+                         // 256 END AS BIGINT) AS kmv_intersection
+        FROM u),
+    ex AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS exact_intersection
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT ex.type_a, ex.type_b, est.kmv_intersection,
+           CAST(ex.exact_intersection AS BIGINT) AS exact_intersection,
+           CAST(10000 * ABS(est.kmv_intersection - ex.exact_intersection)
+                // ex.exact_intersection AS BIGINT) AS err_bp
+    FROM ex JOIN est
+      ON ex.type_a = est.type_a AND ex.type_b = est.type_b
+    """,
+    tags=("agg", "sketch", "kmv", "set_intersection", "audit", "exact_arithmetic"),
+    description=(
+        "KMV set-INTERSECTION estimate per event-type pair, audited "
+        "against the exact user-level intersection: combine the two "
+        "256-hash synopses, rank the union's 256 smallest, count how "
+        "many live in BOTH sketches (k_cap) and scale the union "
+        "estimate by k_cap/k.  This is the estimator HLL cannot "
+        "provide (HLL unions losslessly but intersects only via "
+        "error-amplifying inclusion-exclusion) and the exact bitmap "
+        "family cannot afford on sparse 64-bit ID domains.  The pair "
+        "algebra runs over k-row synopses — bounded driver-free "
+        "state — while the exact audit tier is an equi-join on "
+        "user_id; deterministic LCG hashing keeps it oracle-exact"
+    ),
+)
+def agg_kmv_intersection_audit(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    K, M = 256, 2147483648
+    e = t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        (((F.col("user_id") % M) * F.lit(1103515245) + F.lit(12345)) % M).alias("h"),
+    ).distinct()
+    sk = salted_window_topk(h, "event_type", [F.col("h").asc()], k=K).select(
+        "event_type", "h"
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    # each synopsis is <= K rows; replicating per pair stays bounded
+    # (|types|^2 * K rows).  Two broadcast EQUI-joins (one per pair
+    # side) instead of one OR-condition nested-loop join — same rows,
+    # but the probe stays a hash lookup however many types exist
+    side_a = F.broadcast(pairs).join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = F.broadcast(pairs).join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    pairrows = side_a.unionByName(side_b).groupBy("type_a", "type_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wr = W.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = pairrows.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= K
+    )
+    u = ranked.groupBy("type_a", "type_b").agg(
+        F.max("h").alias("mk"),
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_cap"),
+    )
+    est = u.select(
+        "type_a",
+        "type_b",
+        F.expr(
+            f"CAST(CASE WHEN n_kept < {K} THEN k_cap"
+            f" ELSE (k_cap * (({K - 1}L * {M}L) DIV GREATEST(mk, 1L)))"
+            f" DIV {K} END AS BIGINT)"
+        ).alias("kmv_intersection"),
+    )
+    du = e.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return ex.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "kmv_intersection",
+        "exact_intersection",
+        F.expr(
+            "CAST(10000 * ABS(kmv_intersection - exact_intersection)"
+            " DIV exact_intersection AS BIGINT)"
+        ).alias("err_bp"),
+    )

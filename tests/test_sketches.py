@@ -79,3 +79,26 @@ def test_hll_merge_consistent_with_global_exact(spark):
     assert len(merged) == 1
     est = merged[0]["estimate"]
     assert abs(est - exact) <= 0.15 * exact, (est, exact)
+
+
+def test_kmv_distinct_error_within_envelope(spark):
+    # KMV with k=256: published std error ~ 1/sqrt(k-2) ~ 6.3%;
+    # assert within ~5x (3150 bp) and exactness below the k floor
+    rows = REGISTRY["agg_kmv_distinct_audit"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["exact_distinct"] < 256:
+            assert r["kmv_estimate"] == r["exact_distinct"], r
+        else:
+            assert r["err_bp"] <= 3150, r
+
+
+def test_kmv_intersection_error_within_envelope(spark):
+    # intersection error compounds union + k_cap binomial noise; the
+    # event-type audiences here overlap heavily (dense user overlap),
+    # so 5x the ~6.3% std error still holds with margin
+    rows = REGISTRY["agg_kmv_intersection_audit"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_intersection"] > 0
+        assert r["err_bp"] <= 4000, r
