@@ -101,12 +101,16 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
         .distinct()
         .persist()
     )
+    # the 60-row node table feeds the member build, the initial rank
+    # vector AND every iteration's left join — pin it so the top-N
+    # aggregation over lineitem runs once, not once per consumer
     nodes = (
         li.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pk"))
         .limit(PR_TOP_N)
         .select("pk")
+        .persist()
     )
     member = li.join(F.broadcast(nodes), "pk").select("okey", "pk")
     edges = (
