@@ -480,3 +480,54 @@ def profile_completeness(spark: SparkSession, sf_dir: str):
         F.col("n_nulls").cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+@register(
+    "feature_equidepth_bins",
+    """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rnk,
+               count(*) OVER () AS n
+        FROM c)
+    SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM r GROUP BY bin
+    """,
+    tags=("feature", "binning", "equidepth", "global_rank", "exact_arithmetic"),
+    description=(
+        "equi-depth (decile) discretization of order totals — the "
+        "standard numeric-feature binning / histogram-equalization "
+        "step: bin = (global_rank - 1) * 10 div N over a TOTAL order "
+        "(cents, orderkey tie-break), reported as per-bin row count "
+        "and exact cents boundaries.  The rank comes from the "
+        "two-phase bucketed global_rank (operators/scale.py), never a "
+        "single-partition ORDER BY window, so the binning survives a "
+        "fact-table input; the oracle spells the same arithmetic with "
+        "a plain window.  Bin boundaries then drive downstream "
+        "quantile-bucketed encoders and stratified samplers"
+    ),
+)
+def feature_equidepth_bins(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    total = o.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    r = global_rank(o, [F.col("cents").asc(), F.col("o_orderkey").asc()])
+    binned = r.join(F.broadcast(total)).select(
+        "cents", F.expr("CAST((rnk - 1) * 10 DIV n AS BIGINT)").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
