@@ -2,7 +2,9 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "cold_total": N,
+     "streaming_matched_pairs_per_sec": N,
+     "streaming_neardup_docs_per_sec": N, "load_1m": N, "sf": ...}
 
 ``value`` is the total wall time of the headline set (the driver
 compares it against BASELINE.md).  The FINAL stdout line is kept well

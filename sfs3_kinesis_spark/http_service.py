@@ -74,6 +74,12 @@ class EngineHttpService:
         service = self
 
         class Handler(BaseHTTPRequestHandler):
+            # bound socket-read timeout: a client that under-sends its
+            # declared Content-Length otherwise pins this handler
+            # thread in rfile.read() forever (one thread per request
+            # under ThreadingHTTPServer — unbounded accumulation)
+            timeout = REQUEST_BUDGET_S + 10.0
+
             def log_message(self, fmt, *args):  # silence per-request stderr
                 pass
 
@@ -87,11 +93,27 @@ class EngineHttpService:
                 self.wfile.write(body)
 
             def do_POST(self):
+                # any Engine-verb failure must surface as the contract's
+                # 500 (pollingsvc.js:126-131 routes poll errors to 500),
+                # never a dropped connection with a server-side traceback
+                try:
+                    self._post()
+                except Exception as exc:  # noqa: BLE001
+                    try:
+                        self._reply(500, {"error": str(exc)})
+                    except OSError:
+                        pass  # client already gone
+
+            def _post(self):
                 url = urlparse(self.path)
                 if url.path != "/p1":
                     self._reply(404, {"error": "unknown path"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return
                 raw = self.rfile.read(n).decode("utf-8") if n else "{}"
                 try:
                     json.loads(raw)  # malformed JSON → 400 before submit
@@ -111,6 +133,15 @@ class EngineHttpService:
                 self._reply(code, {"txn_id": txn_id, "status": status})
 
             def do_GET(self):
+                try:
+                    self._get()
+                except Exception as exc:  # noqa: BLE001
+                    try:
+                        self._reply(500, {"error": str(exc)})
+                    except OSError:
+                        pass
+
+            def _get(self):
                 parts = urlparse(self.path).path.strip("/").split("/")
                 if len(parts) == 2 and parts[0] == "status":
                     status = service.engine.status(parts[1])

@@ -75,7 +75,7 @@ def default_fake_decode(payload: bytes) -> list[float]:
     if payload is None:
         raise NotImplementedError("real codec path not available in this container")
     acc = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload[:4096]):
+    for byte in payload[:4096]:
         acc[byte % FEATURE_DIM] += 1
     total = max(sum(acc), 1)
     return [a / total for a in acc]

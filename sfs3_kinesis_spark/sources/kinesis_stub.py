@@ -15,11 +15,12 @@ What it emulates (reference behavior: the hand-rolled consumer at
   GetRecords/SubscribeToShard.  A malformed VALUE fails the query
   loudly at start, exactly where the real connector would;
 * **shards + per-key ordering** — the sink routes each record to
-  ``hash(partitionKey) % numShards`` and appends within-shard in
-  commit order (single driver-side committer per micro-batch, which
-  is also what makes retries safe: ``commit`` is called once per
-  epoch), so records for one key stay ordered while shards are free
-  to interleave — the Kinesis contract;
+  ``hash(partitionKey) % numShards``; the single driver-side
+  committer writes one FILE per (shard, epoch) via atomic replace,
+  so a replayed ``commit`` (at-least-once epoch semantics: crash
+  after the write but before Spark's commit-log entry) overwrites
+  its own file instead of appending duplicates, and records for one
+  key stay ordered while shards interleave — the Kinesis contract;
 * **the connector's read schema** — ``data``, ``streamName``,
   ``partitionKey``, ``sequenceNumber``,
   ``approximateArrivalTimestamp``;
@@ -28,8 +29,10 @@ What it emulates (reference behavior: the hand-rolled consumer at
   checkpointed per-shard cursor map (strictly better than the
   reference's LATEST-drops-history restart).
 
-Backing store: ``<root>/<streamName>/shard-N.jsonl`` — one JSONL
-file per shard, one record per line.  The root comes from the
+Backing store: ``<root>/<streamName>/shard-N.jsonl`` (direct seeds /
+batch writes) plus ``shard-N.b<epoch>.jsonl`` per committed sink
+epoch — one record per line; a shard's logical order is the legacy
+file then the epoch files in batch-id order.  The root comes from the
 connector's own ``kinesis.endpointUrl`` option (its localstack
 seam — pass ``endpoint_url=`` to the wrappers), falling back to
 ``$SPARK_KINESIS_STUB_ROOT`` then ``/tmp/spark-kinesis-stub``.
@@ -114,12 +117,34 @@ def _shard_path(root: str, stream_name: str, shard: int) -> str:
     return os.path.join(_stream_dir(root, stream_name), f"shard-{shard}.jsonl")
 
 
+def _shard_batch_path(root: str, stream_name: str, shard: int, batch_id: int) -> str:
+    return os.path.join(
+        _stream_dir(root, stream_name), f"shard-{shard}.b{int(batch_id):010d}.jsonl"
+    )
+
+
 def _shard_lines(root: str, stream_name: str, shard: int) -> list[str]:
-    p = _shard_path(root, stream_name, shard)
-    if not os.path.exists(p):
-        return []
-    with open(p, "r", encoding="utf-8") as fh:
-        return [ln for ln in fh.read().splitlines() if ln.strip()]
+    """A shard's records in order: the legacy/direct-append file
+    first (test fixtures seed it), then one file per committed sink
+    epoch in batch-id order — per-epoch files are what makes a
+    replayed ``commit`` idempotent (atomic overwrite, not append)."""
+    d = _stream_dir(root, stream_name)
+    paths = []
+    legacy = _shard_path(root, stream_name, shard)
+    if os.path.exists(legacy):
+        paths.append(legacy)
+    if os.path.isdir(d):
+        prefix = f"shard-{shard}.b"
+        paths.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.startswith(prefix) and f.endswith(".jsonl")
+        )
+    lines: list[str] = []
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as fh:
+            lines.extend(ln for ln in fh.read().splitlines() if ln.strip())
+    return lines
 
 
 class _StubStreamReader(SimpleDataSourceStreamReader):
@@ -216,8 +241,22 @@ class _StubStreamWriter(DataSourceStreamWriter):
                     json.dumps({"partitionKey": pk, "data": data, "ts": now})
                 )
         for shard, lines in by_shard.items():
-            with open(_shard_path(self.root, self.stream, shard), "a", encoding="utf-8") as fh:
+            if batchId is None:
+                # no epoch id (direct/batch writes): append-only
+                with open(
+                    _shard_path(self.root, self.stream, shard), "a", encoding="utf-8"
+                ) as fh:
+                    fh.write("\n".join(lines) + "\n")
+                continue
+            # epoch-keyed file + atomic replace: a replayed commit
+            # (crash between this write and Spark's commit-log entry,
+            # at-least-once epoch semantics) OVERWRITES its own file
+            # instead of appending duplicates
+            final = _shard_batch_path(self.root, self.stream, shard, batchId)
+            tmp = final + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")
+            os.replace(tmp, final)
 
     def abort(self, messages, batchId=None):
         pass

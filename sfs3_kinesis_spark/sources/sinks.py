@@ -117,8 +117,40 @@ class KeyedUpsertSink:
         # svckinesis.js:66; a Delta/Iceberg table would give us this
         # via its log — versioned directories are the dependency-free
         # equivalent)
+        self._recover_partial_swaps()
         self._snapshots, self._deltas = self._scan_disk()
         self._version = max(self._snapshots + self._deltas, default=0)
+
+    def _recover_partial_swaps(self) -> None:
+        """Finish a ``forget_keys`` swap interrupted between its two
+        renames: if a version dir is missing, prefer the complete
+        post-erasure copy (``.tmp`` with a ``_SUCCESS`` marker — the
+        erasure must not silently un-happen), else restore the
+        pre-erasure ``.old``; stale leftovers next to an intact
+        version dir are just removed."""
+        import shutil
+
+        if not os.path.isdir(self.path):
+            return
+        # complete .tmp (post-erasure) must win over .old when both
+        # survive a crash between the two renames — process tmp first
+        names = sorted(
+            os.listdir(self.path), key=lambda n: 0 if n.endswith(".tmp") else 1
+        )
+        for name in names:
+            base, dot, suffix = name.rpartition(".")
+            if suffix not in ("tmp", "old") or not dot:
+                continue
+            leftover = os.path.join(self.path, name)
+            target = os.path.join(self.path, base)
+            if os.path.isdir(target):
+                shutil.rmtree(leftover, ignore_errors=True)
+            elif suffix == "tmp" and os.path.exists(os.path.join(leftover, "_SUCCESS")):
+                os.rename(leftover, target)
+            elif suffix == "old":
+                os.rename(leftover, target)
+            else:  # incomplete tmp with no surviving target: discard
+                shutil.rmtree(leftover, ignore_errors=True)
 
     def _scan_disk(self) -> tuple[list[int], list[int]]:
         import re
@@ -288,11 +320,21 @@ class KeyedUpsertSink:
             if n_kept == n_all:
                 kept.unpersist()
                 continue  # no forgotten key in this version: leave the files alone
-            tmp = d + ".tmp"
+            # crash-safe swap: the version directory is never the only
+            # copy while absent.  rmtree(d)-then-rename left a window
+            # (the whole rewrite's I/O) in which a crash destroyed the
+            # ENTIRE version; here the window is two renames, and both
+            # sides of it are recoverable (_recover_partial_swaps):
+            # tmp holds the complete post-erasure copy (_SUCCESS
+            # marker), old holds the pre-erasure copy
+            tmp, old = d + ".tmp", d + ".old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
             kept.write.mode("overwrite").parquet(tmp)
             kept.unpersist()
-            shutil.rmtree(d)
+            os.rename(d, old)
             os.rename(tmp, d)
+            shutil.rmtree(old)
             removed += n_all - n_kept
         return removed
 

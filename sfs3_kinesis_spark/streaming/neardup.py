@@ -69,6 +69,12 @@ class StreamingNearDup:
     (append-only result log: new_doc_id, dup_of, jaccard, epoch).
     The ``epoch`` directory key doubles as the idempotency unit: a
     retried epoch overwrites exactly its own directories.
+
+    Pre-epoch-layout stores (flat parquet files from the old
+    append-mode writer) are read as all-history, and the first write
+    into such a directory migrates the flat files into ``epoch=-1/``
+    (Spark's partition discovery rejects flat files next to
+    ``epoch=N/`` dirs, so a mixed layout must never be created).
     """
 
     def __init__(
@@ -100,6 +106,13 @@ class StreamingNearDup:
         if not _has_parquet(path):
             return None
         df = self.spark.read.parquet(path)
+        if "epoch" not in df.columns:
+            # pre-epoch-layout store (flat append-mode files written
+            # before the idempotent rewrite): no partition key means
+            # every row predates the current stream — treat the whole
+            # directory as history instead of crashing on an
+            # unresolved column
+            return df
         if before_epoch is not None:
             df = df.filter(F.col("epoch") < F.lit(int(before_epoch)))
         return df
@@ -110,9 +123,32 @@ class StreamingNearDup:
         df = self._read(self.matches_dir)
         if df is None:
             return None
+        if "epoch" not in df.columns:
+            return df.withColumn("epoch", F.lit(-1).cast("long"))
         return df.withColumn("epoch", F.col("epoch").cast("long"))
 
     # -- writes -------------------------------------------------------- #
+
+    @staticmethod
+    def _migrate_flat_layout(base_dir: str) -> None:
+        """Move pre-epoch-layout files (flat parquet from the old
+        append-mode writer) into ``epoch=-1/`` before the first
+        epoch-keyed write — flat files next to ``epoch=N/`` dirs make
+        Spark's partition discovery fail on every later read."""
+        if not os.path.isdir(base_dir):
+            return
+        flat = [
+            f
+            for f in os.listdir(base_dir)
+            if not f.startswith(("epoch=", ".", "_"))
+            and os.path.isfile(os.path.join(base_dir, f))
+        ]
+        if not flat:
+            return
+        legacy = os.path.join(base_dir, "epoch=-1")
+        os.makedirs(legacy, exist_ok=True)
+        for f in flat:
+            os.rename(os.path.join(base_dir, f), os.path.join(legacy, f))
 
     def _write_epoch(self, df: DataFrame, base_dir: str, epoch_id: int) -> None:
         """Idempotent epoch write: the batch's rows land in
@@ -121,6 +157,7 @@ class StreamingNearDup:
         appending a duplicate copy (ADVICE r03: at-least-once retry
         between the matches append and the index appends must not
         duplicate rows)."""
+        self._migrate_flat_layout(base_dir)
         df.write.mode("overwrite").parquet(
             os.path.join(base_dir, f"epoch={int(epoch_id)}")
         )

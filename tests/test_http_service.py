@@ -98,3 +98,33 @@ def test_http_budget_lapse_is_500(spark, tmp_path):
         assert code == 500 and body["status"] == "TIMEOUT"
     finally:
         svc.stop()
+
+
+def test_http_engine_error_is_500_not_dropped_connection(spark, tmp_path):
+    """An Engine-verb failure must surface as the contract's 500
+    (pollingsvc.js:126-131 routes poll errors to 500), never a closed
+    socket with a server-side traceback; a malformed Content-Length
+    is a client error (400), not a crash."""
+    import socket
+
+    eng = Engine(spark, str(tmp_path / "eng"))
+    svc = EngineHttpService(eng)
+    port = svc.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def boom(raw):
+            raise RuntimeError("state store offline")
+
+        eng.submit = boom
+        code, body = _post(f"{base}/p1", b'{"foo": true}')
+        assert code == 500 and "state store offline" in body["error"]
+
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(
+                b"POST /p1 HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: abc\r\nConnection: close\r\n\r\n"
+            )
+            status_line = s.recv(1024).decode("utf-8", "replace").split("\r\n")[0]
+        assert " 400 " in status_line, status_line
+    finally:
+        svc.stop()

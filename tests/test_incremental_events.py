@@ -242,3 +242,49 @@ def test_forget_keys_erases_current_and_history(spark, tmp_path):
     resumed = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=2)
     cur2 = {r.txn_id: r.status for r in resumed.current().collect()}
     assert cur2 == {"b": "FAILED", "c": "RUNNING"}
+
+
+def test_forget_keys_swap_crash_recovery(spark, tmp_path):
+    """A crash inside forget_keys' version-directory swap must never
+    lose a whole version: on the next instantiation the sink finishes
+    the swap — preferring the complete post-erasure ``.tmp`` copy
+    (erasure must not un-happen) and restoring ``.old`` only when no
+    complete replacement exists; stale leftovers beside an intact
+    version are just cleaned up."""
+    import os
+    import shutil
+
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "store")
+    sink = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=100)
+    schema = "txn_id string, status string"
+    sink.apply_batch(spark.createDataFrame([("a", "RUNNING"), ("b", "RUNNING")], schema), 0)
+    sink.apply_batch(spark.createDataFrame([("a", "DONE"), ("c", "RUNNING")], schema), 1)
+    d1 = sink._delta_dir(1)
+
+    # crash scenario 1: between the two renames (d -> d.old done,
+    # tmp -> d not yet).  tmp holds the complete post-erasure copy.
+    scrubbed = spark.read.parquet(d1).filter("txn_id <> 'a'")
+    scrubbed.write.mode("overwrite").parquet(d1 + ".tmp")
+    os.rename(d1, d1 + ".old")
+    resumed = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=100)
+    assert not os.path.exists(d1 + ".tmp") and not os.path.exists(d1 + ".old")
+    assert {r.txn_id for r in spark.read.parquet(d1).collect()} == {"b"}
+    assert resumed._deltas == [1, 2]
+
+    # crash scenario 2: tmp write died mid-flight (no _SUCCESS) and
+    # the original was already moved aside -> the pre-erasure copy
+    # comes back (no data loss; the erasure call simply retries).
+    os.rename(d1, d1 + ".old")
+    os.makedirs(d1 + ".tmp")  # incomplete: no _SUCCESS marker
+    KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=100)
+    assert {r.txn_id for r in spark.read.parquet(d1).collect()} == {"b"}
+    assert not os.path.exists(d1 + ".tmp") and not os.path.exists(d1 + ".old")
+
+    # crash scenario 3: stale leftovers next to an intact version
+    shutil.copytree(d1, d1 + ".old")
+    shutil.copytree(d1, d1 + ".tmp")
+    KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=100)
+    assert not os.path.exists(d1 + ".tmp") and not os.path.exists(d1 + ".old")
+    assert {r.txn_id for r in spark.read.parquet(d1).collect()} == {"b"}

@@ -565,3 +565,56 @@ def test_kinesis_stub_latest_skips_history(spark, tmp_path):
     finally:
         qr.stop()
     assert got == ["t-new"]  # history invisible, new record consumed
+
+
+def test_kinesis_stub_replayed_commit_is_idempotent(spark, tmp_path):
+    """foreachBatch/epoch replay semantics: Spark may call a stream
+    writer's ``commit`` again for the same epoch after a crash between
+    the data write and the checkpoint commit-log entry.  The stub
+    writes one file per (shard, epoch) via atomic replace, so the
+    replay overwrites itself instead of appending duplicates."""
+    from pyspark.sql.types import StructType
+
+    from sfs3_kinesis_spark.sources.kinesis_stub import (
+        _RowsMessage,
+        _shard_lines,
+        _StubStreamWriter,
+    )
+
+    root = str(tmp_path / "kin")
+    options = {
+        "kinesis.streamName": "replay-stream",
+        "kinesis.region": "us-east-1",
+        "kinesis.endpointUrl": root,
+    }
+    schema = StructType.fromDDL("partitionKey STRING, data STRING")
+    w = _StubStreamWriter(options, schema)
+    rows = [(f"t-{i}", f"payload-{i}") for i in range(10)]
+
+    import json as _json
+
+    def shard_records(s):
+        return [
+            (r["partitionKey"], r["data"])
+            for r in map(_json.loads, _shard_lines(root, "replay-stream", s))
+        ]
+
+    w.commit([_RowsMessage(rows)], batchId=0)
+    first = {s: shard_records(s) for s in range(2)}
+    assert sum(len(v) for v in first.values()) == 10
+
+    # the replayed epoch: same batchId, same records -> no change
+    # (ts is re-stamped — compare the record identity, not raw bytes)
+    w.commit([_RowsMessage(rows)], batchId=0)
+    assert {s: shard_records(s) for s in range(2)} == first
+
+    # a NEW epoch appends after the old one, per shard, in order
+    import zlib as _zlib
+
+    w.commit([_RowsMessage([("t-0", "payload-0b")])], batchId=1)
+    shard = _zlib.crc32(b"t-0") % 2
+    recs = shard_records(shard)
+    assert len(recs) == len(first[shard]) + 1
+    assert recs[-1] == ("t-0", "payload-0b")  # epoch order kept
+    other = 1 - shard
+    assert shard_records(other) == first[other]

@@ -277,3 +277,49 @@ def test_streaming_ingest_decontamination(spark, tmp_path):
     clean = {r.doc_id for r in spark.read.parquet(clean_dir).collect()}
     assert set(quarantined) == {1} and quarantined[1] > 0
     assert clean == {2, 3}
+
+
+def test_streaming_near_dup_reads_pre_epoch_layout(spark, tmp_path):
+    """Backward compatibility: an index directory written by the old
+    append-mode code has flat parquet files with NO epoch partition
+    key.  The reader must treat that store as all-history (every row
+    predates the current stream) instead of crashing on an unresolved
+    'epoch' column."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and parquet files"
+    )
+    root = str(tmp_path / "ndx")
+    doc_schema = "doc_id long, text string"
+
+    # build a real index once, then strip it to the OLD flat layout
+    seed = StreamingNearDup(spark, str(tmp_path / "seed"))
+    seed.process_batch(spark.createDataFrame([(1, base)], doc_schema), 0)
+    import os
+
+    for sub in ("bands", "shingles"):
+        src = os.path.join(str(tmp_path / "seed"), sub, "epoch=0")
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            os.path.join(root, sub)
+        )
+
+    nd = StreamingNearDup(spark, root)
+    nd.process_batch(
+        spark.createDataFrame([(2, base.replace("lazy", "sleepy"))], doc_schema), 0
+    )
+    got = [(r.new_doc_id, r.dup_of) for r in nd.matches().collect()]
+    assert got == [(2, 1)]  # the flat-layout store counted as history
+
+    # the write must have MIGRATED the flat files into epoch=-1/ (a
+    # mixed layout would fail partition discovery on the next read):
+    # a second batch reads the store again and matches both ancestors
+    assert os.path.isdir(os.path.join(root, "bands", "epoch=-1"))
+    nd.process_batch(
+        spark.createDataFrame([(3, base.replace("lazy", "busy"))], doc_schema), 1
+    )
+    got2 = sorted((r.new_doc_id, r.dup_of) for r in nd.matches().collect())
+    assert got2 == [(2, 1), (3, 1), (3, 2)]
