@@ -289,16 +289,20 @@ def _neardup_throughput(spark, n_docs: int = 12000, batches: int = 3) -> float:
     from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
 
     words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # every 10th doc copies its PREDECESSOR's unique tail, so dup
+    # clusters are pairwise (doc 10 ~ doc 9), never one mega-cluster:
+    # an earlier fixture gave all dup docs the SAME tail, which made
+    # the candidate set quadratic in history and measured an
+    # adversarial cluster, not the gate's pipeline throughput
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.lit(words + " document number "),
             F.col("id"),
             F.lit(" shared trailing corpus text about spark shuffles joins"),
-            # every 10th doc is a near-dup of its predecessor's body
-            F.when(F.col("id") % 10 == 0, F.lit(" " + words + " " + words)).otherwise(
-                F.concat(F.lit(" unique tail "), F.col("id") * 7919)
-            ),
+            F.lit(" unique tail "),
+            F.when(F.col("id") % 10 == 0, F.col("id") - 1).otherwise(F.col("id"))
+            * 7919,
         ).alias("text"),
     )
     per_batch = n_docs // batches

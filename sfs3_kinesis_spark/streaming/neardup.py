@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.operators.dedup import banded_keys, shingles
@@ -70,6 +70,15 @@ class StreamingNearDup:
     The ``epoch`` directory key doubles as the idempotency unit: a
     retried epoch overwrites exactly its own directories.
 
+    ``max_candidates_per_doc`` (default 64) bounds the verify tier
+    per ingested doc: a mega-cluster of near-identical docs otherwise
+    yields candidate pairs (and Jaccard verifies) quadratic in
+    history.  The gate's question is "is this doc a near-dup of
+    ANYTHING seen" — one verified ancestor answers it — so the cap
+    trades exhaustive pair listing (use the batch
+    ``minhash_lsh_pairs`` for that) for guaranteed-linear ingest.
+    Set ``None`` to disable.
+
     Pre-epoch-layout stores (flat parquet files from the old
     append-mode writer) are read as all-history, and the first write
     into such a directory migrates the flat files into ``epoch=-1/``
@@ -86,6 +95,7 @@ class StreamingNearDup:
         num_hashes: int = 32,
         bands: int = 8,
         jaccard_threshold: float = 0.5,
+        max_candidates_per_doc: int | None = 64,
     ):
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
@@ -95,6 +105,7 @@ class StreamingNearDup:
         self.num_hashes = num_hashes
         self.bands = bands
         self.threshold = jaccard_threshold
+        self.max_candidates = max_candidates_per_doc
 
     # -- reads --------------------------------------------------------- #
 
@@ -198,7 +209,23 @@ class StreamingNearDup:
         cand = parts[0]
         for p in parts[1:]:
             cand = cand.unionByName(p)
-        return cand.dropDuplicates(["new_doc_id", "dup_of"])
+        cand = cand.dropDuplicates(["new_doc_id", "dup_of"])
+        if self.max_candidates is not None:
+            # bounded verify work per NEW doc: an ingest gate needs
+            # one verified ancestor to call a doc a duplicate, not
+            # the full pair set — without this cap a mega-cluster
+            # (N docs sharing a template) makes candidates, and the
+            # Jaccard verify behind them, grow quadratically with
+            # history.  Deterministic keep-set (lowest dup_of ids =
+            # the cluster's oldest members) so retries re-emit
+            # identical rows.
+            w = W.partitionBy("new_doc_id").orderBy("dup_of")
+            cand = (
+                cand.withColumn("_crn", F.row_number().over(w))
+                .filter(F.col("_crn") <= self.max_candidates)
+                .drop("_crn")
+            )
+        return cand
 
     def _verify(
         self, cand: DataFrame, sh: DataFrame, hist_sh: DataFrame | None

@@ -323,3 +323,39 @@ def test_streaming_near_dup_reads_pre_epoch_layout(spark, tmp_path):
     )
     got2 = sorted((r.new_doc_id, r.dup_of) for r in nd.matches().collect())
     assert got2 == [(2, 1), (3, 1), (3, 2)]
+
+
+def test_streaming_near_dup_candidate_cap_bounds_mega_cluster(spark, tmp_path):
+    """A template mega-cluster (every doc near-identical) must not
+    make the gate's work quadratic in history: with
+    max_candidates_per_doc=k each new doc verifies at most k
+    candidate ancestors (the deterministic lowest-id ones), and every
+    cluster member after the first is still flagged as a duplicate."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    tmpl = (
+        "identical template text about spark shuffles joins and "
+        "parquet files repeated across every single document here"
+    )
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tmpl + " nr "), F.col("id")).alias("text"),
+    )
+    nd = StreamingNearDup(spark, str(tmp_path / "ndx"), max_candidates_per_doc=5)
+    nd.process_batch(docs.filter("doc_id < 30"), 0)
+    nd.process_batch(docs.filter("doc_id >= 30"), 1)
+
+    m = nd.matches().groupBy("new_doc_id").count().collect()
+    per_doc = {r.new_doc_id: r["count"] for r in m}
+    # bounded verify output per doc...
+    assert max(per_doc.values()) <= 5
+    # ...and every cluster member except the oldest is still caught
+    assert set(per_doc) == set(range(1, 60))
+    # the kept candidates are the oldest cluster members (dup_of asc)
+    kept = {
+        r.dup_of
+        for r in nd.matches().filter(F.col("new_doc_id") == 59).collect()
+    }
+    assert kept == {0, 1, 2, 3, 4}
