@@ -359,3 +359,22 @@ def test_streaming_near_dup_candidate_cap_bounds_mega_cluster(spark, tmp_path):
         for r in nd.matches().filter(F.col("new_doc_id") == 59).collect()
     }
     assert kept == {0, 1, 2, 3, 4}
+
+
+def test_streaming_near_dup_history_read_is_partition_pruned(spark, tmp_path):
+    """Scale pin: the history read's epoch bound must land in the
+    parquet scan's PartitionFilters (directory pruning — a retried
+    epoch never even LISTS its own first attempt), not a post-scan
+    row filter."""
+    import re
+
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(spark, str(tmp_path / "ndx"))
+    df = spark.createDataFrame([(1, ["a b c"])], "doc_id long, shingles array<string>")
+    nd._write_epoch(df, nd.shingles_dir, 0)
+    nd._write_epoch(df, nd.shingles_dir, 1)
+    hist = nd._read(nd.shingles_dir, before_epoch=1)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "epoch" in m.group(1) and "< 1" in m.group(1), plan
