@@ -31,6 +31,7 @@ keyed table — the facade does not change.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 
@@ -68,6 +69,13 @@ class Engine:
             self._sink, steps=steps, on_events=self._append_events
         )
         self._query = None
+        # concurrent submits share requests_dir/_temporary (Hadoop's
+        # FileOutputCommitter cleans it per job) — one job's commit
+        # can delete another's in-flight task files, silently losing
+        # an accepted request.  The facade serializes the one-row
+        # appends; real concurrent ingress is the stream source's
+        # job, not this veneer.
+        self._submit_lock = threading.Lock()
 
     # -- service verbs ------------------------------------------------ #
 
@@ -76,49 +84,66 @@ class Engine:
         the txn id immediately (the reference returns it only with
         the terminal response; exposing it enables the polling path)."""
         txn_id = f"0x{uuid.uuid4().hex[:16]}"  # flake-id-shaped hex key
-        (
-            self.spark.createDataFrame([(txn_id, payload_json)], REQUEST_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.requests_dir)
-        )
+        with self._submit_lock:
+            (
+                self.spark.createDataFrame([(txn_id, payload_json)], REQUEST_SCHEMA)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.requests_dir)
+            )
         return txn_id
 
     def status(self, txn_id: str) -> str | None:
         """Terminal status for a txn, or None while still in flight
-        (the 3-way RUNNING/SUCCEEDED/FAILED branch, pollingsvc.js:77-93)."""
-        cur = self._sink.current()
+        (the 3-way RUNNING/SUCCEEDED/FAILED branch, pollingsvc.js:77-93).
+        The key filter is pushed below the state-store merge, so a
+        poll is a point lookup, not a full-table merge."""
+        cur = self._sink.current(key=txn_id)
         if cur is None:
             return None
-        row = cur.filter(F.col("txn_id") == txn_id).select("status").first()
+        row = cur.select("status").first()
         return row["status"] if row is not None else None
 
     def state_document(self, txn_id: str) -> dict | None:
-        """The whole enriched process-state document (aprocess.js:24)."""
-        cur = self._sink.current()
+        """The whole enriched process-state document (aprocess.js:24).
+        Store bookkeeping columns (``_v``, ``_epoch``) are dropped:
+        they are LSM version counters whose meaning shifts on
+        compaction, not part of the client-facing document."""
+        cur = self._sink.current(key=txn_id)
         if cur is None:
             return None
-        row = cur.filter(F.col("txn_id") == txn_id).first()
+        row = cur.drop("_v", "_epoch").first()
         return row.asDict(recursive=True) if row is not None else None
 
     def events(self) -> DataFrame | None:
-        """The append-only status-event log (txn_id, status, event_id)."""
-        if not os.path.isdir(self.events_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.events_dir)
-        ):
+        """The status-event log (txn_id, status, event_id, event_time)
+        — exactly-once: the writer lands one ``epoch=N`` partition per
+        micro-batch with overwrite semantics, so foreachBatch's
+        at-least-once redelivery replaces its own output instead of
+        appending a duplicate copy."""
+        has_parquet = False
+        for _root, _dirs, files in os.walk(self.events_dir):
+            if any(f.endswith(".parquet") for f in files):
+                has_parquet = True
+                break
+        if not has_parquet:
             return None
-        return self.spark.read.parquet(self.events_dir)
+        return self.spark.read.parquet(self.events_dir).drop("epoch")
 
     def await_completion(self, txn_id: str, timeout_s: float = 20.0, poll_s: float = 0.25) -> str:
         """EP1 polling semantics: poll the state store until terminal
-        or the request budget lapses (pollingsvc.js:123,133)."""
+        or the request budget lapses (pollingsvc.js:123,133).  One
+        final check after the deadline: the terminal status may have
+        landed during the last sleep — reporting TIMEOUT when
+        status() already answers is a misreport, not a timeout."""
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             s = self.status(txn_id)
             if s is not None:
                 return s
             time.sleep(poll_s)
-        return "TIMEOUT"
+        s = self.status(txn_id)
+        return s if s is not None else "TIMEOUT"
 
     # -- lifecycle ----------------------------------------------------- #
 
@@ -138,8 +163,11 @@ class Engine:
     # -- internal ------------------------------------------------------ #
 
     def _append_events(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch-keyed overwrite = idempotent under foreachBatch's
+        # at-least-once redelivery (the docstring's exactly-once
+        # claim; same discipline as streaming/neardup._write_epoch)
         (
             batch_df.select("txn_id", "status", "event_id", "event_time")
-            .write.mode("append")
-            .parquet(self.events_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.events_dir, f"epoch={int(epoch_id)}"))
         )

@@ -38,6 +38,18 @@ from pyspark.sql import functions as F
 SUCCEEDED = "SUCCEEDED"
 FAILED = "FAILED"
 
+#: terminal stage name — the suffix of the idempotency key
+TERMINAL_STAGE = "step-f"
+
+
+def terminal_event_id(txn_col: Column) -> Column:
+    """The status event's idempotency key: ``<txn_id>/step-f``.
+    ONE definition shared by the producer-side event log
+    (:func:`status_events`) and the consumer-side parser
+    (``sources.stream.parse_status_events``) so the replay-dedup
+    contract cannot drift between the two sides."""
+    return F.concat_ws("/", txn_col, F.lit(TERMINAL_STAGE))
+
 
 @dataclass(frozen=True)
 class Step:
@@ -123,6 +135,11 @@ def run_pipeline(requests: DataFrame, steps: Optional[Sequence[Step]] = None) ->
     100 TB (scales linearly with input splits).
     """
     steps = list(steps) if steps is not None else reference_steps()
+    if not steps:
+        # an explicitly-empty list (e.g. steps_from_config([])) would
+        # otherwise surface as an opaque IndexError at steps[-1] —
+        # inside foreachBatch for the streaming form
+        raise ValueError("steps must be non-empty")
     df = requests
     for step in steps:
         result = step.result
@@ -149,7 +166,7 @@ def status_events(state: DataFrame, event_time: Optional[Column] = None) -> Data
         F.col("txn_id"),
         F.col("status"),
         ts.alias("event_time"),
-        F.concat_ws("/", F.col("txn_id"), F.lit("step-f")).alias("event_id"),
+        terminal_event_id(F.col("txn_id")).alias("event_id"),
     ).repartition("txn_id")
 
 

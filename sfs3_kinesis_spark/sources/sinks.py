@@ -171,9 +171,15 @@ class KeyedUpsertSink:
     def _delta_dir(self, version: int) -> str:
         return os.path.join(self.path, f"d{version}")
 
-    def _merged_as_of(self, version: int) -> DataFrame:
+    def _merged_as_of(self, version: int, key: str | None = None) -> DataFrame:
         """base snapshot (newest <= version) + the delta tail, merged
-        last-writer-wins per key on the monotone delta version."""
+        last-writer-wins per key on the monotone delta version.
+
+        ``key`` pushes a single-key point-lookup filter into EVERY
+        part BEFORE the union and window, so a poll for one txn reads
+        only the row groups whose min/max statistics can contain that
+        key instead of merging the whole table (the facade's O(1)
+        claim; parquet predicate pushdown does the pruning)."""
         base_v = max((s for s in self._snapshots if s <= version), default=0)
         parts = []
         if base_v:
@@ -185,6 +191,8 @@ class KeyedUpsertSink:
         )
         if not parts:
             raise ValueError(f"no state at version {version}")
+        if key is not None:
+            parts = [p.filter(F.col(self.key_col) == key) for p in parts]
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p, allowMissingColumns=True)
@@ -195,10 +203,10 @@ class KeyedUpsertSink:
             .drop("_rn")
         )
 
-    def current(self) -> DataFrame | None:
+    def current(self, key: str | None = None) -> DataFrame | None:
         if self._version == 0:
             return None
-        return self._merged_as_of(self._version)
+        return self._merged_as_of(self._version, key=key)
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read: the table AS OF version ``version``

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from sfs3_kinesis_spark import types as ktypes
+from sfs3_kinesis_spark.operators.pipeline import terminal_event_id
 
 
 def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet", max_files_per_trigger: int | None = None) -> DataFrame:
@@ -103,29 +104,58 @@ def kinesis_stream(
             )
             .load()
         )
-    except Exception as exc:  # pragma: no cover - connector not in test env
-        raise RuntimeError(
-            "Kinesis connector not available; use file_stream/rate_stream "
-            "locally or add the spark-sql-kinesis jar to the classpath"
-        ) from exc
+    except Exception as exc:
+        # only translate CONNECTOR-ABSENT failures; a real connector
+        # error (bad stream, expired credentials, IllegalArgument)
+        # must propagate as itself, not masquerade as a missing jar
+        msg = str(exc)
+        if any(
+            s in msg
+            for s in (
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "ClassNotFoundException",
+            )
+        ):
+            raise RuntimeError(
+                "Kinesis connector not available; use file_stream/rate_stream "
+                "locally or add the spark-sql-kinesis jar to the classpath"
+            ) from exc
+        raise
 
 
-def parse_status_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_status_events(
+    raw: DataFrame,
+    value_col: str = "value",
+    timestamp_col: str | None = None,
+) -> DataFrame:
     """Decode JSON status-event payloads `{txnId, status}`
     (reference record shape, aprocess.js:150-153) into the typed
     STATUS_EVENT schema — ``from_json`` with a fixed schema, never
-    per-record inference."""
+    per-record inference.
+
+    ``timestamp_col=None`` auto-detects: a Kafka-shaped input carries
+    ``timestamp``, the Kinesis connector (and the stub) carries
+    ``approximateArrivalTimestamp`` — so
+    ``parse_status_events(kinesis_stream(...), value_col="data")``
+    works without a hand-rename."""
     from pyspark.sql import functions as F
 
+    if timestamp_col is None:
+        timestamp_col = (
+            "approximateArrivalTimestamp"
+            if "approximateArrivalTimestamp" in raw.columns
+            else "timestamp"
+        )
     payload_schema = "txnId STRING, status STRING"
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), payload_schema).alias("p"),
-        F.col("timestamp").alias("event_time"),
+        F.col(timestamp_col).alias("event_time"),
     ).select(
         F.col("p.txnId").alias("txn_id"),
         F.col("p.status").alias("status"),
         "event_time",
-        F.concat_ws("/", F.col("p.txnId"), F.lit("step-f")).alias("event_id"),
+        terminal_event_id(F.col("p.txnId")).alias("event_id"),
     )
 
 

@@ -147,8 +147,19 @@ def _correlate_group_impl(
             if _EVENT_TIME_TIMERS:
                 # deadline on the EVENT-TIME axis: fires when the
                 # watermark passes submitted_at + budget — replay-
-                # deterministic (same inputs -> same evictions)
-                state.setTimeoutTimestamp(submitted_ms + timeout_ms)
+                # deterministic (same inputs -> same evictions).
+                # Clamp to just past the CURRENT watermark: a backfill
+                # can advance the watermark by more than the budget
+                # between batches, and setTimeoutTimestamp raises on a
+                # deadline at/under it (the row passed the late filter
+                # against the PREVIOUS batch's watermark) — an
+                # already-past-due request times out on the next
+                # watermark tick instead of killing the query
+                deadline_ms = submitted_ms + timeout_ms
+                wm_ms = state.getCurrentWatermarkMs()
+                if deadline_ms <= wm_ms:
+                    deadline_ms = wm_ms + 1
+                state.setTimeoutTimestamp(deadline_ms)
             else:
                 state.setTimeoutDuration(timeout_ms)
         else:  # event

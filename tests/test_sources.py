@@ -438,10 +438,9 @@ def test_kinesis_wrappers_end_to_end_against_stub(spark, tmp_path):
         endpoint_url=root,
     )
     assert src.isStreaming
-    parsed = parse_status_events(
-        src.select("data", F.col("approximateArrivalTimestamp").alias("timestamp")),
-        value_col="data",
-    )
+    # auto-detect: the connector schema carries
+    # approximateArrivalTimestamp, no hand-rename needed
+    parsed = parse_status_events(src, value_col="data")
     qr = (
         parsed.writeStream.format("memory")
         .queryName("kin_stub_rt")

@@ -493,3 +493,70 @@ def test_correlate_event_time_deterministic_eviction(spark, tmp_path):
     assert ("t-slow", "matched") not in outcomes
     # t-other's own event is an orphan too (no pending request)
     assert ("t-other", "orphan") in outcomes
+
+
+def test_correlate_event_time_backfill_request_behind_watermark(spark, tmp_path):
+    """Backfill hazard: a request whose event-time deadline is ALREADY
+    below the eviction watermark (the watermark advanced by more than
+    the budget between batches — exactly the replay/backfill scenario
+    event-time timers exist for).  setTimeoutTimestamp raises on a
+    deadline at/under the watermark; the operator must clamp to the
+    next watermark tick and evict the stale request as a timeout
+    instead of killing the query."""
+    import datetime as dt
+
+    from sfs3_kinesis_spark.streaming.correlate import correlate_event_time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+
+    # batch 1: a far-future event drives the watermark way past t0
+    b1 = unioned_input(
+        _requests_df(spark, []),
+        _events_df(spark, [("t-wm", "SUCCEEDED", t0 + dt.timedelta(seconds=600))]),
+    )
+    b1.write.mode("append").parquet(str(stream_dir))
+
+    stream = spark.readStream.schema(b1.schema).parquet(str(stream_dir))
+    out = correlate_event_time(
+        stream.filter(F.col("kind") == "request").select(
+            "txn_id", F.col("ts").alias("submitted_at"), "timeout_ms"
+        ),
+        stream.filter(F.col("kind") == "event").select(
+            "txn_id", "status", F.col("ts").alias("event_time")
+        ),
+        watermark="1 second",
+    )
+    q = run_stateful_to_memory(out, "corr_backfill")
+    try:
+        wait_for_rows(spark, "SELECT count(*) FROM corr_backfill", 1, timeout_s=60)
+
+        # batch 2: a BACKFILLED request stamped hundreds of seconds
+        # behind the watermark with a 5 s budget — its deadline is
+        # long past; pre-clamp this crashed the query with
+        # INVALID_TIMEOUT_TIMESTAMP
+        b2 = unioned_input(
+            _requests_df(spark, [("t-stale", t0, 5_000)]),
+            _events_df(spark, []),
+        )
+        b2.write.mode("append").parquet(str(stream_dir))
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+
+        # batch 3: any event advances the watermark one more tick and
+        # fires the clamped timer -> the stale request times out
+        b3 = unioned_input(
+            _requests_df(spark, []),
+            _events_df(spark, [("t-wm2", "SUCCEEDED", t0 + dt.timedelta(seconds=700))]),
+        )
+        b3.write.mode("append").parquet(str(stream_dir))
+        wait_for_rows(
+            spark,
+            "SELECT count(*) FROM corr_backfill"
+            " WHERE outcome = 'timeout' AND txn_id = 't-stale'",
+            1,
+            timeout_s=60,
+        )
+    finally:
+        q.stop()
