@@ -538,3 +538,302 @@ def matryoshka_recall_audit(
             .alias("recall_bp"),
         )
     )
+
+
+def gram_moments(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """One-pass Gram/covariance moments over an embedding column:
+    returns (i, j, s) rows where (i>=0, j>=i) carries the upper-
+    triangle Gram sum Σ x_i·x_j on the exact integer grid, (i>=0,
+    j=-1) the per-dimension sum Σ x_i, and (i=-1, j=-1) the row
+    count — everything a covariance matrix, PCA pre-pass, or
+    normal-equation OLS needs, in ONE scan of the corpus.
+
+    Scale shape: the hot loop is an Arrow-batched numpy
+    ``X.T @ X`` per ~10k-row batch (dense BLAS, int64 — per-batch
+    partials stay far below 2^63 because the quantized grid bounds
+    |x| and the batch bounds n), emitting d(d+1)/2 + d + 1 tiny
+    partial rows per batch; the only shuffle is the (i, j)-keyed
+    final sum, whose payload is O(d^2 · n_batches) scalars — never
+    the corpus.  Final accumulation is DECIMAL(38,0), so corpus-scale
+    totals cannot overflow.  The reference has no linear-algebra
+    surface at all (SURVEY.md §2.12); this is the distributed moment
+    kernel every featurizer needs.
+
+    Falls back to a value-identical posexplode self-join twin when
+    pandas/pyarrow are unavailable (same dispatch posture as
+    :func:`_assign_cells`).
+    """
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    try:
+        import numpy as np
+        import pandas as pd
+    except ImportError:  # pragma: no cover - both libs ship in tests
+        parts = _gram_parts_expr(dfv)
+    else:
+        iu_cache: dict[int, tuple] = {}
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["vi"].tolist(), dtype=np.int64)
+                d = X.shape[1]
+                if d not in iu_cache:
+                    iu_cache[d] = np.triu_indices(d)
+                iu_r, iu_c = iu_cache[d]
+                G = X.T @ X
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(
+                            [iu_r, np.arange(d), [-1]]
+                        ).astype(np.int32),
+                        "j": np.concatenate(
+                            [iu_c, np.full(d, -1), [-1]]
+                        ).astype(np.int32),
+                        "s": np.concatenate(
+                            [G[iu_r, iu_c], X.sum(0), [len(X)]]
+                        ).astype(np.int64),
+                    }
+                )
+
+        parts = dfv.mapInPandas(fn, "i int, j int, s bigint")
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+
+
+def _gram_parts_expr(dfv: DataFrame) -> DataFrame:
+    """Expression twin of the Arrow Gram pass: posexplode + self-join
+    on the row id (emits per-ROW partials rather than per-batch — the
+    downstream (i, j) sum is identical).  Used only when Arrow is
+    unavailable; d^2 rows per input row make it the slow path."""
+    v = dfv.select("id", F.posexplode("vi").alias("i", "x"))
+    g = (
+        v.alias("a")
+        .join(v.alias("b"), ["id"])
+        .filter(F.expr("a.i <= b.i"))
+        .select(
+            F.col("a.i").cast("int").alias("i"),
+            F.col("b.i").cast("int").alias("j"),
+            F.expr("a.x * b.x").alias("s"),
+        )
+    )
+    sums = v.select(
+        F.col("i").cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.col("x").alias("s"),
+    )
+    cnt = dfv.select(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.lit(1).cast("bigint").alias("s"),
+    )
+    return g.unionByName(sums).unionByName(cnt)
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    *,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[int]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, public):
+    the vector space splits into ``m_sub`` contiguous subspaces and
+    each gets its own k-means codebook (``ksub`` centroids, Lloyd on
+    the exact integer grid — the same deterministic trainer as IVF,
+    :func:`_lloyd_centroids`).  Driver state is m_sub × ksub × d/m
+    ints — bounded regardless of corpus size."""
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    first = dfv.select(F.size("vi").alias("d")).first()
+    if first is None:
+        return []
+    dim = int(first["d"])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = []
+    for m in range(m_sub):
+        sub = dfv.select("id", F.slice("vi", m * dsub + 1, dsub).alias("vi"))
+        books.append(_lloyd_centroids(sub, ksub, iterations))
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    *,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m_sub`` small codes (the
+    nearest sub-centroid per subspace) — with ksub<=256 that is ONE
+    BYTE per subspace, a dim·4/m_sub-fold compression of float32
+    corpora.  One Arrow-batched pass, codebooks ride as closure
+    constants; no shuffle, no collect.  Returns (id, codes
+    array<int>, vi) — vi kept so audits can re-score exactly."""
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    if not books:
+        return dfv.select("id", F.expr("array()").cast("array<int>").alias("codes"), "vi")
+    m_sub = len(books)
+    try:
+        import numpy as np
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        out = dfv
+        dsub = len(books[0][0][1])
+        for m, book in enumerate(books):
+            sub = out.select("id", F.slice("vi", m * dsub + 1, dsub).alias("vi"))
+            a = _assign_cells_expr(sub, book).select(
+                "id", F.col("cell").cast("int").alias(f"_c{m}")
+            )
+            out = out.join(a, "id")
+        return out.select(
+            "id",
+            F.array(*[F.col(f"_c{m}") for m in range(m_sub)]).alias("codes"),
+            "vi",
+        )
+
+    C = [np.array([v for _, v in book], dtype=np.int64) for book in books]
+    cids = [np.array([c for c, _ in book], dtype=np.int64) for book in books]
+    dsub = C[0].shape[1]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["vi"].tolist(), dtype=np.int64)
+            codes = np.empty((len(X), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                S = X[:, m * dsub : (m + 1) * dsub]
+                d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = cids[m][d.argmin(1)]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "codes": [row.astype(int).tolist() for row in codes],
+                    "vi": pdf["vi"],
+                }
+            )
+
+    id_type = dict(dfv.dtypes)["id"]
+    return dfv.mapInPandas(fn, f"id {id_type}, codes array<int>, vi array<bigint>")
+
+
+def pq_adc_audit(
+    embeddings: DataFrame,
+    *,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    scale: int = 10000,
+    n_queries: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) recall audit: the lowest
+    ``n_queries`` ids become queries, the rest the corpus; ADC ranks
+    the corpus by Σ_m table_m[code_m(x)] where table_m is the query's
+    exact squared distance to every sub-centroid (an m_sub × ksub int
+    lookup, built once per query), and the audit reports how many of
+    the true integer-grid top-``k`` the code-compressed index keeps.
+
+    Scale shape: codebooks and per-query tables are bounded driver
+    state; the ADC scan is one codegen projection over the CODES
+    column (m_sub element_at lookups per row — it never touches the
+    d-dimensional vector, which is the point of PQ: the corpus can
+    stay on disk as 1-byte-per-subspace codes); exact re-scoring runs
+    only for the audit.  Per-query top-k is a keyed window over the
+    bounded query set.  Output: (query_id, n_overlap, recall_bp,
+    compression_x100) — audit-not-assume, same posture as
+    ``similarity_ivf_recall_audit``.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries)
+    c = embeddings.filter(F.col(id_col) >= n_queries)
+    books = pq_train_codebooks(
+        c, m_sub=m_sub, ksub=ksub, iterations=iterations, scale=scale,
+        vec_col=vec_col, id_col=id_col,
+    )
+    enc = pq_encode(c, books, scale=scale, vec_col=vec_col, id_col=id_col)
+    qv = _quantized(q, vec_col, id_col, scale)
+    dim_row = qv.select(F.size("vi").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
+    compression = (dim * 4 * 100) // max(1, m_sub) if dim else 0
+    if not books or dim == 0:
+        return qv.select(
+            F.col("id").alias("query_id"),
+            F.lit(0).cast("long").alias("n_overlap"),
+            F.lit(0).cast("long").alias("recall_bp"),
+            F.lit(compression).cast("long").alias("compression_x100"),
+        ).limit(0)
+    dsub = dim // m_sub
+    queries = qv.collect()  # bounded: n_queries rows
+
+    # per-query ADC lookup tables (m_sub x ksub exact squared dists);
+    # missing cell ids (empty Lloyd cells) never appear in codes
+    spark = embeddings.sparkSession
+    rows = []
+    for r in queries:
+        vi = list(r["vi"])
+        tables = []
+        for m, book in enumerate(books):
+            sub = vi[m * dsub : (m + 1) * dsub]
+            tbl = [0] * (max(cid for cid, _ in book) + 1)
+            for cid, cent in book:
+                tbl[cid] = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+            tables.append(tbl)
+        rows.append((int(r["id"]), vi, tables))
+    qdf = spark.createDataFrame(
+        rows, "query_id bigint, qvi array<bigint>, tables array<array<bigint>>"
+    )
+
+    adc = enc.join(F.broadcast(qdf)).select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        F.expr(
+            "aggregate(sequence(0, size(codes) - 1), 0L, "
+            "(acc, m) -> acc + tables[m][codes[m]])"
+        ).alias("dist_adc"),
+    )
+    w = W.partitionBy("query_id").orderBy("dist_adc", "cand_id")
+    adc_topk = adc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).select("query_id", "cand_id")
+
+    cv = _quantized(c, vec_col, id_col, scale)
+    exact = cv.join(F.broadcast(qdf)).select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        F.expr(SQDIST_INT.format(c="qvi", v="vi")).alias("dist"),
+    )
+    we = W.partitionBy("query_id").orderBy("dist", "cand_id")
+    exact_topk = exact.withColumn("_rn", F.row_number().over(we)).filter(
+        F.col("_rn") <= k
+    ).select("query_id", "cand_id")
+
+    hits = exact_topk.join(adc_topk, ["query_id", "cand_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        qdf.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(_n, 0L) * 10000 div {int(k)}")
+            .cast("long")
+            .alias("recall_bp"),
+            F.lit(compression).cast("long").alias("compression_x100"),
+        )
+    )

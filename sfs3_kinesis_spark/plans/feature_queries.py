@@ -531,3 +531,191 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str):
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+#: embeddings fixture dim for the Gram oracle (errors on drift, same
+#: posture as the k-means oracle's chk CTE)
+GRAM_DIM = 64
+GRAM_SCALE = 1000
+
+
+@register(
+    "feature_gram_covariance",
+    f"""
+    WITH chk AS (
+      SELECT CASE WHEN min(len(embedding)) = {GRAM_DIM}
+                   AND max(len(embedding)) = {GRAM_DIM} THEN 1
+             ELSE CAST(error('embeddings dim <> {GRAM_DIM}') AS INT) END AS ok
+      FROM embeddings),
+    v AS (
+      SELECT vec_id AS id, r.i - 1 AS idx,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {GRAM_SCALE} + 0.5)
+                  AS HUGEINT) AS val
+      FROM embeddings, range(1, {GRAM_DIM + 1}) r(i), chk WHERE chk.ok = 1),
+    g AS (SELECT a.idx AS i, b.idx AS j, sum(a.val * b.val) AS sxy
+          FROM v a JOIN v b ON a.id = b.id AND a.idx <= b.idx GROUP BY 1, 2),
+    s AS (SELECT idx, sum(val) AS sx FROM v GROUP BY idx),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)
+    SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           CAST(n.n AS BIGINT) AS n_rows,
+           CAST(CAST(g.sxy AS DECIMAL(38,0)) AS VARCHAR) AS sxy,
+           CAST(CAST(n.n * g.sxy - sa.sx * sb.sx AS DECIMAL(38,0)) AS VARCHAR)
+               AS cov_scaled
+    FROM g JOIN s sa ON sa.idx = g.i JOIN s sb ON sb.idx = g.j CROSS JOIN n
+    """,
+    tags=("feature", "linalg", "covariance", "gram", "pca", "exact_arithmetic"),
+    description=(
+        "one-pass Gram/covariance moments over the embedding corpus: "
+        "the upper-triangle d x d Gram matrix, per-dimension sums, and "
+        "the row count all come out of ONE corpus scan (an Arrow-"
+        "batched numpy X^T X per ~10k-row batch emitting d(d+1)/2+d+1 "
+        "tiny partials; the only shuffle carries O(d^2) scalars per "
+        "batch, never rows), then the scaled covariance n*Sxy - Sx*Sy "
+        "is derived in DECIMAL(38,0) — the moment kernel behind PCA "
+        "whitening, normal-equation OLS, and feature-correlation "
+        "pruning at 100 TB.  Exact integer grid (x1000) makes the "
+        "result bit-identical to the oracle's unnest self-join "
+        "formulation; DECIMALs emit as canonical digit strings"
+    ),
+)
+def feature_gram_covariance(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.similarity import gram_moments
+
+    mo = gram_moments(
+        t(spark, sf_dir, "embeddings"), scale=GRAM_SCALE
+    )
+    gram = mo.filter("i >= 0 AND j >= 0")
+    sums = mo.filter("i >= 0 AND j = -1").select(
+        F.col("i").alias("k"), F.col("s").alias("sx")
+    )
+    n = mo.filter("i = -1").select(F.col("s").alias("n"))
+    return (
+        gram.join(F.broadcast(sums.select(F.col("k").alias("i"), F.col("sx").alias("sxi"))), "i")
+        .join(F.broadcast(sums.select(F.col("k").alias("j"), F.col("sx").alias("sxj"))), "j")
+        .join(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("s").cast("decimal(38,0)").cast("string").alias("sxy"),
+            F.expr("CAST(n * s - sxi * sxj AS DECIMAL(38,0))")
+            .cast("string")
+            .alias("cov_scaled"),
+        )
+    )
+
+
+#: chi-square feature-selection knobs (shared by Spark and oracle)
+CHI2_MIN_SUPPORT = 5
+CHI2_TOPK = 10
+
+
+@register(
+    "feature_chi2_token_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+    ct AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2),
+    tt AS (SELECT term, CAST(count(*) AS BIGINT) AS t_tot FROM tok GROUP BY 1),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS l_tot FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    x AS (
+      SELECT ct.lang, ct.term, ct.a,
+             CAST(ct.a AS HUGEINT) * tot.n
+               - CAST(tt.t_tot AS HUGEINT) * lt.l_tot AS diff,
+             CAST(tt.t_tot AS HUGEINT) * (tot.n - tt.t_tot)
+               * lt.l_tot * (tot.n - lt.l_tot) AS den,
+             tot.n
+      FROM ct JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN tot
+      WHERE ct.a >= {CHI2_MIN_SUPPORT}
+        AND tt.t_tot < tot.n AND lt.l_tot < tot.n),
+    sc AS (
+      SELECT lang, term, a,
+             CAST((100 * CAST(n AS HUGEINT) * diff * diff) // den AS BIGINT)
+                 AS chi2_x100
+      FROM x)
+    SELECT lang, term, CAST(a AS BIGINT) AS n_cooccur, chi2_x100,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY chi2_x100 DESC, term) AS rnk
+          FROM sc) r
+    WHERE rnk <= {CHI2_TOPK}
+    """,
+    tags=("feature", "selection", "chi2", "text", "exact_arithmetic"),
+    description=(
+        "chi-square token<->language feature selection: per (term, "
+        "lang) the 2x2 contingency chi^2 statistic in exact integer "
+        "cross-multiplication (ad - bc collapses to a*N - t*l, so one "
+        "token-pair rollup + two broadcast marginals feed the whole "
+        "statistic; DECIMAL(38,0) keeps N*(aN-tl)^2 exact), min-"
+        "support %d, top-%d terms per language (chi2 desc, term "
+        "tiebreak) over the vocab-sized rollup — the feature-selection "
+        "sweep a classifier-data curator runs, shaped so the only "
+        "corpus-sized work is the token explode + one term-keyed "
+        "shuffle shared by the pair and marginal aggregates"
+        % (CHI2_MIN_SUPPORT, CHI2_TOPK)
+    ),
+)
+def feature_chi2_token_lang(spark: SparkSession, sf_dir: str):
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    ct = tok.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("a"))
+    tt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("t_tot"))
+    lt = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("l_tot"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    x = (
+        ct.join(tt, "term")
+        .join(F.broadcast(lt), "lang")
+        .join(F.broadcast(tot))
+        .filter(
+            (F.col("a") >= CHI2_MIN_SUPPORT)
+            & (F.col("t_tot") < F.col("n"))
+            & (F.col("l_tot") < F.col("n"))
+        )
+        .select(
+            "lang",
+            "term",
+            "a",
+            F.expr(
+                "CAST(CAST(a AS DECIMAL(38,0)) * n "
+                "- CAST(t_tot AS DECIMAL(38,0)) * l_tot AS DECIMAL(38,0))"
+            ).alias("diff"),
+            F.expr(
+                "CAST(CAST(CAST(t_tot AS DECIMAL(38,0)) * (n - t_tot) AS DECIMAL(38,0)) "
+                "* CAST(CAST(l_tot AS DECIMAL(38,0)) * (n - l_tot) AS DECIMAL(38,0)) "
+                "AS DECIMAL(38,0))"
+            ).alias("den"),
+            F.col("n"),
+        )
+    )
+    # numerator 100 * n * diff^2 in stepwise DECIMAL(38,0); the
+    # floor division (num - num % den) / den is exact because both
+    # operands are non-negative (diff is squared)
+    sc = x.select(
+        "lang",
+        "term",
+        "a",
+        F.expr(
+            "CAST((CAST(CAST(100 * CAST(n AS DECIMAL(38,0)) * diff AS DECIMAL(38,0)) "
+            "* diff AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("_num"),
+        "den",
+    ).select(
+        "lang",
+        "term",
+        "a",
+        F.expr("CAST((_num - _num % den) / den AS BIGINT)").alias("chi2_x100"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("chi2_x100"), F.asc("term"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CHI2_TOPK)
+        .select(
+            "lang",
+            "term",
+            F.col("a").cast("long").alias("n_cooccur"),
+            "chi2_x100",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2355,3 +2355,30 @@ def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str):
     return similarity.matryoshka_recall_audit(
         t(spark, sf_dir, "embeddings"), dims=16, k=10, n_queries=5
     )
+
+
+@register(
+    "similarity_pq_adc_audit",
+    None,  # self-auditing: Lloyd-trained sub-codebooks are engine
+    # state a SQL oracle cannot reproduce economically — rows-only,
+    # with the recall audit built into the output (same posture as
+    # similarity_ivf_recall_audit)
+    tags=("similarity", "pq", "adc", "ann", "compression", "audit"),
+    description=(
+        "product quantization + asymmetric-distance recall audit "
+        "(Jégou et al. 2011, public): 16 subspaces x 16 Lloyd-trained "
+        "sub-centroids compress each 64-dim float32 vector to 16 "
+        "one-byte codes (16x; compression_x100 column), ADC ranks the "
+        "corpus via per-query m x k integer lookup tables WITHOUT "
+        "touching the vectors, and the output reports recall@10 vs "
+        "the exact integer-grid truth per query.  Synthetic near-"
+        "uniform embeddings are PQ's adversarial case (recall 30-60% "
+        "here); production re-ranks an ADC candidate pool with exact "
+        "scores, which restores recall the way IVF's probe audit does"
+    ),
+)
+def similarity_pq_adc_audit(spark: SparkSession, sf_dir: str):
+    return similarity.pq_adc_audit(
+        t(spark, sf_dir, "embeddings"), m_sub=16, ksub=16, iterations=2,
+        n_queries=8, k=10,
+    )

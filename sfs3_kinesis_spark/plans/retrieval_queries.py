@@ -1150,3 +1150,78 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str):
         )
     )
     return scored.orderBy(F.desc("bm25_micro"), "doc_id").limit(20)
+
+
+def _dp_geometric_case(u_expr: str) -> str:
+    """Truncated two-sided geometric noise, sampled EXACTLY: weights
+    w_k = 2^(8-|k|) for k in -8..8 (total 766) approximate the
+    geometric mechanism's alpha=1/2 tail; the cumulative integer
+    thresholds turn a uniform draw in [0, 766) into a noise value
+    with zero floating point — so both engines sample the identical
+    noise from the identical hash draw.  Same CASE text on both
+    sides (only the md5 idiom differs)."""
+    ks = list(range(-8, 9))
+    cum = 0
+    arms = []
+    for k in ks[:-1]:
+        cum += 2 ** (8 - abs(k))
+        arms.append(f"WHEN {u_expr} < {cum} THEN ({k})")
+    return "CASE " + " ".join(arms) + f" ELSE ({ks[-1]}) END"
+
+
+#: total weight of the truncated geometric ladder (sum of 2^(8-|k|))
+_DP_TOTAL = sum(2 ** (8 - abs(k)) for k in range(-8, 9))
+
+
+def _dp_oracle() -> str:
+    from sfs3_kinesis_spark.plans.feature_queries import _MD5_DUCK
+
+    key = "concat('dp|', lang, '|', source)"
+    u = f"({_MD5_DUCK.format(s=key)} % {_DP_TOTAL})"
+    case = _dp_geometric_case(u)
+    return f"""
+    WITH g AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source)
+    SELECT lang, source, n_docs,
+           CAST({case} AS BIGINT) AS noise,
+           CAST(greatest(0, n_docs + {case}) AS BIGINT) AS released
+    FROM g
+    """
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    _dp_oracle(),
+    tags=("privacy", "differential_privacy", "geometric_mechanism", "agg"),
+    description=(
+        "differentially-private count release (geometric mechanism, "
+        "Ghosh-Roughgarden-Sundararajan 2009, public): per (lang, "
+        "source) cell the count plus two-sided-geometric noise "
+        "(alpha=1/2, truncated at +/-8, weights 2^(8-|k|)/766 — "
+        "dyadic, so the inverse-CDF lookup is EXACT integer "
+        "thresholds), clamped at 0 for release.  The noise draw is a "
+        "keyed md5 hash, not an rng: retries, replays, and both "
+        "engines sample identical noise — the determinism a "
+        "distributed DP release needs for idempotent publication.  "
+        "One groupBy + a codegen CASE ladder; the true count rides "
+        "along as this is the mechanism-audit view, not the public "
+        "artifact"
+    ),
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.plans.feature_queries import _MD5_SPARK
+
+    key = "concat('dp|', lang, '|', source)"
+    u = f"({_MD5_SPARK.format(s=key)} % {_DP_TOTAL})"
+    case = _dp_geometric_case(u)
+    g = t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(case).cast("long").alias("noise"),
+        F.expr(f"greatest(0L, n_docs + {case})").cast("long").alias("released"),
+    )

@@ -581,3 +581,36 @@ def sample_curriculum_stages(spark: SparkSession, sf_dir: str):
     return sampling.curriculum_stages(
         d, [F.asc("n_chars"), F.asc("doc_id")], n_stages=4
     ).select("doc_id", "stage")
+
+
+@register(
+    "sample_reservoir_per_key",
+    f"""
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {hash_sql('doc_id')}, doc_id) AS rnk
+          FROM documents) r
+    WHERE rnk <= 5
+    """,
+    tags=("sample", "reservoir", "per_key", "topk", "skew"),
+    description=(
+        "per-key fixed-size uniform sample (the distributed equivalent "
+        "of per-key reservoir sampling): keep exactly 5 docs per source "
+        "by arithmetic-hash order (doc_id tiebreak) — deterministic, "
+        "so retries and replays pick the same sample.  Runs through "
+        "the salted two-phase window top-k (operators/scale.py), so a "
+        "pathologically hot source spreads over 8 reducers in phase 1 "
+        "instead of melting one — the keyed-sample shape that survives "
+        "a skewed 100 TB corpus"
+    ),
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.expr(hash_sql("doc_id")).alias("_h")
+    )
+    return salted_window_topk(
+        d, "source", [F.asc("_h"), F.asc("doc_id")], k=5, salt_on="doc_id"
+    ).select("source", F.col("doc_id").cast("long").alias("doc_id"), "rnk")

@@ -164,3 +164,96 @@ def test_assign_cells_dispatches_to_expr_without_pandas(spark, monkeypatch):
     assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
     rows = out.collect()
     assert len(rows) > 0 and {type(r["cell"]) for r in rows} == {int}
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_pq_codes_bounded_and_deterministic(spark):
+    e = t(spark, SF, "embeddings")
+    books = similarity.pq_train_codebooks(e, m_sub=4, ksub=8, iterations=1)
+    assert len(books) == 4
+    enc1 = similarity.pq_encode(e, books).select("id", "codes").collect()
+    enc2 = similarity.pq_encode(e, books).select("id", "codes").collect()
+    assert sorted(map(str, enc1)) == sorted(map(str, enc2))
+    valid = {cid for book in books for cid, _ in book}
+    for r in enc1:
+        assert len(r["codes"]) == 4
+        assert all(c in valid for c in r["codes"])
+
+
+def test_pq_encode_expression_twin_matches_arrow(spark):
+    e = t(spark, SF, "embeddings").filter("vec_id < 100")
+    books = similarity.pq_train_codebooks(e, m_sub=4, ksub=8, iterations=1)
+    arrow = similarity.pq_encode(e, books).select("id", "codes")
+    # the ImportError fallback path, invoked directly
+    from sfs3_kinesis_spark.operators.similarity import (
+        _assign_cells_expr,
+        _quantized,
+    )
+    dfv = _quantized(e, "embedding", "vec_id", 10000)
+    out = dfv
+    dsub = len(books[0][0][1])
+    for m, book in enumerate(books):
+        sub = out.select("id", F.slice("vi", m * dsub + 1, dsub).alias("vi"))
+        a = _assign_cells_expr(sub, book).select(
+            "id", F.col("cell").cast("int").alias(f"_c{m}")
+        )
+        out = out.join(a, "id")
+    expr = out.select(
+        "id", F.array(*[F.col(f"_c{m}") for m in range(4)]).alias("codes")
+    )
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
+
+
+def test_pq_adc_audit_shape_and_range(spark):
+    e = t(spark, SF, "embeddings")
+    out = similarity.pq_adc_audit(e, m_sub=16, ksub=16, iterations=1,
+                                  n_queries=4, k=10).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_bp"] == r["n_overlap"] * 1000
+        assert r["compression_x100"] == 64 * 4 * 100 // 16
+
+
+def test_pq_perfect_codebook_gives_full_recall(spark):
+    # ksub >= corpus size makes every vector its own centroid: ADC
+    # distance == exact distance, so recall must be 10000 bp
+    e = t(spark, SF, "embeddings").filter("vec_id < 40")
+    out = similarity.pq_adc_audit(e, m_sub=4, ksub=40, iterations=1,
+                                  n_queries=2, k=5).collect()
+    assert all(r["recall_bp"] == 10000 for r in out)
+
+
+# ------------------------------------------------------- Gram moments
+
+
+def test_gram_moments_matches_expression_twin(spark):
+    e = t(spark, SF, "embeddings").filter("vec_id < 60")
+    from sfs3_kinesis_spark.operators.similarity import (
+        _gram_parts_expr,
+        _quantized,
+        gram_moments,
+    )
+    arrow = gram_moments(e, scale=1000)
+    dfv = _quantized(e, "embedding", "vec_id", 1000)
+    twin = _gram_parts_expr(dfv).groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+    assert arrow.exceptAll(twin).count() == 0
+    assert twin.exceptAll(arrow).count() == 0
+
+
+def test_gram_moments_small_handmade(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    rows = {(r["i"], r["j"]): int(r["s"]) for r in
+            similarity.gram_moments(df, scale=1).collect()}
+    assert rows[(-1, -1)] == 2
+    assert rows[(0, -1)] == 4 and rows[(1, -1)] == 6
+    assert rows[(0, 0)] == 1 + 9
+    assert rows[(0, 1)] == 2 + 12
+    assert rows[(1, 1)] == 4 + 16
