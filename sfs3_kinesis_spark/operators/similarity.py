@@ -837,3 +837,89 @@ def pq_adc_audit(
             F.lit(compression).cast("long").alias("compression_x100"),
         )
     )
+
+
+def covariance_ints(
+    embeddings: DataFrame,
+    *,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[int]], int]:
+    """Full symmetric scaled-covariance matrix C[i][j] = n·Σxy − Σx·Σy
+    as exact Python ints, from ONE :func:`gram_moments` corpus scan.
+    Driver state is d(d+1)/2 + d + 1 rows (d=64 → 2145) — bounded by
+    the embedding dimension, never the corpus."""
+    rows = gram_moments(embeddings, vec_col=vec_col, id_col=id_col, scale=scale).collect()
+    sums: dict[int, int] = {}
+    gram: dict[tuple[int, int], int] = {}
+    n = 0
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            sums[i] = s
+        else:
+            gram[(i, j)] = s
+    d = len(sums)
+    C = [[0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(d):
+            sxy = gram[(i, j)] if i <= j else gram[(j, i)]
+            C[i][j] = n * sxy - sums[i] * sums[j]
+    return C, d
+
+
+def pca_power_scores(
+    embeddings: DataFrame,
+    *,
+    scale: int = 1000,
+    iterations: int = 12,
+    vscale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """First-principal-component projection, EXACT end to end: the
+    covariance matrix comes from one distributed Gram pass
+    (:func:`covariance_ints`), power iteration runs driver-side on
+    the bounded d x d integer matrix (per step: w = C·v, then
+    renormalize to |v|_inf = ``vscale`` with sign-magnitude
+    TRUNCATING division — the semantics DuckDB's ``//`` and this
+    loop share, so an unrolled-CTE oracle reproduces every
+    iteration bit-for-bit), and the corpus projection x·v is one
+    codegen zip_with/aggregate — no Python in the per-row path.
+
+    Deterministic everywhere: all-ones init, fixed iteration count,
+    integer arithmetic only.  If C·v vanishes (degenerate all-equal
+    corpus) the previous vector is kept — same CASE in the oracle.
+    Convergence to the true eigenvector depends on the spectral gap
+    (audited in tests via the Rayleigh quotient); determinism and
+    engine-parity do not.
+    """
+    C, d = covariance_ints(
+        embeddings, scale=scale, vec_col=vec_col, id_col=id_col
+    )
+    v = [vscale] * d
+    for _ in range(iterations):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (abs(x) * vscale) // m * (1 if x >= 0 else -1) for x in w
+        ]
+    dfv = _quantized(embeddings, vec_col, id_col, scale)
+    spark = embeddings.sparkSession
+    vdf = spark.createDataFrame([(list(map(int, v)),)], "pc array<bigint>")
+    return (
+        dfv.join(F.broadcast(vdf))
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.expr(
+                "aggregate(zip_with(vi, pc, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+            .cast("long")
+            .alias("pc1_score"),
+        )
+    )

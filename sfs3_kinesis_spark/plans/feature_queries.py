@@ -719,3 +719,83 @@ def feature_chi2_token_lang(spark: SparkSession, sf_dir: str):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+PCA_ITER = 40
+PCA_VSCALE = 1_000_000
+
+
+def _pca_oracle(iterations: int = PCA_ITER, dim: int = GRAM_DIM,
+                scale: int = GRAM_SCALE, vscale: int = PCA_VSCALE) -> str:
+    """Power iteration UNROLLED into chained CTEs (one matrix-vector
+    multiply + renormalize per iteration) — bit-for-bit the driver-
+    side integer loop in ``pca_power_scores``: DuckDB's ``//``
+    truncates toward zero, and the Spark-side loop uses sign-
+    magnitude truncation to match.  A degenerate C·v = 0 step keeps
+    the previous vector on both sides."""
+    steps = []
+    for k in range(iterations):
+        steps.append(f"""
+    w{k} AS MATERIALIZED (SELECT c.i AS idx, sum(c.cv * p.val) AS wv
+             FROM cmat c JOIN it{k} p ON p.idx = c.j GROUP BY c.i),
+    m{k} AS MATERIALIZED (SELECT max(abs(wv)) AS m FROM w{k}),
+    it{k + 1} AS MATERIALIZED (
+        SELECT w.idx,
+               CAST(coalesce((w.wv * {vscale}) // NULLIF(m.m, 0), p.val)
+                    AS HUGEINT) AS val
+        FROM w{k} w JOIN it{k} p ON p.idx = w.idx CROSS JOIN m{k} m)""")
+    return f"""
+    WITH chk AS (
+      SELECT CASE WHEN min(len(embedding)) = {dim}
+                   AND max(len(embedding)) = {dim} THEN 1
+             ELSE CAST(error('embeddings dim <> {dim}') AS INT) END AS ok
+      FROM embeddings),
+    v AS MATERIALIZED (
+      SELECT vec_id AS id, r.i - 1 AS idx,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {scale} + 0.5)
+                  AS HUGEINT) AS val
+      FROM embeddings, range(1, {dim + 1}) r(i), chk WHERE chk.ok = 1),
+    g AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, sum(a.val * b.val) AS sxy
+          FROM v a JOIN v b ON a.id = b.id GROUP BY 1, 2),
+    s AS MATERIALIZED (SELECT idx, sum(val) AS sx FROM v GROUP BY idx),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+    cmat AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.sxy - sa.sx * sb.sx AS cv
+             FROM g JOIN s sa ON sa.idx = g.i JOIN s sb ON sb.idx = g.j
+             CROSS JOIN nn),
+    it0 AS MATERIALIZED (SELECT r.i - 1 AS idx, CAST({vscale} AS HUGEINT) AS val
+            FROM range(1, {dim + 1}) r(i)),{",".join(steps)},
+    proj AS (SELECT v.id, sum(v.val * p.val) AS sc
+             FROM v JOIN it{iterations} p ON p.idx = v.idx GROUP BY v.id)
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(sc AS BIGINT) AS pc1_score
+    FROM proj
+    """
+
+
+@register(
+    "feature_pca_power_scores",
+    _pca_oracle(),
+    tags=("feature", "pca", "linalg", "power_iteration", "exact_arithmetic"),
+    description=(
+        "first-principal-component projection, exact end to end: the "
+        "d x d integer covariance comes from ONE distributed Gram "
+        "scan (Arrow-batched X^T X partials), %d power-iteration "
+        "steps run driver-side on that bounded matrix (integer "
+        "matrix-vector products, renormalized to |v|=1e6 by sign-"
+        "magnitude truncating division — the semantics DuckDB's // "
+        "shares, so the oracle unrolls the SAME loop in chained CTEs "
+        "and matches bit-for-bit), and the corpus projection x·v is "
+        "one codegen zip_with aggregate.  The whitening/dim-reduction "
+        "pre-pass of an embedding pipeline with NO float anywhere — "
+        "deterministic under retries, partitionings, and engines; "
+        "driver state is d^2 ints, never corpus rows" % PCA_ITER
+    ),
+)
+def feature_pca_power_scores(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.similarity import pca_power_scores
+
+    return pca_power_scores(
+        t(spark, sf_dir, "embeddings"),
+        scale=GRAM_SCALE,
+        iterations=PCA_ITER,
+        vscale=PCA_VSCALE,
+    )

@@ -257,3 +257,39 @@ def test_gram_moments_small_handmade(spark):
     assert rows[(0, 0)] == 1 + 9
     assert rows[(0, 1)] == 2 + 12
     assert rows[(1, 1)] == 4 + 16
+
+
+def test_pca_power_iteration_converges_to_top_eigenvector(spark):
+    # the integer power iteration's final vector must align with
+    # numpy's top eigenvector of the same covariance matrix
+    import numpy as np
+
+    from sfs3_kinesis_spark.operators.similarity import covariance_ints
+
+    e = t(spark, SF, "embeddings")
+    C, d = covariance_ints(e, scale=1000)
+    A = np.array(C, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(A)
+    top = evecs[:, -1]
+    # replicate the operator's integer loop
+    v = [1_000_000] * d
+    for _ in range(40):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [(abs(x) * 1_000_000) // m * (1 if x >= 0 else -1) for x in w]
+    vv = np.array(v, dtype=np.float64)
+    cos = abs(vv @ top) / (np.linalg.norm(vv) * np.linalg.norm(top))
+    assert cos > 0.98
+
+
+def test_pca_scores_deterministic_across_partitionings(spark):
+    from sfs3_kinesis_spark.operators.similarity import pca_power_scores
+
+    e = t(spark, SF, "embeddings")
+    a = {r["vec_id"]: r["pc1_score"]
+         for r in pca_power_scores(e, iterations=4).collect()}
+    b = {r["vec_id"]: r["pc1_score"]
+         for r in pca_power_scores(e.repartition(7), iterations=4).collect()}
+    assert a == b
