@@ -107,6 +107,11 @@ BNLJ_ALLOWED = {
     # <=256-row synopses and the exact tier is a BroadcastHashJoin
     # on user_id (verified in the physical plan)
     "agg_kmv_intersection_audit": 2,
+    # ADC scoring tier + exact re-scoring tier in ONE plan, each an
+    # 8-row query-table broadcast against the corpus (the codes scan
+    # and the exact scan) — the same bounded shape as
+    # similarity_ivf_recall_audit's two tiers
+    "similarity_pq_adc_audit": 2,
 }
 
 #: queries whose plans legitimately keep a single-partition ORDER BY
