@@ -142,3 +142,61 @@ def contamination_flags(
         )
         .withColumn("contaminated", F.col("n_shared_grams") > 0)
     )
+
+
+def drift_stats(
+    docs: DataFrame,
+    reference_hist: DataFrame,
+    *,
+    bin_col: str = "bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """Distribution-drift monitor, batch OR streaming-foreachBatch:
+    the input's length histogram (log2 char-length bins — a bounded
+    domain) is compared to a FROZEN reference histogram by total-
+    variation distance in exact integer basis points:
+
+        tv_bp = 10000 * Σ_b |n_b * N_ref - r_b * N_in| // (2 * N_in * N_ref)
+
+    cross-multiplied so no ratio ever becomes a float.  Returns ONE
+    row: (n_docs, tv_bp) — the number a data-quality gate thresholds
+    before admitting a crawl drop into the corpus.
+
+    Scale shape: one groupBy over the bounded bin domain (map-side
+    combined), a broadcast full-outer join with the reference (≤ bin
+    count rows), and a 1-row aggregate.  Streaming use mirrors
+    ``contamination_flags``: run inside foreachBatch per crawl drop —
+    the histogram is per-batch, so no cross-batch state is needed;
+    the reference rides as a broadcast of a tiny static table.  The
+    batch corpus twin of the TV arithmetic is the oracle-verified
+    ``text_tv_distance_sources`` (plans/llm_queries.py).
+    """
+    hist = docs.groupBy(
+        F.expr(
+            "CAST(floor(log2(greatest(length(text), 1))) AS BIGINT)"
+        ).alias(bin_col)
+    ).agg(F.count(F.lit(1)).alias("_n_in"))
+    ref = reference_hist.select(
+        F.col(bin_col), F.col(count_col).cast("long").alias("_n_ref")
+    )
+    j = hist.join(F.broadcast(ref), bin_col, "full_outer").select(
+        F.coalesce("_n_in", F.lit(0)).alias("a"),
+        F.coalesce("_n_ref", F.lit(0)).alias("b"),
+    )
+    # totals ride in as a 1-row broadcast (the bin table is tiny, so
+    # the second pass over it is free; the corpus is scanned once)
+    tot = j.agg(
+        F.sum("a").cast("long").alias("n_in"),
+        F.sum("b").cast("long").alias("n_ref"),
+    )
+    return (
+        j.join(F.broadcast(tot))
+        .agg(
+            F.max("n_in").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(CASE WHEN max(n_in) = 0 OR max(n_ref) = 0 THEN 10000 "
+                "ELSE (10000 * sum(abs(a * n_ref - b * n_in))) "
+                "DIV (2 * max(n_in) * max(n_ref)) END AS BIGINT)"
+            ).alias("tv_bp"),
+        )
+    )

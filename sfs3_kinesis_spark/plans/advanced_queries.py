@@ -686,3 +686,107 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str):
             * F.col("ok_repetition")
         ).cast("long"),
     )
+
+
+def _det3(m: list[list[str]]) -> str:
+    """Cofactor expansion of a symbolic 3x3 determinant — ONE text
+    shared verbatim by the Spark expression and the DuckDB oracle, so
+    the Cramer solve cannot diverge between engines."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) "
+        f"- {b} * ({d} * {i} - {f} * {g}) "
+        f"+ {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+#: normal-equation matrices for y ~ 1 + x1 + x2 (shared text)
+_XTX = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+_OLS_DET = _det3(_XTX)
+_OLS_NUM0 = _det3([["sy", "s1", "s2"], ["s1y", "s11", "s12"], ["s2y", "s12", "s22"]])
+_OLS_NUM1 = _det3([["n", "sy", "s2"], ["s1", "s1y", "s12"], ["s2", "s2y", "s22"]])
+_OLS_NUM2 = _det3([["n", "s1", "sy"], ["s1", "s11", "s1y"], ["s2", "s12", "s2y"]])
+
+#: sign-safe exact floor division (numerator may be negative; the
+#: Gram determinant is positive for any non-degenerate design)
+def _floordiv(num: str, den: str) -> str:
+    return (
+        f"(1000000 * {num} - (((1000000 * {num}) % {den}) + {den}) % {den}) / {den}"
+    )
+
+
+@register(
+    "regress_ols_normal_equations",
+    f"""
+    WITH c AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x1,
+               CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        FROM c),
+    d AS (
+        SELECT n, {_OLS_DET} AS det, {_OLS_NUM0} AS num0,
+               {_OLS_NUM1} AS num1, {_OLS_NUM2} AS num2
+        FROM m)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(det AS DECIMAL(38,0)) AS VARCHAR) AS det,
+           CAST({_floordiv('num0', 'det')} AS BIGINT) AS b0_micro,
+           CAST({_floordiv('num1', 'det')} AS BIGINT) AS b1_micro,
+           CAST({_floordiv('num2', 'det')} AS BIGINT) AS b2_micro
+    FROM d
+    """,
+    tags=("analytics", "regression", "ols", "linalg", "exact_arithmetic"),
+    description=(
+        "multivariate OLS (price-cents ~ 1 + quantity + discount-pct) "
+        "solved by normal equations in ONE map-side-combinable "
+        "aggregate of nine integer moments, then Cramer's rule on the "
+        "3x3 system — the determinant expansions are a SINGLE symbolic "
+        "text shared by both engines, and the sign-safe exact floor "
+        "division matches at any magnitude.  The distributed shape of "
+        "closed-form linear models: moments shuffle once (tiny), the "
+        "solve is O(1) driver arithmetic; the d-feature generalization "
+        "is the gram_moments kernel + a bounded d x d solve.  Exact-"
+        "integer envelope documented: centered/scaled regressors keep "
+        "the 3x3 determinant inside DECIMAL(38,0) far past 1e10 rows; "
+        "production at larger n solves the same collected moments in "
+        "float64, which changes no distributed work"
+    ),
+)
+def regress_ols_normal_equations(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS DECIMAL(38,0))").alias("x1"),
+        F.expr("CAST(floor(l_discount * 100 + 0.5D) AS DECIMAL(38,0))").alias("x2"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS DECIMAL(38,0))").alias("y"),
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"),
+    )
+    d = m.select(
+        "n",
+        F.expr(f"CAST({_OLS_DET} AS DECIMAL(38,0))").alias("det"),
+        F.expr(f"CAST({_OLS_NUM0} AS DECIMAL(38,0))").alias("num0"),
+        F.expr(f"CAST({_OLS_NUM1} AS DECIMAL(38,0))").alias("num1"),
+        F.expr(f"CAST({_OLS_NUM2} AS DECIMAL(38,0))").alias("num2"),
+    )
+    return d.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("det").cast("string").alias("det"),
+        F.expr(f"CAST({_floordiv('num0', 'det')} AS BIGINT)").alias("b0_micro"),
+        F.expr(f"CAST({_floordiv('num1', 'det')} AS BIGINT)").alias("b1_micro"),
+        F.expr(f"CAST({_floordiv('num2', 'det')} AS BIGINT)").alias("b2_micro"),
+    )

@@ -2382,3 +2382,82 @@ def similarity_pq_adc_audit(spark: SparkSession, sf_dir: str):
         t(spark, sf_dir, "embeddings"), m_sub=16, ksub=16, iterations=2,
         n_queries=8, k=10,
     )
+
+
+#: energy-segmentation frame geometry + activity threshold (shared)
+SEG_FRAME = 64
+SEG_MAX_FRAMES = 16
+SEG_THRESHOLD = 57500
+
+
+@register(
+    "multimodal_energy_segments",
+    f"""
+    WITH ch AS (
+        SELECT doc_id, (k // {SEG_FRAME}) AS frame_no,
+               (ascii(substr(text, CAST(k + 1 AS INT), 1)) - 96) AS v
+        FROM documents, range(0, {SEG_FRAME * SEG_MAX_FRAMES}) r(k)
+        WHERE k < {SEG_FRAME} * least(len(text) // {SEG_FRAME}, {SEG_MAX_FRAMES})),
+    f AS (SELECT doc_id, frame_no, sum(v * v) AS energy
+          FROM ch GROUP BY 1, 2),
+    a AS (SELECT doc_id, frame_no, energy,
+                 frame_no - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY frame_no) AS island
+          FROM f WHERE energy >= {SEG_THRESHOLD})
+    SELECT doc_id,
+           CAST(min(frame_no) AS BIGINT) AS seg_start,
+           CAST(max(frame_no) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM a GROUP BY doc_id, island
+    """,
+    tags=("multimodal", "audio", "vad", "segmentation", "gaps_islands"),
+    description=(
+        "VAD-style energy segmentation — the audio/video activity-"
+        "detection shape: the payload splits into fixed %d-unit "
+        "frames (bounded at %d per item), per-frame energy is an "
+        "integer sum of squared centered samples computed in ONE "
+        "codegen higher-order expression (slice+transform+aggregate "
+        "— the slice guard avoids Spark's descending-sequence trap "
+        "on short payloads), active frames (energy >= %d) merge "
+        "into maximal segments via the gaps-and-islands window "
+        "(frame_no - row_number), and each segment reports span + "
+        "energy mass.  Text-bytes stand in for PCM samples in this "
+        "container (real decode goes through the injectable codec "
+        "seam of decode_and_featurize); the frame/energy/island "
+        "plumbing — the actual distributed work — is identical, and "
+        "the per-item frame bound keeps the window input at "
+        "O(items x %d), never raw samples"
+        % (SEG_FRAME, SEG_MAX_FRAMES, SEG_THRESHOLD, SEG_MAX_FRAMES)
+    ),
+)
+def multimodal_energy_segments(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    sq = (
+        f"ascii(substring(text, j, 1)) - 96"
+    )
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(sequence(0, {SEG_MAX_FRAMES - 1}), 1, "
+                f"int(least(length(text) div {SEG_FRAME}, {SEG_MAX_FRAMES}))), "
+                f"i -> struct(i AS frame_no, "
+                f"aggregate(sequence(i * {SEG_FRAME} + 1, i * {SEG_FRAME} + {SEG_FRAME}), 0L, "
+                f"(acc, j) -> acc + ({sq}) * ({sq})) AS energy))"
+            )
+        ).alias("fr"),
+    ).select("doc_id", F.col("fr.frame_no").alias("frame_no"), F.col("fr.energy").alias("energy"))
+    a = frames.filter(F.col("energy") >= SEG_THRESHOLD).withColumn(
+        "island",
+        F.col("frame_no")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_no")),
+    )
+    return a.groupBy("doc_id", "island").agg(
+        F.min("frame_no").cast("long").alias("seg_start"),
+        F.max("frame_no").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    ).drop("island")

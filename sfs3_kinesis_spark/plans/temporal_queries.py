@@ -647,3 +647,80 @@ def ts_similarity_znorm_topk(spark: SparkSession, sf_dir: str):
         ).alias("corr2_bp"),
     )
     return scored.orderBy(F.desc("corr2_bp"), "user_id", "start_day").limit(20)
+
+
+#: truncated EWMA kernel: alpha = 1/4, weights (3/4)^k for lags
+#: k = 0..7, scaled to integers as 3^k * 4^(7-k) (all sum magnitudes
+#: stay far inside BIGINT)
+EWMA_LAGS = 8
+
+
+def _ewma_terms() -> tuple[str, str]:
+    num, den = [], []
+    for k in range(EWMA_LAGS):
+        w = 3**k * 4 ** (EWMA_LAGS - 1 - k)
+        lagexpr = f"lag(cents, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+        num.append(f"coalesce({lagexpr}, 0) * {w}")
+        den.append(f"CASE WHEN {lagexpr} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+def _ewma_oracle() -> str:
+    num, den = _ewma_terms()
+    return f"""
+    WITH d AS (
+        SELECT event_type,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, day),
+    s AS (
+        SELECT event_type, day, cents,
+               {num} AS num,
+               {den} AS den
+        FROM d)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(num // den AS BIGINT) AS ewma_cents
+    FROM s
+    """
+
+
+@register(
+    "events_ewma_smoothed",
+    _ewma_oracle(),
+    tags=("events", "timeseries", "ewma", "smoothing", "exact_arithmetic"),
+    description=(
+        "exponentially-weighted moving average of daily revenue per "
+        "event type (alpha=1/4), EXACT: the geometric kernel is "
+        "truncated at %d lags and scaled to integer weights 3^k * "
+        "4^(7-k), so the smoothed value is a pure integer dot product "
+        "over one keyed window — no recursive state, no float drift, "
+        "series boundaries renormalize by the weight mass actually "
+        "present.  The recurrence form s_t = a*x_t + (1-a)*s_(t-1) is "
+        "inherently sequential (unparallelizable per key); truncation "
+        "converts it to a fixed-depth window over the |types| x "
+        "|days| ROLLUP — the smoothing shape that scales, with error "
+        "(3/4)^8 < 11 percent of weight mass, stated not hidden"
+        % EWMA_LAGS
+    ),
+)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+    ).agg(F.expr("sum(CAST(floor(value * 100 + 0.5D) AS BIGINT))").alias("cents"))
+    num, den = _ewma_terms()
+    s = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.expr(num).alias("num"),
+        F.expr(den).alias("den"),
+    )
+    return s.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+        F.expr("CAST(num div den AS BIGINT)").alias("ewma_cents"),
+    )

@@ -378,3 +378,66 @@ def test_streaming_near_dup_history_read_is_partition_pruned(spark, tmp_path):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "epoch" in m.group(1) and "< 1" in m.group(1), plan
+
+
+def test_streaming_drift_gate(spark, tmp_path):
+    """Ingest-time distribution-drift gate: each micro-batch's length
+    histogram is TV-compared to a frozen reference inside foreachBatch
+    (no cross-batch state); an in-distribution drop passes, a shifted
+    drop (much longer docs) trips the threshold.  The drift log is an
+    append-only table keyed by epoch — the monitor a data-quality
+    pipeline alerts on."""
+    from sfs3_kinesis_spark.operators.text import drift_stats
+
+    ref_docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    ref = ref_docs.groupBy(
+        F.expr("CAST(floor(log2(greatest(length(text), 1))) AS BIGINT)").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    log_dir = str(tmp_path / "driftlog")
+
+    def gate(batch_df, epoch_id):
+        out = drift_stats(batch_df, ref).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        out.write.mode("append").parquet(log_dir)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1: in-distribution (same 41-char shape as the reference)
+    spark.createDataFrame(
+        [(100 + i, "w " * 20) for i in range(10)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").json(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: drifted (64x longer docs land in a different bin)
+    spark.createDataFrame(
+        [(200 + i, "w " * 1280) for i in range(10)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").json(str(src))
+    q2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    log = spark.read.parquet(log_dir).orderBy("epoch").collect()
+    assert len(log) == 2
+    clean, drifted = log[0], log[1]
+    assert clean["n_docs"] == 10 and clean["tv_bp"] == 0
+    assert drifted["n_docs"] == 10 and drifted["tv_bp"] == 10000
