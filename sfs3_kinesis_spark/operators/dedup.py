@@ -243,6 +243,74 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: i
     )
 
 
+def simhash_multiprobe_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    n_tables: int = 16,
+) -> DataFrame:
+    """SimHash candidates via ROTATION tables (Manku et al. 2007,
+    WWW — the Google near-dup scheme, public): the 64-bit fingerprint
+    is rotated by ``64 / n_tables`` bits per table and bucketed on
+    the top ``prefix_bits`` of each rotation, so a pair whose
+    differing bits all miss ANY aligned window of the fingerprint
+    collides in at least one table.  Measured on the sf0.001 fixture
+    against brute-force hamming<=8 truth: single-prefix bucketing
+    (:func:`simhash_near_dup_pairs`) finds 16.5 % of true pairs;
+    4 tables 51 %, 8 tables 71 %, 16 tables 87.8 % (pinned in
+    ``tests/test_dedup_clusters.py``) — rotation probing fixes the
+    BUCKETING miss.  The criterion gap remains: token-level SimHash
+    still measures bag-of-words identity, so for shingle-Jaccard
+    dedup use ``minhash_lsh_pairs`` (see the steering note on
+    :func:`simhash_near_dup_pairs`).
+
+    Scale shape — identical to MinHash-LSH banding: each doc explodes
+    to ``n_tables`` (table_id, bucket) keys and candidates meet in ONE
+    equi-join on that composite key (never an all-pairs product);
+    expected candidate volume is n_tables * n^2 / 2^prefix_bits —
+    tune prefix_bits up as the corpus grows.  Pairs deduplicate with
+    one distinct before the exact bit_count verify.
+    """
+    rot = 64 // n_tables
+    sh = simhash(docs).select("doc_id", "simhash")
+    # Java shift semantics make t=0 safe: shiftrightunsigned(x, 64)
+    # is x (count & 63 == 0), and x | x == x — the identity rotation
+    tabs = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_tables - 1}), t -> named_struct("
+                f"'table_id', t, "
+                f"'bucket', shiftrightunsigned("
+                f"shiftleft(simhash, t * {rot}) | "
+                f"shiftrightunsigned(simhash, 64 - t * {rot}), {64 - prefix_bits})))"
+            )
+        ).alias("tb"),
+    ).select("doc_id", "simhash", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+    a, b = tabs.alias("a"), tabs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -104,6 +104,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "dedup_simhash_multiprobe",
+    None,  # xxhash64-based — rows-only check; recall pinned in tests
+    tags=("dedup", "simhash", "multiprobe", "rotation_tables"),
+    description=(
+        "SimHash candidates via 16 rotation tables (Manku et al. 2007, "
+        "public): fingerprints bucket on the top 16 bits of each "
+        "4-bit rotation, candidates meet in ONE banded equi-join on "
+        "(table_id, bucket) — the MinHash-LSH shape.  Fixes the "
+        "BUCKETING miss of dedup_simhash: 87.8% of true hamming<=8 "
+        "pairs recovered vs 16.5% single-prefix (measured, pinned in "
+        "tests).  The criterion gap remains — for shingle-Jaccard "
+        "dedup still use dedup_minhash_lsh"
+    ),
+)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str):
+    return dedup.simhash_multiprobe_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     """
     WITH tok AS (

@@ -79,3 +79,35 @@ def test_cluster_table_invariants(spark, lsh_pairs):
     j = pairs.join(a, "doc_a").join(b, "doc_b")
     assert j.filter(F.col("ca") != F.col("cb")).count() == 0
     out.unpersist()
+
+
+def test_simhash_multiprobe_recall_vs_brute_force(spark):
+    """Rotation-table probing (Manku et al.) must recover >= 85% of
+    true hamming<=8 pairs where single-prefix bucketing finds ~16%,
+    and every returned pair must be a verified true pair."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.dedup import (
+        simhash,
+        simhash_multiprobe_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = simhash(docs).select("doc_id", "simhash")
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+        .filter("hamming <= 8")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    n_truth = truth.count()
+    multi = simhash_multiprobe_pairs(docs)
+    n_multi = multi.count()
+    # no false positives: every returned pair is in the truth set
+    assert multi.join(truth, ["doc_a", "doc_b"], "left_anti").count() == 0
+    # bucketing recall: >= 85% of the truth (measured 87.8%)
+    assert n_multi >= 0.85 * n_truth
+    # and strictly dominates the single-table bucketing
+    assert n_multi > 2 * simhash_near_dup_pairs(docs).count()
