@@ -259,7 +259,9 @@ def simhash_multiprobe_pairs(
     (:func:`simhash_near_dup_pairs`) finds 16.5 % of true pairs;
     4 tables 51 %, 8 tables 71 %, 16 tables 87.8 % (pinned in
     ``tests/test_dedup_clusters.py``) — rotation probing fixes the
-    BUCKETING miss.  The criterion gap remains: token-level SimHash
+    BUCKETING miss, and Jaccard-criterion recall in the
+    ``dedup_lsh_recall_audit`` rises from 2000-3214 bp to
+    8000-8571 bp.  The criterion gap remains: token-level SimHash
     still measures bag-of-words identity, so for shingle-Jaccard
     dedup use ``minhash_lsh_pairs`` (see the steering note on
     :func:`simhash_near_dup_pairs`).

@@ -114,8 +114,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
         "(table_id, bucket) — the MinHash-LSH shape.  Fixes the "
         "BUCKETING miss of dedup_simhash: 87.8% of true hamming<=8 "
         "pairs recovered vs 16.5% single-prefix (measured, pinned in "
-        "tests).  The criterion gap remains — for shingle-Jaccard "
-        "dedup still use dedup_minhash_lsh"
+        "tests).  Against 3-gram-Jaccard>=0.4 ground truth the audit "
+        "measures 8000-8571 bp recall (vs 2000-3214 bp single-table) "
+        "at ~5x the candidate volume; for exact-recall Jaccard dedup "
+        "still use dedup_minhash_lsh (10000 bp)"
     ),
 )
 def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str):
@@ -187,7 +189,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
         "hashes, 8 bands, verify at jaccard>=0.4) and SimHash "
         "(16-bit prefix buckets, hamming<=8) each scored against the "
         "exact all-pairs 3-gram-Jaccard>=0.4 ground truth on the "
-        "same corpus slice — output one row per method: (method, "
+        "same corpus slice (plus the rotation-table multiprobe tier: "
+        "8000-8571 bp vs single-table 2000-3214 bp) — one row per "
+        "method: (method, "
         "n_truth, n_found, n_hit, recall_bp).  MinHash's verify tier "
         "makes its precision exact by construction, so recall is THE "
         "number to monitor; SimHash recall is reported against the "
@@ -236,6 +240,12 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str):
                 "doc_a", "doc_b"
             ),
         ),
+        (
+            "simhash_multiprobe",
+            dedup.simhash_multiprobe_pairs(docs, max_hamming=8).select(
+                "doc_a", "doc_b"
+            ),
+        ),
     ]
     parts = []
     for method, found in methods:
@@ -264,7 +274,10 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str):
                 ).cast("long").alias("recall_bp"),
             )
         )
-    return parts[0].unionByName(parts[1]).orderBy("method")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
 
 
 # ----------------------------------------------------------------- #
