@@ -288,22 +288,35 @@ def _neardup_throughput(spark, n_docs: int = 12000, batches: int = 3) -> float:
 
     from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
 
-    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    # every 10th doc copies its PREDECESSOR's unique tail, so dup
-    # clusters are pairwise (doc 10 ~ doc 9), never one mega-cluster:
-    # an earlier fixture gave all dup docs the SAME tail, which made
-    # the candidate set quadratic in history and measured an
-    # adversarial cluster, not the gate's pipeline throughput
-    docs = spark.range(n_docs).select(
-        F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit(words + " document number "),
-            F.col("id"),
-            F.lit(" shared trailing corpus text about spark shuffles joins"),
-            F.lit(" unique tail "),
-            F.when(F.col("id") % 10 == 0, F.col("id") - 1).otherwise(F.col("id"))
-            * 7919,
-        ).alias("text"),
+    # 90% of docs are fully distinct (pseudo-random token sequences
+    # share ~no 3-gram shingles); every 10th doc near-duplicates its
+    # PREDECESSOR (same tokens + one marker token, Jaccard ~0.95).
+    # Two earlier fixtures measured adversarial shapes instead of
+    # ingest throughput: a shared tail made one mega-cluster, and
+    # even with unique tails a shared English preamble pushed EVERY
+    # pair's Jaccard past the 0.4 truth threshold, so the gate was
+    # benchmarked on an all-duplicates corpus (the candidate cap and
+    # bucket truncation are stress-TESTED for that shape in
+    # tests/test_streaming_dedup.py; benching it tells users nothing
+    # about a realistic crawl drop).
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "base",
+            F.when(F.col("id") % 10 == 0, F.col("id") - 1).otherwise(F.col("id")),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.expr(
+                    "concat_ws(' ', transform(sequence(0, 19), "
+                    "j -> cast((base * 7919 + j * 104729) % 500009 AS string)))"
+                ),
+                F.when(F.col("id") % 10 == 0, F.lit(" dupmarker")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
     )
     per_batch = n_docs // batches
     tmp = tempfile.mkdtemp(prefix="bench_neardup_")

@@ -96,6 +96,7 @@ class StreamingNearDup:
         bands: int = 8,
         jaccard_threshold: float = 0.5,
         max_candidates_per_doc: int | None = 64,
+        max_bucket_size: int | None = 64,
     ):
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
@@ -106,6 +107,7 @@ class StreamingNearDup:
         self.bands = bands
         self.threshold = jaccard_threshold
         self.max_candidates = max_candidates_per_doc
+        self.max_bucket_size = max_bucket_size
 
     # -- reads --------------------------------------------------------- #
 
@@ -175,16 +177,49 @@ class StreamingNearDup:
 
     # -- plan builders (factored out so tests can pin the plans) ------- #
 
+    def _truncate_buckets(self, k: DataFrame) -> DataFrame:
+        """Keep only each band bucket's ``max_bucket_size`` OLDEST
+        members (lowest doc_ids) as join candidates.  A band shared by
+        thousands of docs is boilerplate — joining a new doc against
+        ALL of them materializes |bucket|-sized pair blow-ups per band
+        BEFORE the per-doc cap can prune (measured: a 4000-doc batch
+        against 8000 near-identical history docs built a 32M-row join
+        for 254k capped survivors).  Truncating the bucket to its
+        oldest members bounds the join at |batch keys| x B while
+        keeping the gate's semantics: a duplicate needs ONE verified
+        ancestor, and the oldest members are exactly the keep-set the
+        per-doc candidate cap would select anyway."""
+        if self.max_bucket_size is None:
+            return k
+        w = W.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        return (
+            k.withColumn("_brn", F.row_number().over(w))
+            .filter(F.col("_brn") <= self.max_bucket_size)
+            .drop("_brn")
+        )
+
     def _candidates(self, keys: DataFrame, hist_keys: DataFrame | None) -> DataFrame:
         """Candidate pairs: batch-vs-history band collisions (new doc
         is always the left / "new" side) + within-batch self-join
-        (doc_a > doc_b); narrow columns only enter either shuffle."""
+        (doc_a > doc_b); narrow columns only enter either shuffle.
+
+        The history side is pruned to the batch's band-key set FIRST
+        (broadcast semi-join — the batch's distinct band keys are
+        small), so per-batch work scales with the probe, not the
+        corpus; surviving buckets are then truncated to their oldest
+        ``max_bucket_size`` members (see :meth:`_truncate_buckets`)
+        so a boilerplate band can never blow up the join."""
         parts = []
         if hist_keys is not None:
+            batch_bands = keys.select("band_id", "band_hash").distinct()
+            pruned = hist_keys.join(
+                F.broadcast(batch_bands), ["band_id", "band_hash"], "left_semi"
+            )
+            pruned = self._truncate_buckets(pruned)
             parts.append(
                 keys.alias("n")
                 .join(
-                    hist_keys.alias("h"),
+                    pruned.alias("h"),
                     (F.col("n.band_id") == F.col("h.band_id"))
                     & (F.col("n.band_hash") == F.col("h.band_hash")),
                 )
@@ -196,7 +231,7 @@ class StreamingNearDup:
         parts.append(
             keys.alias("a")
             .join(
-                keys.alias("b"),
+                self._truncate_buckets(keys).alias("b"),
                 (F.col("a.band_id") == F.col("b.band_id"))
                 & (F.col("a.band_hash") == F.col("b.band_hash"))
                 & (F.col("a.doc_id") > F.col("b.doc_id")),

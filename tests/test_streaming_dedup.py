@@ -441,3 +441,39 @@ def test_streaming_drift_gate(spark, tmp_path):
     clean, drifted = log[0], log[1]
     assert clean["n_docs"] == 10 and clean["tv_bp"] == 0
     assert drifted["n_docs"] == 10 and drifted["tv_bp"] == 10000
+
+
+def test_streaming_near_dup_bucket_truncation_keeps_detection(spark, tmp_path):
+    """Hot-band protection: with max_bucket_size smaller than a
+    mega-cluster, the candidate join only meets each band bucket's
+    OLDEST members — yet every cluster member after the first is
+    still flagged (one verified ancestor suffices), and the kept
+    ancestors are the cluster's oldest docs."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    tmpl = (
+        "identical template text about spark shuffles joins and "
+        "parquet files repeated across every single document here"
+    )
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(tmpl + " nr "), F.col("id")).alias("text"),
+    )
+    nd = StreamingNearDup(
+        spark,
+        str(tmp_path / "ndx"),
+        max_candidates_per_doc=3,
+        max_bucket_size=8,
+    )
+    nd.process_batch(docs.filter("doc_id < 40"), 0)
+    nd.process_batch(docs.filter("doc_id >= 40"), 1)
+
+    m = nd.matches().groupBy("new_doc_id").count().collect()
+    per_doc = {r.new_doc_id: r["count"] for r in m}
+    assert max(per_doc.values()) <= 3
+    assert set(per_doc) == set(range(1, 80))
+    # ancestors come from the truncated bucket heads: oldest docs only
+    kept = {r.dup_of for r in nd.matches().select("dup_of").collect()}
+    assert kept <= set(range(8))
