@@ -273,6 +273,13 @@ def simhash_multiprobe_pairs(
     tune prefix_bits up as the corpus grows.  Pairs deduplicate with
     one distinct before the exact bit_count verify.
     """
+    if not (1 <= n_tables <= 64) or 64 % n_tables != 0:
+        # n_tables > 64 makes rot = 0 (every table the identity
+        # rotation: n_tables x the cost for single-table recall);
+        # a non-divisor leaves trailing bits no window ever covers
+        raise ValueError(
+            f"n_tables must divide 64 and be in [1, 64], got {n_tables}"
+        )
     rot = 64 // n_tables
     sh = simhash(docs).select("doc_id", "simhash")
     # Java shift semantics make t=0 safe: shiftrightunsigned(x, 64)

@@ -900,6 +900,10 @@ def pca_power_scores(
     C, d = covariance_ints(
         embeddings, scale=scale, vec_col=vec_col, id_col=id_col
     )
+    spark = embeddings.sparkSession
+    if d == 0:
+        # empty corpus: stable empty schema, like the sibling operators
+        return spark.createDataFrame([], "vec_id bigint, pc1_score bigint")
     v = [vscale] * d
     for _ in range(iterations):
         w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
@@ -910,7 +914,6 @@ def pca_power_scores(
             (abs(x) * vscale) // m * (1 if x >= 0 else -1) for x in w
         ]
     dfv = _quantized(embeddings, vec_col, id_col, scale)
-    spark = embeddings.sparkSession
     vdf = spark.createDataFrame([(list(map(int, v)),)], "pc array<bigint>")
     return (
         dfv.join(F.broadcast(vdf))

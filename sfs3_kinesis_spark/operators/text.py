@@ -148,6 +148,7 @@ def drift_stats(
     docs: DataFrame,
     reference_hist: DataFrame,
     *,
+    text_col: str = "text",
     bin_col: str = "bin",
     count_col: str = "n",
 ) -> DataFrame:
@@ -173,7 +174,7 @@ def drift_stats(
     """
     hist = docs.groupBy(
         F.expr(
-            "CAST(floor(log2(greatest(length(text), 1))) AS BIGINT)"
+            f"CAST(floor(log2(greatest(length({text_col}), 1))) AS BIGINT)"
         ).alias(bin_col)
     ).agg(F.count(F.lit(1)).alias("_n_in"))
     ref = reference_hist.select(

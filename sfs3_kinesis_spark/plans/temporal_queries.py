@@ -656,12 +656,23 @@ EWMA_LAGS = 8
 
 
 def _ewma_terms() -> tuple[str, str]:
+    """Kernel terms weighted by CALENDAR day distance, not row lag:
+    the weight of a contribution is (3/4)^gap where gap = day -
+    lag(day, k) — a day with no events must decay the history by the
+    days that actually passed, not by rollup-row count (the row-lag
+    form over-weighted stale history for sparse event types).  Gaps
+    are strictly increasing in k over the (type, day) rollup, so
+    k = 0..7 row-lags cover every row within the 7-day kernel; a
+    NULL lag or a gap > 7 falls to the CASE's ELSE 0.  One text,
+    both engines."""
+    weights = [3**g * 4 ** (EWMA_LAGS - 1 - g) for g in range(EWMA_LAGS)]
+    arms = " ".join(f"WHEN {g} THEN {w}" for g, w in enumerate(weights))
     num, den = [], []
     for k in range(EWMA_LAGS):
-        w = 3**k * 4 ** (EWMA_LAGS - 1 - k)
-        lagexpr = f"lag(cents, {k}) OVER (PARTITION BY event_type ORDER BY day)"
-        num.append(f"coalesce({lagexpr}, 0) * {w}")
-        den.append(f"CASE WHEN {lagexpr} IS NULL THEN 0 ELSE {w} END")
+        over = "OVER (PARTITION BY event_type ORDER BY day)"
+        wexpr = f"CASE day - lag(day, {k}) {over} {arms} ELSE 0 END"
+        num.append(f"coalesce(lag(cents, {k}) {over}, 0) * ({wexpr})")
+        den.append(f"({wexpr})")
     return " + ".join(num), " + ".join(den)
 
 
@@ -691,16 +702,19 @@ def _ewma_oracle() -> str:
     tags=("events", "timeseries", "ewma", "smoothing", "exact_arithmetic"),
     description=(
         "exponentially-weighted moving average of daily revenue per "
-        "event type (alpha=1/4), EXACT: the geometric kernel is "
-        "truncated at %d lags and scaled to integer weights 3^k * "
-        "4^(7-k), so the smoothed value is a pure integer dot product "
-        "over one keyed window — no recursive state, no float drift, "
-        "series boundaries renormalize by the weight mass actually "
-        "present.  The recurrence form s_t = a*x_t + (1-a)*s_(t-1) is "
-        "inherently sequential (unparallelizable per key); truncation "
-        "converts it to a fixed-depth window over the |types| x "
-        "|days| ROLLUP — the smoothing shape that scales, with error "
-        "(3/4)^8 < 11 percent of weight mass, stated not hidden"
+        "event type (alpha=1/4), EXACT: the geometric kernel weights "
+        "each contribution by (3/4)^gap on the CALENDAR day axis "
+        "(gap = day difference, integer weights 3^g * 4^(7-g), CASE "
+        "lookup — a missing day decays history by the days that "
+        "actually passed, not by rollup-row count), truncated at %d "
+        "days; the smoothed value is a pure integer dot product over "
+        "one keyed window — no recursive state, no float drift, "
+        "series boundaries and gaps renormalize by the weight mass "
+        "actually present.  The recurrence s_t = a*x_t + (1-a)*s_(t-1) "
+        "is inherently sequential; truncation converts it to a "
+        "fixed-depth window over the |types| x |days| ROLLUP — the "
+        "smoothing shape that scales, with tail error (3/4)^8 < 11 "
+        "percent of weight mass, stated not hidden"
         % EWMA_LAGS
     ),
 )

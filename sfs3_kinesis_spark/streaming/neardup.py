@@ -61,6 +61,11 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+#: sentinel: "caller did not choose" — resolved in __init__ against
+#: the per-doc-cap mode (see the class docstring)
+_DEFAULT_BUCKET_SIZE = object()
+
+
 class StreamingNearDup:
     """foreachBatch body for continuous near-dup detection.
 
@@ -79,6 +84,16 @@ class StreamingNearDup:
     ``minhash_lsh_pairs`` for that) for guaranteed-linear ingest.
     Set ``None`` to disable.
 
+    ``max_bucket_size`` (default: 64 while the per-doc cap is active)
+    truncates each band bucket to its OLDEST members before the
+    candidate join, bounding the join blow-up a boilerplate band
+    causes (see :meth:`_truncate_buckets`).  Under the default
+    per-doc cap this loses nothing — the cap keeps exactly the oldest
+    ancestors anyway.  When ``max_candidates_per_doc=None``
+    (exhaustive mode) the truncation default switches to ``None``
+    too, preserving the full-pair-set promise; pass an explicit
+    ``max_bucket_size`` to re-enable the bound in that mode.
+
     Pre-epoch-layout stores (flat parquet files from the old
     append-mode writer) are read as all-history, and the first write
     into such a directory migrates the flat files into ``epoch=-1/``
@@ -96,7 +111,7 @@ class StreamingNearDup:
         bands: int = 8,
         jaccard_threshold: float = 0.5,
         max_candidates_per_doc: int | None = 64,
-        max_bucket_size: int | None = 64,
+        max_bucket_size: int | None = _DEFAULT_BUCKET_SIZE,
     ):
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
@@ -107,6 +122,11 @@ class StreamingNearDup:
         self.bands = bands
         self.threshold = jaccard_threshold
         self.max_candidates = max_candidates_per_doc
+        if max_bucket_size is _DEFAULT_BUCKET_SIZE:
+            # exhaustive mode (no per-doc cap) promises the FULL
+            # verified pair set — silent bucket truncation would
+            # break it, so the bound defaults off there
+            max_bucket_size = 64 if max_candidates_per_doc is not None else None
         self.max_bucket_size = max_bucket_size
 
     # -- reads --------------------------------------------------------- #

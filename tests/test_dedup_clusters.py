@@ -111,3 +111,14 @@ def test_simhash_multiprobe_recall_vs_brute_force(spark):
     assert n_multi >= 0.85 * n_truth
     # and strictly dominates the single-table bucketing
     assert n_multi > 2 * simhash_near_dup_pairs(docs).count()
+
+
+def test_simhash_multiprobe_rejects_bad_table_counts(spark):
+    import pytest as _pytest
+
+    from sfs3_kinesis_spark.operators.dedup import simhash_multiprobe_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 10, 128):
+        with _pytest.raises(ValueError):
+            simhash_multiprobe_pairs(docs, n_tables=bad)

@@ -182,29 +182,32 @@ def test_pq_codes_bounded_and_deterministic(spark):
         assert all(c in valid for c in r["codes"])
 
 
-def test_pq_encode_expression_twin_matches_arrow(spark):
+def test_pq_encode_expression_twin_matches_arrow(spark, monkeypatch):
+    """The REAL ImportError fallback branch inside pq_encode (not a
+    re-implementation): block numpy/pandas imports and compare the
+    dispatched expression path against the Arrow path bit-for-bit."""
+    import builtins
+
     e = t(spark, SF, "embeddings").filter("vec_id < 100")
     books = similarity.pq_train_codebooks(e, m_sub=4, ksub=8, iterations=1)
-    arrow = similarity.pq_encode(e, books).select("id", "codes")
-    # the ImportError fallback path, invoked directly
-    from sfs3_kinesis_spark.operators.similarity import (
-        _assign_cells_expr,
-        _quantized,
-    )
-    dfv = _quantized(e, "embedding", "vec_id", 10000)
-    out = dfv
-    dsub = len(books[0][0][1])
-    for m, book in enumerate(books):
-        sub = out.select("id", F.slice("vi", m * dsub + 1, dsub).alias("vi"))
-        a = _assign_cells_expr(sub, book).select(
-            "id", F.col("cell").cast("int").alias(f"_c{m}")
-        )
-        out = out.join(a, "id")
-    expr = out.select(
-        "id", F.array(*[F.col(f"_c{m}") for m in range(4)]).alias("codes")
-    )
-    assert arrow.exceptAll(expr).count() == 0
-    assert expr.exceptAll(arrow).count() == 0
+    arrow = similarity.pq_encode(e, books).select("id", "codes").collect()
+
+    real_import = builtins.__import__
+
+    def no_pandas(name, globals=None, *args, **kwargs):
+        # block ONLY the probe inside operators.similarity — pyspark
+        # internals re-import cached pandas and must keep working
+        if name in ("numpy", "pandas") and (
+            (globals or {}).get("__name__", "").endswith("operators.similarity")
+        ):
+            raise ImportError(f"blocked: {name}")
+        return real_import(name, globals, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_pandas)
+    expr_df = similarity.pq_encode(e, books).select("id", "codes")
+    monkeypatch.undo()
+    expr = expr_df.collect()
+    assert sorted(map(str, arrow)) == sorted(map(str, expr))
 
 
 def test_pq_adc_audit_shape_and_range(spark):
@@ -293,3 +296,12 @@ def test_pca_scores_deterministic_across_partitionings(spark):
     b = {r["vec_id"]: r["pc1_score"]
          for r in pca_power_scores(e.repartition(7), iterations=4).collect()}
     assert a == b
+
+
+def test_pca_power_scores_empty_input(spark):
+    from sfs3_kinesis_spark.operators.similarity import pca_power_scores
+
+    e = t(spark, SF, "embeddings").filter("vec_id < 0")
+    out = pca_power_scores(e)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "pc1_score"]

@@ -477,3 +477,21 @@ def test_streaming_near_dup_bucket_truncation_keeps_detection(spark, tmp_path):
     # ancestors come from the truncated bucket heads: oldest docs only
     kept = {r.dup_of for r in nd.matches().select("dup_of").collect()}
     assert kept <= set(range(8))
+
+
+def test_streaming_near_dup_exhaustive_mode_disables_bucket_truncation(spark, tmp_path):
+    """max_candidates_per_doc=None promises the FULL verified pair
+    set; the bucket-truncation default must switch off with it (an
+    explicit max_bucket_size re-enables the bound)."""
+    from sfs3_kinesis_spark.streaming.neardup import StreamingNearDup
+
+    nd_default = StreamingNearDup(spark, str(tmp_path / "a"))
+    assert nd_default.max_bucket_size == 64
+    nd_exhaustive = StreamingNearDup(
+        spark, str(tmp_path / "b"), max_candidates_per_doc=None
+    )
+    assert nd_exhaustive.max_bucket_size is None
+    nd_both = StreamingNearDup(
+        spark, str(tmp_path / "c"), max_candidates_per_doc=None, max_bucket_size=16
+    )
+    assert nd_both.max_bucket_size == 16

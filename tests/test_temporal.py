@@ -147,3 +147,26 @@ def test_asof_duplicate_right_rows_deterministic(spark):
         assert b == 3.0, f"backward must take greatest dup payload, got {b}"
         assert f == 7.0, f"forward must take least dup payload, got {f}"
         assert b == n  # nearest tie breaks to the earlier (backward) row
+
+
+def test_ewma_decays_by_calendar_gap_not_row_lag(spark):
+    """A 3-day hole in the series must decay history by (3/4)^3, not
+    (3/4)^1 — the calendar-gap kernel (a sparse event type's EWMA
+    otherwise over-weights stale history)."""
+    from sfs3_kinesis_spark.plans.temporal_queries import _ewma_terms
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [("a", 10, 100), ("a", 13, 400)], "event_type string, day long, cents long"
+    )
+    num, den = _ewma_terms()
+    out = {
+        r["day"]: r["ewma"]
+        for r in d.select(
+            "day", F.expr(f"CAST(({num}) div ({den}) AS BIGINT)").alias("ewma")
+        ).collect()
+    }
+    # day 13: weights (3/4)^0 for itself, (3/4)^3 for day 10
+    # num = 400*16384 + 100*6912, den = 16384 + 6912
+    assert out[13] == (400 * 16384 + 100 * 6912) // (16384 + 6912)
+    assert out[10] == 100
