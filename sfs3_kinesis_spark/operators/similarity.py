@@ -152,6 +152,13 @@ def ivf_topk(
             r["v"]
             for r in cand.orderBy("cand_id").limit(n_centroids).select("v").collect()
         ]
+    if not cents:
+        # empty corpus: zero centroids would make the cell-assignment
+        # lambda an untyped empty array (analysis error) — return the
+        # stable empty schema instead
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, cand_id bigint, rnk bigint, cosine double"
+        )
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     dot_c = DOT.format(a="c", b="v")
     # cell = argmax over centroid dot products (normalized corpus side
