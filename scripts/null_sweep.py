@@ -1,0 +1,85 @@
+"""Null-injection robustness sweep (diagnostic, non-gating).
+
+Writes a copy of the sf0.001 fixture with ~1/3 of every nullable
+VALUE column deterministically nulled (keys and join columns stay
+intact), then runs the full Spark-vs-DuckDB oracle compare on it.
+
+Both engines read the SAME nulled parquet, so a mismatch means the
+Spark query and its oracle SQL disagree about null semantics — not
+that either is "wrong" on the driver's fixture (whose value columns
+are non-null).  Measured at round 4: 235/277 agree; the 42 divergent
+queries trace to cross-engine null-behavior families the corpus
+conventions deliberately do not paper over:
+
+* string concatenation (DuckDB ``concat`` skips NULLs; Spark's
+  propagates),
+* map/array element access on NULL containers,
+* NULL keys entering rank/stride arithmetic (hash-ordering vs
+  NULLS FIRST conventions),
+* aggregates of all-NULL groups feeding integer division.
+
+Usage: python scripts/null_sweep.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+SRC = "/root/testdata/sf0.001"
+KEEP = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    "events": {"event_id", "user_id", "ts", "event_type"},
+    "documents": {"doc_id", "lang", "source"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nulldata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.session import get_spark
+
+    spark = get_spark("null-sweep")
+    os.makedirs(out, exist_ok=True)
+    for t, keep in KEEP.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        key = sorted(keep)[0]
+        cols = [
+            F.col(c)
+            if c in keep
+            else F.when(
+                F.expr(f"abs(hash({key}, '{c}')) % 3 = 0"), None
+            ).otherwise(F.col(c)).alias(c)
+            for c in df.columns
+        ]
+        tmp = os.path.join(out, f"_{t}_dir")
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        final = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(final):
+            os.remove(final)
+        os.rename(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp)
+        print(f"wrote {final}")
+    spark.stop()
+    return subprocess.call(
+        [sys.executable, "scripts/check_oracle.py", out]
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
