@@ -112,6 +112,12 @@ BNLJ_ALLOWED = {
     # and the exact scan) — the same bounded shape as
     # similarity_ivf_recall_audit's two tiers
     "similarity_pq_adc_audit": 2,
+    # (1) the 64x8 literal sign-grid crossJoin (512 generated rows,
+    # no table input) and (2) the inequality pair-join over the
+    # 32-row audit slice (496 pairs at any sf) — both sides bounded
+    # by construction; the full-table projection itself is an
+    # equi-broadcast-join + map-side-combined partial sum
+    "feature_random_projection": 2,
 }
 
 #: queries whose plans legitimately keep a single-partition ORDER BY

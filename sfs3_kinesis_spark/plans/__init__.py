@@ -23,3 +23,5 @@ from sfs3_kinesis_spark.plans import graph_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import advanced_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import retrieval_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import feature_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import eval_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import projection_queries  # noqa: F401,E402

@@ -1,0 +1,459 @@
+"""Model-evaluation query plans (round-4 green-field family).
+
+A training-data platform does not stop at producing corpora — it
+grades the models trained on them, at corpus scale, without pulling
+predictions to one machine.  The reference has no evaluation surface
+(its only "metric" is the CloudWatch success counter,
+svcsample/pollingsvc.js:38-41 — SURVEY.md §2.12); these are the
+distributed evaluation operators every ML platform runs:
+
+* rank-sum AUC (Mann-Whitney U) — tie-aware, via a distinct-score
+  rollup + the two-phase ``global_cumsum``; never a single-reducer
+  ORDER BY over the prediction table
+* per-segment AUC — the same statistic partitioned by a dimension
+  (language), the fairness / slice-regression readout
+* confusion matrix with per-class precision / recall / F1
+* Cohen's kappa — agreement vs chance, exact integer numerator and
+  denominator (no truncating division: Spark ``DIV`` truncates
+  toward zero while DuckDB ``//`` floors, so a possibly-negative
+  quotient is NOT cross-engine stable — the split readout is)
+* calibration deciles — predicted-percentile buckets vs observed
+  positive rate, on the two-phase ``global_rank``
+
+The "model" under evaluation is a deterministic stand-in (the class
+scores are the first ten embedding components on the usual integer
+grid, the prediction their argmax; the binary score is component 0):
+synthetic embeddings carry no real signal, so the metrics read as
+chance level — the deliverable is the distributed metric machinery,
+which is agnostic to where the score column came from.
+
+All arithmetic is exact-integer on the ``floor(x*SCALE + 0.5)``
+grid with truncating division of non-negative quantities only, so
+every result value-matches the DuckDB oracle bit-for-bit
+(``plans/core.py`` conventions).
+
+Scale notes (the 100 TB question):
+
+* AUC never materializes pairs: U is a sum over the distinct-score
+  rollup of ``n_pos(s) * cum_n_neg(<s)`` — shuffle-bounded by the
+  number of distinct scores, prefix-summed by the bucketed two-phase
+  ``global_cumsum`` (operators/scale.py), not one WindowExec
+  partition.
+* per-segment AUC uses windows PARTITIONED by segment — every
+  segment's prefix sum runs in parallel.
+* confusion / kappa reduce to a #classes²-row table immediately
+  (map-side combine); the class-marginal joins are broadcasts.
+* calibration ranks on the two-phase ``global_rank``; the only
+  1-row broadcast is the global count (allow-listed pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+#: integer grid for embedding components — same idiom as
+#: quality_embedding_norms / the k-means family (llm_queries.py).
+EVAL_SCALE = 10_000_000
+
+#: binary relevance threshold: labels 5..9 are the positive class.
+POS_MIN_LABEL = 5
+
+# quantized binary score: embedding component 0 on the integer grid
+_SCORE_SPARK = (
+    f"CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE)"
+    f" * {EVAL_SCALE}D + 0.5D) AS BIGINT)"
+)
+_SCORE_DUCK = (
+    f"CAST(floor(CAST(embedding[1] AS DOUBLE)"
+    f" * {EVAL_SCALE} + 0.5) AS BIGINT)"
+)
+
+# stand-in classifier: argmax of the first 10 quantized components
+# (first occurrence wins ties in BOTH engines: array_position /
+# list_position return the first index of the max)
+_H_SPARK = (
+    f"transform(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 10), "
+    f"x -> CAST(floor(x * {EVAL_SCALE}D + 0.5D) AS BIGINT))"
+)
+_H_DUCK = (
+    f"list_transform(CAST(embedding[1:10] AS DOUBLE[]), "
+    f"x -> CAST(floor(x * {EVAL_SCALE} + 0.5) AS BIGINT))"
+)
+_PRED_DUCK = "CAST(list_position(h, list_aggregate(h, 'max')) - 1 AS BIGINT)"
+
+
+def _scored(spark: SparkSession, sf_dir: str):
+    """embeddings → (vec_id, score_q, pos) on the integer grid."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(_SCORE_SPARK).alias("score_q"),
+        F.when(F.col("label") >= POS_MIN_LABEL, 1).otherwise(0).alias("pos"),
+    )
+
+
+def _labeled_pred(spark: SparkSession, sf_dir: str):
+    """embeddings → (vec_id, label, pred) via the argmax stand-in."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(_H_SPARK).alias("h"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(array_position(h, array_max(h)) - 1 AS BIGINT)"
+        ).alias("pred"),
+    )
+
+
+@register(
+    "eval_auc_rank_sum",
+    f"""
+    WITH d AS (
+        SELECT {_SCORE_DUCK} AS score_q,
+               CASE WHEN label >= {POS_MIN_LABEL} THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+    g AS (
+        SELECT score_q, sum(pos) AS np, sum(1 - pos) AS nn
+        FROM d GROUP BY score_q),
+    c AS (
+        SELECT np, nn,
+               sum(nn) OVER (ORDER BY score_q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+        FROM g)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(sum(np * (2 * (cnn - nn) + nn)) AS BIGINT) AS u_stat_x2,
+           CAST((10000 * sum(np * (2 * (cnn - nn) + nn)))
+                // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+    FROM c
+    """,
+    tags=("eval", "auc", "rank_sum", "global_cumsum", "exact_arithmetic"),
+    description=(
+        "tie-aware rank-sum AUC (Mann-Whitney U) of the quantized "
+        "component-0 score against the binary label split, computed "
+        "pairwise-free: U*2 = sum over DISTINCT scores of "
+        "n_pos(s) * (2*n_neg(<s) + n_neg(=s)), with the prefix count "
+        "from the bucketed two-phase global_cumsum — shuffle-bounded "
+        "by distinct scores, no single-reducer sort, no n^2 pairs.  "
+        "auc_bp is the truncating basis-point readout (non-negative, "
+        "so Spark DIV == DuckDB //)"
+    ),
+)
+def eval_auc_rank_sum(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import global_cumsum
+
+    d = _scored(spark, sf_dir)
+    g = d.groupBy("score_q").agg(
+        F.sum("pos").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).alias("nn"),
+    )
+    c = global_cumsum(g, [F.asc("score_q")], {"nn": "cnn"})
+    return c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np") * (2 * (F.col("cnn") - F.col("nn")) + F.col("nn"))
+        ).cast("long").alias("u_stat_x2"),
+        F.expr(
+            "CAST((10000 * sum(np * (2 * (cnn - nn) + nn)))"
+            " DIV (2 * sum(np) * sum(nn)) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
+
+
+@register(
+    "eval_auc_by_lang",
+    f"""
+    WITH d AS (
+        SELECT doc.lang AS lang, {_SCORE_DUCK} AS score_q,
+               CASE WHEN e.label >= {POS_MIN_LABEL} THEN 1 ELSE 0 END AS pos
+        FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id),
+    g AS (
+        SELECT lang, score_q, sum(pos) AS np, sum(1 - pos) AS nn
+        FROM d GROUP BY lang, score_q),
+    c AS (
+        SELECT lang, np, nn,
+               sum(nn) OVER (PARTITION BY lang ORDER BY score_q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+        FROM g)
+    SELECT lang,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(sum(np * (2 * (cnn - nn) + nn)) AS BIGINT) AS u_stat_x2,
+           CAST((10000 * sum(np * (2 * (cnn - nn) + nn)))
+                // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+    FROM c GROUP BY lang
+    """,
+    tags=("eval", "auc", "segment", "fairness", "exact_arithmetic"),
+    description=(
+        "per-segment (language) rank-sum AUC — the slice-regression / "
+        "fairness readout: same pairwise-free U statistic as "
+        "eval_auc_rank_sum but with every window PARTITIONED by the "
+        "segment key, so each language's prefix sum runs in parallel "
+        "on its own partitions.  embeddings joins documents on the "
+        "1:1 vec_id = doc_id key (plain co-keyed equi-join).  "
+        "Segments where one class is empty would divide by zero; the "
+        "synthetic labels populate both classes in every language, "
+        "and the operator contract documents the precondition"
+    ),
+)
+def eval_auc_by_lang(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    doc = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = e.join(doc, e.vec_id == doc.doc_id).select(
+        "lang",
+        F.expr(_SCORE_SPARK).alias("score_q"),
+        F.when(F.col("label") >= POS_MIN_LABEL, 1).otherwise(0).alias("pos"),
+    )
+    g = d.groupBy("lang", "score_q").agg(
+        F.sum("pos").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).alias("nn"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("score_q")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = g.withColumn("cnn", F.sum("nn").over(w))
+    return c.groupBy("lang").agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np") * (2 * (F.col("cnn") - F.col("nn")) + F.col("nn"))
+        ).cast("long").alias("u_stat_x2"),
+        F.expr(
+            "CAST((10000 * sum(np * (2 * (cnn - nn) + nn)))"
+            " DIV (2 * sum(np) * sum(nn)) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
+
+
+@register(
+    "eval_confusion_prf",
+    f"""
+    WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label, {_H_DUCK} AS h
+        FROM embeddings),
+    p AS (SELECT label, {_PRED_DUCK} AS pred FROM q),
+    act AS (SELECT label AS cls, count(*) AS n_act FROM p GROUP BY cls),
+    prd AS (SELECT pred AS cls, count(*) AS n_prd FROM p GROUP BY cls),
+    tp AS (SELECT label AS cls, count(*) AS n_tp FROM p
+           WHERE label = pred GROUP BY cls),
+    m AS (
+        SELECT coalesce(act.cls, prd.cls) AS cls,
+               coalesce(n_act, 0) AS n_act, coalesce(n_prd, 0) AS n_prd,
+               coalesce(n_tp, 0) AS n_tp
+        FROM act FULL OUTER JOIN prd ON act.cls = prd.cls
+        LEFT JOIN tp ON coalesce(act.cls, prd.cls) = tp.cls)
+    SELECT CAST(cls AS BIGINT) AS cls,
+           CAST(n_tp AS BIGINT) AS tp,
+           CAST(n_prd - n_tp AS BIGINT) AS fp,
+           CAST(n_act - n_tp AS BIGINT) AS fn,
+           CAST(CASE WHEN n_prd = 0 THEN 0
+                ELSE (10000 * n_tp) // n_prd END AS BIGINT) AS precision_bp,
+           CAST(CASE WHEN n_act = 0 THEN 0
+                ELSE (10000 * n_tp) // n_act END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_prd + n_act = 0 THEN 0
+                ELSE (20000 * n_tp) // (n_prd + n_act) END AS BIGINT) AS f1_bp
+    FROM m
+    """,
+    tags=("eval", "confusion", "precision_recall", "f1", "exact_arithmetic"),
+    description=(
+        "per-class confusion readout (tp / fp / fn) with precision, "
+        "recall and F1 in truncating basis points, for the argmax "
+        "stand-in classifier over the first ten quantized embedding "
+        "components.  The prediction table collapses to class "
+        "marginals immediately (map-side combine to <= #classes "
+        "rows); the marginal joins are broadcast-sized.  F1 = "
+        "2*tp/(n_pred + n_actual) — denominators re-expressed so "
+        "every division has a non-negative integer numerator and "
+        "positive denominator (cross-engine truncation-safe)"
+    ),
+)
+def eval_confusion_prf(spark: SparkSession, sf_dir: str):
+    p = _labeled_pred(spark, sf_dir)
+    act = p.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_act")
+    )
+    prd = p.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_prd")
+    )
+    tp = (
+        p.filter(F.col("label") == F.col("pred"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    m = (
+        act.join(prd, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_act", F.lit(0)).alias("n_act"),
+            F.coalesce("n_prd", F.lit(0)).alias("n_prd"),
+            F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+        )
+    )
+    return m.select(
+        F.col("cls").cast("long").alias("cls"),
+        F.col("n_tp").cast("long").alias("tp"),
+        (F.col("n_prd") - F.col("n_tp")).cast("long").alias("fp"),
+        (F.col("n_act") - F.col("n_tp")).cast("long").alias("fn"),
+        F.expr(
+            "CAST(CASE WHEN n_prd = 0 THEN 0"
+            " ELSE (10000 * n_tp) DIV n_prd END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_act = 0 THEN 0"
+            " ELSE (10000 * n_tp) DIV n_act END AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_prd + n_act = 0 THEN 0"
+            " ELSE (20000 * n_tp) DIV (n_prd + n_act) END AS BIGINT)"
+        ).alias("f1_bp"),
+    )
+
+
+@register(
+    "eval_cohens_kappa",
+    f"""
+    WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label, {_H_DUCK} AS h
+        FROM embeddings),
+    p AS (SELECT label, {_PRED_DUCK} AS pred FROM q),
+    tot AS (SELECT count(*) AS n,
+                   count(*) FILTER (WHERE label = pred) AS agree FROM p),
+    act AS (SELECT label AS cls, count(*) AS n_act FROM p GROUP BY cls),
+    prd AS (SELECT pred AS cls, count(*) AS n_prd FROM p GROUP BY cls),
+    marg AS (
+        SELECT sum(coalesce(n_act, 0) * coalesce(n_prd, 0)) AS s
+        FROM act FULL OUTER JOIN prd ON act.cls = prd.cls)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(s AS BIGINT) AS pe_num_x_n2,
+           CAST(n * agree - s AS BIGINT) AS kappa_num,
+           CAST(n * n - s AS BIGINT) AS kappa_den
+    FROM tot, marg
+    """,
+    tags=("eval", "kappa", "agreement", "exact_arithmetic"),
+    description=(
+        "Cohen's kappa between the stored label and the argmax "
+        "stand-in prediction: chance-corrected agreement.  kappa = "
+        "(n*agree - S) / (n^2 - S) with S = sum over classes of "
+        "rowTotal*colTotal, emitted as EXACT integer numerator and "
+        "denominator — the quotient can be negative, and Spark's DIV "
+        "truncates toward zero while DuckDB's // floors, so a "
+        "negative basis-point division is not cross-engine stable; "
+        "the split readout is bit-exact and loses nothing.  All "
+        "work reduces to class marginals (<= #classes rows) before "
+        "any join; the final assembly is two 1-row broadcasts"
+    ),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str):
+    p = _labeled_pred(spark, sf_dir)
+    tot = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("label") == F.col("pred"), 1)).alias("agree"),
+    )
+    act = p.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_act")
+    )
+    prd = p.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_prd")
+    )
+    marg = (
+        act.join(prd, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("n_act", F.lit(0)) * F.coalesce("n_prd", F.lit(0))
+            ).alias("s")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_items"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.col("s").cast("long").alias("pe_num_x_n2"),
+            (F.col("n") * F.col("agree") - F.col("s"))
+            .cast("long")
+            .alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("s"))
+            .cast("long")
+            .alias("kappa_den"),
+        )
+    )
+
+
+@register(
+    "eval_calibration_deciles",
+    f"""
+    WITH b AS (
+        SELECT vec_id, {_SCORE_DUCK} AS score_q,
+               CASE WHEN label >= {POS_MIN_LABEL} THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY score_q, vec_id) AS rnk,
+               count(*) OVER () AS n
+        FROM b),
+    p AS (
+        SELECT pos, ((rnk - 1) * 10000) // (n - 1) AS p_bp FROM r
+        WHERE n > 1),
+    d AS (
+        SELECT pos, p_bp,
+               CASE WHEN p_bp // 1000 > 9 THEN 9 ELSE p_bp // 1000 END
+                   AS decile
+        FROM p)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(p_bp) // count(*) AS BIGINT) AS mean_p_bp,
+           CAST((10000 * sum(pos)) // count(*) AS BIGINT)
+               AS obs_pos_rate_bp
+    FROM d GROUP BY decile
+    """,
+    tags=("eval", "calibration", "deciles", "global_rank", "exact_arithmetic"),
+    description=(
+        "calibration-by-decile: the score's global percentile (rank "
+        "percentile in basis points over the TOTAL order score_q, "
+        "vec_id) bucketed into deciles, vs the observed positive "
+        "rate per bucket — a calibrated ranker shows a monotone "
+        "observed-rate staircase.  The percentile comes from the "
+        "two-phase bucketed global_rank (operators/scale.py), never "
+        "a single-partition ORDER BY; the only whole-table scalar is "
+        "the 1-row global count broadcast (allow-listed pattern).  "
+        "Degenerate n<=1 inputs yield zero rows on both sides"
+    ),
+)
+def eval_calibration_deciles(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    b = _scored(spark, sf_dir)
+    r = global_rank(b, [F.asc("score_q"), F.asc("vec_id")], out_col="rnk")
+    n = b.agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("n") > 1)
+        .select(
+            "pos",
+            F.expr("((rnk - 1) * 10000) DIV (n - 1)").alias("p_bp"),
+        )
+    )
+    d = p.withColumn(
+        "decile",
+        F.expr("CASE WHEN p_bp DIV 1000 > 9 THEN 9 ELSE p_bp DIV 1000 END"),
+    )
+    return d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("CAST(sum(p_bp) DIV count(1) AS BIGINT)").alias("mean_p_bp"),
+        F.expr(
+            "CAST((10000 * sum(pos)) DIV count(1) AS BIGINT)"
+        ).alias("obs_pos_rate_bp"),
+    )
