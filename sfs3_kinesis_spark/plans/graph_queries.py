@@ -209,3 +209,113 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("reach2"), "part_id")
         .limit(30)
     )
+
+
+#: k-core threshold and fixed peeling depth
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE unroll of KCORE_ROUNDS peeling rounds — the same
+    fixed recursion the Spark loop runs, so the two engines agree at
+    ANY round count, converged or not.  Every CTE is MATERIALIZED:
+    each round references its predecessor three times, so inlining
+    would expand the base scan 3^rounds times (DuckDB ran out of
+    file handles before it ran out of patience)."""
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem),",
+        "prs AS (SELECT a.p AS u, b.p AS v FROM lp a JOIN lp b"
+        " ON a.o = b.o AND a.p < b.p),",
+        "e0 AS MATERIALIZED"
+        " (SELECT u, v FROM prs GROUP BY u, v HAVING count(*) >= 2)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM"
+            f" (SELECT u AS node FROM {prev}"
+            f" UNION ALL SELECT v AS node FROM {prev}) GROUP BY node)"
+        )
+        parts.append(f", k{r} AS (SELECT node FROM d{r} WHERE c >= {KCORE_K})")
+        parts.append(
+            f", e{r} AS MATERIALIZED"
+            f" (SELECT {prev}.u AS u, {prev}.v AS v FROM {prev}"
+            f" JOIN k{r} ka ON {prev}.u = ka.node"
+            f" JOIN k{r} kb ON {prev}.v = kb.node)"
+        )
+    last = f"e{KCORE_ROUNDS}"
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS part_id,"
+        f" CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM (SELECT u AS node FROM {last}"
+        f" UNION ALL SELECT v AS node FROM {last}) GROUP BY node"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_kcore_peel",
+    _kcore_oracle(),
+    tags=("graph", "kcore", "iterative", "join"),
+    description=(
+        "k-core peeling (k=3, 6 fixed rounds) on the co-purchase "
+        "graph (the triangle-count edge set: support >= 2): each "
+        "round recomputes degrees over the surviving edges and drops "
+        "nodes below k — the density-tier decomposition that "
+        "separates a graph's cohesive core from its periphery "
+        "(spam/quality tiering for web-crawl link graphs).  A FIXED "
+        "round count is the cross-engine-exact form: Spark and the "
+        "oracle run the identical 6 rounds, so results match whether "
+        "or not the fixture has converged (sf0.001 converges in 0 "
+        "rounds, sf0.1's sparse support>=2 graph empties by round 2, "
+        "sf0.01 is still shrinking at round 10 — measured); a "
+        "production run iterates the same loop driver-side to "
+        "fixpoint with a convergence check, the connected_components "
+        "discipline (operators/dedup.py).  Each round is one "
+        "map-side-combined degree aggregate + two semi-joins on the "
+        "shrinking edge set — shuffle-bounded, no all-pairs anywhere"
+    ),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        # every round re-reads the previous round's edge set twice
+        # (degree build + the filter join) — pin each round's frame so
+        # the whole prefix is not recomputed 2^rounds times
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy(F.col("node").cast("long").alias("part_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

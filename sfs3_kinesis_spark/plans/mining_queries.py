@@ -2045,3 +2045,104 @@ def agg_kmv_intersection_audit(spark: SparkSession, sf_dir: str):
             " DIV exact_intersection AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+@register(
+    "recsys_item_item_topk",
+    """
+    WITH ui AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+    co AS (
+        SELECT a.i AS i_a, b.i AS i_b, count(*) AS co
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY a.i, b.i HAVING count(*) >= 3),
+    bi AS (
+        SELECT i_a AS item, i_b AS partner, co FROM co
+        UNION ALL
+        SELECT i_b AS item, i_a AS partner, co FROM co),
+    scored AS (
+        SELECT bi.item AS item, bi.partner AS partner, bi.co AS co,
+               (10000 * bi.co * bi.co) // (di.n * dp.n) AS cosine2_bp
+        FROM bi JOIN deg di ON di.i = bi.item
+                JOIN deg dp ON dp.i = bi.partner),
+    ranked AS (
+        SELECT item, partner, co, cosine2_bp,
+               row_number() OVER (PARTITION BY item
+                   ORDER BY cosine2_bp DESC, partner) AS rnk
+        FROM scored)
+    SELECT CAST(item AS BIGINT) AS item_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(partner AS BIGINT) AS partner_id,
+           CAST(co AS BIGINT) AS n_co,
+           CAST(cosine2_bp AS BIGINT) AS cosine2_bp
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("recsys", "topk", "window", "cooccurrence", "exact_arithmetic"),
+    description=(
+        "item-item recommender SERVING table: each item's top-5 "
+        "co-purchase neighbors by exact squared-cosine basis points "
+        "((cosine2_bp DESC, partner) total order — ties bit-stable), "
+        "the precomputed lookup an online recommender reads at "
+        "request time.  Builds on recsys_item_cosine's pair table "
+        "(min-support 3), doubled to both directions so every item "
+        "owns its list; the per-item ranking runs through "
+        "salted_window_topk (operators/scale.py) — a viral item with "
+        "millions of neighbors spreads over (item, salt) reducers in "
+        "phase 1, never one reducer holding a hot item's whole "
+        "candidate list (the oracle keeps the textbook single "
+        "window; identical results)"
+    ),
+)
+def recsys_item_item_topk(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("u")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("i")
+    )
+    ui = o.join(li, "okey").select("u", "i").distinct()
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i_a"), F.col("b.i").alias("i_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    bi = co.select(
+        F.col("i_a").alias("item"), F.col("i_b").alias("partner"), "co"
+    ).unionAll(
+        co.select(
+            F.col("i_b").alias("item"), F.col("i_a").alias("partner"), "co"
+        )
+    )
+    di = deg.select(F.col("i").alias("item"), F.col("n").alias("ni"))
+    dp = deg.select(F.col("i").alias("partner"), F.col("n").alias("np"))
+    scored = (
+        bi.join(di, "item")
+        .join(dp, "partner")
+        .select(
+            "item",
+            "partner",
+            "co",
+            F.expr("(10000 * co * co) DIV (ni * np)").alias("cosine2_bp"),
+        )
+    )
+    topk = salted_window_topk(
+        scored,
+        "item",
+        [F.desc("cosine2_bp"), F.asc("partner")],
+        k=5,
+        salt_on="partner",
+    )
+    return topk.select(
+        F.col("item").cast("long").alias("item_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("partner").cast("long").alias("partner_id"),
+        F.col("co").cast("long").alias("n_co"),
+        F.col("cosine2_bp").cast("long").alias("cosine2_bp"),
+    )

@@ -182,9 +182,33 @@ def feature_random_projection(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "eval_mrr_first_relevant",
-    f"""
+def _probe_dots(spark: SparkSession, sf_dir: str):
+    """(probe_id, probe_label, cand_id, cand_label, dot): every
+    probe × candidate exact integer dot product, probes broadcast."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", F.expr(_QUANT_SPARK).alias("v"))
+    probes = q.filter(F.col("vec_id") < MRR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("v").alias("pv"),
+    )
+    return (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.expr(
+                "aggregate(zip_with(pv, v, (x, y) -> x * y), "
+                "0L, (acc, d) -> acc + d)"
+            ).alias("dot"),
+        )
+    )
+
+
+#: shared oracle CTE prefix: probe × candidate dot table
+_DOTS_DUCK = f"""
     WITH q AS (
         SELECT vec_id, label, {_QUANT_DUCK} AS v FROM embeddings),
     probes AS (SELECT * FROM q WHERE vec_id < {MRR_PROBES}),
@@ -193,7 +217,12 @@ def feature_random_projection(spark: SparkSession, sf_dir: str):
                c.vec_id AS cand_id, c.label AS cand_label,
                list_sum(list_transform(range(1, {JL_D} + 1),
                    k -> p.v[k] * c.v[k])) AS dot
-        FROM probes p JOIN q c ON c.vec_id <> p.vec_id),
+        FROM probes p JOIN q c ON c.vec_id <> p.vec_id)"""
+
+
+@register(
+    "eval_mrr_first_relevant",
+    f"""{_DOTS_DUCK},
     ranked AS (
         SELECT probe_id, probe_label, cand_label,
                row_number() OVER (PARTITION BY probe_id
@@ -227,26 +256,7 @@ def feature_random_projection(spark: SparkSession, sf_dir: str):
     ),
 )
 def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", "label", F.expr(_QUANT_SPARK).alias("v"))
-    probes = q.filter(F.col("vec_id") < MRR_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("label").alias("probe_label"),
-        F.col("v").alias("pv"),
-    )
-    dots = (
-        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "probe_label",
-            F.col("vec_id").alias("cand_id"),
-            F.col("label").alias("cand_label"),
-            F.expr(
-                "aggregate(zip_with(pv, v, (x, y) -> x * y), "
-                "0L, (acc, d) -> acc + d)"
-            ).alias("dot"),
-        )
-    )
+    dots = _probe_dots(spark, sf_dir)
     # best same-label candidate per probe: lexicographic max on
     # (dot, -cand_id) via struct ordering — a 16-row aggregate
     best = (
@@ -292,4 +302,62 @@ def eval_mrr_first_relevant(spark: SparkSession, sf_dir: str):
         F.col("probe_id").cast("long").alias("probe_id"),
         F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
         F.expr("10000 DIV first_rel_rank").cast("long").alias("rr_bp"),
+    )
+
+
+#: top-k cut for precision@k
+PREC_K = 10
+
+
+@register(
+    "eval_precision_at_k",
+    f"""{_DOTS_DUCK},
+    ranked AS (
+        SELECT probe_id, probe_label, cand_label,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY dot DESC, cand_id) AS rnk
+        FROM dots)
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(count(*) FILTER (WHERE cand_label = probe_label)
+               AS BIGINT) AS n_rel_topk,
+           CAST((10000 * count(*) FILTER (WHERE cand_label = probe_label))
+               // count(*) AS BIGINT) AS precision_bp
+    FROM ranked WHERE rnk <= {PREC_K}
+    GROUP BY probe_id
+    """,
+    tags=("eval", "retrieval", "precision_at_k", "topk", "similarity"),
+    description=(
+        "precision@10 of the embedding space per probe: the share of "
+        "same-label documents among each probe's top-10 exact-integer "
+        "dot-product neighbors ((dot DESC, cand_id) total order — "
+        "cross-engine ties impossible).  The per-probe top-k runs "
+        "through salted_window_topk (operators/scale.py): phase 1 "
+        "ranks inside (probe, salt) so a probe's corpus-sized "
+        "candidate list spreads over reducers, phase 2 ranks the "
+        "<= salt*k survivors — never one reducer per probe holding "
+        "the whole corpus (the oracle keeps the textbook single "
+        "window; identical results).  Denominator is the actual "
+        "top-k row count, so a corpus smaller than k still reads "
+        "as a correct precision"
+    ),
+)
+def eval_precision_at_k(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    dots = _probe_dots(spark, sf_dir)
+    topk = salted_window_topk(
+        dots,
+        "probe_id",
+        [F.desc("dot"), F.asc("cand_id")],
+        k=PREC_K,
+        salt_on="cand_id",
+    )
+    return topk.groupBy(F.col("probe_id").cast("long").alias("probe_id")).agg(
+        F.count(
+            F.when(F.col("cand_label") == F.col("probe_label"), 1)
+        ).cast("long").alias("n_rel_topk"),
+        F.expr(
+            "CAST((10000 * count(CASE WHEN cand_label = probe_label"
+            " THEN 1 END)) DIV count(1) AS BIGINT)"
+        ).alias("precision_bp"),
     )

@@ -1,0 +1,282 @@
+"""Time-series analytics plans (round-4 wave 4).
+
+The reference's only temporal behavior is a 1.5 s polling cadence
+(svcsample/pollingsvc.js:139-141 — SURVEY.md §2.12); these are the
+standard monitoring/forecast-adjacent readouts a data platform runs
+over its event stream, all exact-integer and oracle-backed:
+
+* **MAD anomaly flags** — per-series robust center (lower median)
+  and spread (median absolute deviation), flagging days beyond
+  3×MAD.  Both medians are exact rank picks over the |types|×|days|
+  rollup — windows partition by series key, never the fact table,
+  so the only data-sized operation is the map-side-combined daily
+  aggregate.
+* **lag-1 autocorrelation** — the persistence readout that says
+  whether yesterday predicts today.  The lag pairs come from a
+  calendar self-join (day+1 — a missing day contributes no pair,
+  rather than silently pairing across the gap as a row-offset
+  ``lag()`` would); the correlation is emitted as EXACT integer
+  numerators (cov_num, varx_num, vary_num — the kappa precedent:
+  squaring them for r² would overflow BIGINT long before the
+  numerators themselves do, and a negative quotient is not
+  cross-engine truncation-stable).
+* **seasonal-naive forecast error** — forecast(day) = actual(day-7),
+  the baseline every real forecaster must beat; MAE and WAPE in
+  exact cents / basis points.
+
+Scale notes: every query aggregates the fact table to the
+|types|×|days| daily rollup FIRST (one map-side-combined shuffle);
+all window/join work happens on that bounded rollup, partitioned by
+series key.  At 100 TB the rollup is |series|×|days| rows — the
+thing that grows is the pre-aggregation, which is the shape Spark
+scales best.  Integer headroom: autocorrelation works in whole
+dollars (n·Σxy stays under 2^63 through ~sf100 for this fixture's
+30-day series; cents would overflow ~sf10 — stated, not hidden).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+#: anomaly fence: |x - median| > MAD_K * MAD
+MAD_K = 3
+#: seasonal-naive lag in days
+SEASON_LAG = 7
+
+# daily revenue rollup, cents on the exact integer grid
+_ROLLUP_DUCK = """
+    SELECT event_type,
+           (epoch_us(ts) // 1000000) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY event_type, day
+"""
+
+
+def _rollup(spark: SparkSession, sf_dir: str):
+    """events → (event_type, day, x=daily revenue cents)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")
+            ).alias("x")
+        )
+    )
+
+
+def _median_pick(df, value_col: str, out_col: str):
+    """Exact lower-median per event_type: the value at ascending rank
+    ``(n+1) div 2`` under the total order (value, day) — deterministic
+    because the value AT a rank of a sorted multiset is, regardless of
+    how ties order.  One window pass over the bounded rollup."""
+    w = W.partitionBy("event_type").orderBy(value_col, "day")
+    wc = W.partitionBy("event_type")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.expr("_rn = (_n + 1) div 2"))
+        .select("event_type", F.col(value_col).alias(out_col))
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    f"""
+    WITH r AS ({_ROLLUP_DUCK}),
+    m AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY x, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM r),
+    med AS (SELECT event_type, x AS med FROM m WHERE rn = (n + 1) // 2),
+    d AS (
+        SELECT r.event_type AS event_type, r.day AS day, r.x AS x,
+               med.med AS med, abs(r.x - med.med) AS dev
+        FROM r JOIN med ON r.event_type = med.event_type),
+    dm AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY dev, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM d),
+    mad AS (SELECT event_type, dev AS mad FROM dm WHERE rn = (n + 1) // 2)
+    SELECT d.event_type AS event_type,
+           CAST(d.day AS BIGINT) AS day,
+           CAST(d.x AS BIGINT) AS revenue_cents,
+           CAST(d.med AS BIGINT) AS med_cents,
+           CAST(mad.mad AS BIGINT) AS mad_cents,
+           CAST(d.dev AS BIGINT) AS dev_cents
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    WHERE d.dev > {MAD_K} * mad.mad
+    """,
+    tags=("ts", "anomaly", "mad", "median", "exact_arithmetic"),
+    description=(
+        "MAD anomaly detection per event-type daily-revenue series: "
+        "exact lower-median center and median-absolute-deviation "
+        "spread (both rank picks — the value at rank (n+1) div 2 of "
+        "the sorted multiset, deterministic under ties), flagging "
+        "days with |x - med| > 3*MAD.  The robust fence a revenue "
+        "monitor uses (a mean/stddev fence is dragged by the very "
+        "outliers it hunts).  All medians run over the bounded "
+        "|types|x|days| rollup partitioned by series; MAD = 0 "
+        "degenerates to flagging any deviating day — the correct "
+        "readout for a constant series"
+    ),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str):
+    r = _rollup(spark, sf_dir)
+    med = _median_pick(r, "x", "med")
+    d = r.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("dev"),
+    )
+    mad = _median_pick(d.select("event_type", F.col("day"), F.col("dev").alias("x")), "x", "mad")
+    return (
+        d.join(mad, "event_type")
+        .filter(F.col("dev") > MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.col("x").cast("long").alias("revenue_cents"),
+            F.col("med").cast("long").alias("med_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            F.col("dev").cast("long").alias("dev_cents"),
+        )
+    )
+
+
+@register(
+    "ts_autocorr_lag1",
+    f"""
+    WITH r AS ({_ROLLUP_DUCK}),
+    rd AS (SELECT event_type, day, x // 100 AS x FROM r),
+    p AS (
+        SELECT a.event_type AS event_type, a.x AS xt, b.x AS xp
+        FROM rd a JOIN rd b
+            ON a.event_type = b.event_type AND a.day = b.day + 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * sum(xt * xp) - sum(xt) * sum(xp) AS BIGINT)
+               AS cov_num,
+           CAST(count(*) * sum(xt * xt) - sum(xt) * sum(xt) AS BIGINT)
+               AS varx_num,
+           CAST(count(*) * sum(xp * xp) - sum(xp) * sum(xp) AS BIGINT)
+               AS vary_num
+    FROM p GROUP BY event_type
+    """,
+    tags=("ts", "autocorrelation", "persistence", "exact_arithmetic"),
+    description=(
+        "lag-1 autocorrelation of per-type daily revenue (whole "
+        "dollars), emitted as EXACT integer numerators: cov_num = "
+        "n*Sxy - Sx*Sy and the two variance numerators (r = cov / "
+        "sqrt(varx*vary) is one driver-side division away; squaring "
+        "inside the engine would overflow BIGINT and a negative "
+        "quotient is not cross-engine truncation-stable — the kappa "
+        "split-readout precedent).  Lag pairs come from a CALENDAR "
+        "self-join (day = day+1), so a missing day contributes no "
+        "pair instead of silently pairing across the gap the way a "
+        "row-offset lag() would.  Everything runs on the bounded "
+        "daily rollup; the self-join is co-keyed on event_type"
+    ),
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str):
+    rd = _rollup(spark, sf_dir).select(
+        "event_type", "day", F.expr("x div 100").alias("x")
+    )
+    a, b = rd.alias("a"), rd.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") == F.col("b.day") + 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("xt"),
+        F.col("b.x").alias("xp"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("xt") * F.col("xp"))
+            - F.sum("xt") * F.sum("xp")
+        ).cast("long").alias("cov_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("xt") * F.col("xt"))
+            - F.sum("xt") * F.sum("xt")
+        ).cast("long").alias("varx_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("xp") * F.col("xp"))
+            - F.sum("xp") * F.sum("xp")
+        ).cast("long").alias("vary_num"),
+    )
+
+
+@register(
+    "ts_seasonal_naive_mae",
+    f"""
+    WITH r AS ({_ROLLUP_DUCK}),
+    p AS (
+        SELECT a.event_type AS event_type, a.x AS actual, b.x AS forecast
+        FROM r a JOIN r b
+            ON a.event_type = b.event_type
+           AND a.day = b.day + {SEASON_LAG})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(actual - forecast)) AS BIGINT)
+               AS total_abs_err_cents,
+           CAST(sum(abs(actual - forecast)) // count(*) AS BIGINT)
+               AS mae_cents,
+           CAST(CASE WHEN sum(actual) = 0 THEN 0
+                ELSE (10000 * sum(abs(actual - forecast))) // sum(actual)
+                END AS BIGINT) AS wape_bp
+    FROM p GROUP BY event_type
+    """,
+    tags=("ts", "forecast", "seasonal_naive", "exact_arithmetic"),
+    description=(
+        "seasonal-naive forecast error per event type: "
+        "forecast(day) = actual(day - 7), the baseline any real "
+        "forecasting model must beat before it earns cluster time.  "
+        "MAE in exact cents and WAPE in truncating basis points "
+        "(both numerators non-negative, so Spark DIV == DuckDB //); "
+        "the forecast pairs come from a calendar self-join on the "
+        "bounded daily rollup, co-keyed on event_type — days without "
+        "a 7-day-ago observation produce no forecast row rather than "
+        "a silent zero"
+    ),
+)
+def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str):
+    r = _rollup(spark, sf_dir)
+    a, b = r.alias("a"), r.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") == F.col("b.day") + SEASON_LAG),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("actual"),
+        F.col("b.x").alias("forecast"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("long")
+        .alias("total_abs_err_cents"),
+        F.expr(
+            "CAST(sum(abs(actual - forecast)) DIV count(1) AS BIGINT)"
+        ).alias("mae_cents"),
+        F.expr(
+            "CAST(CASE WHEN sum(actual) = 0 THEN 0"
+            " ELSE (10000 * sum(abs(actual - forecast))) DIV sum(actual)"
+            " END AS BIGINT)"
+        ).alias("wape_bp"),
+    )
