@@ -118,6 +118,13 @@ BNLJ_ALLOWED = {
     # by construction; the full-table projection itself is an
     # equi-broadcast-join + map-side-combined partial sum
     "feature_random_projection": 2,
+    # three ONE-ROW broadcasts: the (nt, k) corpus-totals row joined
+    # onto the |languages| rollup (appearing twice because the weight
+    # frame feeds both the reweighted-mass aggregate and the final
+    # projection) and the 1-row reweighted-mass total — the second
+    # total depends on the first, so they cannot fuse; every
+    # broadcast side is exactly one row
+    "sample_importance_reweight": 3,
 }
 
 #: queries whose plans legitimately keep a single-partition ORDER BY
