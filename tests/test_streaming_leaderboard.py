@@ -1,0 +1,123 @@
+"""Streaming decayed-score tracker: the per-day histogram state makes
+every emission bit-identical to a from-scratch batch recompute over
+the same events, whatever the micro-batch boundaries — the property
+a naive running-score fold (halved in place per elapsed day) cannot
+have under truncating integer division."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+DAY0 = int(T0.timestamp()) // 86_400
+
+
+def ts(day, hour=0):
+    return T0 + dt.timedelta(days=day, hours=hour)
+
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def test_streaming_decayed_scores_match_batch_recompute(spark, tmp_path):
+    from sfs3_kinesis_spark.streaming.leaderboard import (
+        decayed_scores,
+        decayed_scores_batch,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch1 = [
+        (1, ts(0), 10.00),   # day 0: 1000 cents
+        (1, ts(0, 6), 2.51), # day 0: +251 cents (odd total → shifts truncate)
+        (1, ts(1), 5.00),    # day 1: 500 cents
+        (2, ts(1), 7.77),
+    ]
+    batch2 = [
+        (1, ts(3), 1.00),    # advances user 1's as_of to day 3
+        (1, ts(2), 3.33),    # out-of-order: lands on day 2, same batch
+        (2, ts(3), 0.01),
+    ]
+    _write(spark, src, batch1)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        decayed_scores(stream)
+        .writeStream.format("memory")
+        .queryName("lead")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # hand-checked: as of day 1, user 1 holds 1251 >> 1 + 500 = 1125
+        rows = {
+            (r.user_id, r.as_of_day): (r.score, r.n_days_live)
+            for r in spark.sql("SELECT * FROM lead").collect()
+        }
+        assert rows[(1, DAY0 + 1)] == (1125, 2)
+        assert rows[(2, DAY0 + 1)] == (777, 1)
+
+        _write(spark, src, batch2)
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, r.as_of_day): (r.score, r.n_days_live)
+            for r in spark.sql("SELECT * FROM lead").collect()
+        }
+        # as of day 3: 1251>>3 + 500>>2 + 333>>1 + 100 = 156+125+166+100
+        assert rows[(1, DAY0 + 3)] == (547, 4)
+        # as of day 3: 777>>2 + 1 = 194 + 1
+        assert rows[(2, DAY0 + 3)] == (195, 2)
+
+        # the defining property: every emission equals the batch twin
+        # computed from scratch on ALL events seen so far
+        all_events = spark.createDataFrame(batch1 + batch2, SCHEMA)
+        expect = {
+            (r.user_id, r.as_of_day): (r.score, r.n_days_live)
+            for r in decayed_scores_batch(all_events).collect()
+        }
+        for k, v in expect.items():
+            assert rows[k] == v, (k, rows[k], v)
+    finally:
+        q.stop()
+
+
+def test_streaming_decayed_scores_horizon_eviction(spark, tmp_path):
+    from sfs3_kinesis_spark.streaming.leaderboard import (
+        HORIZON_DAYS,
+        decayed_scores,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # an ancient burst, then one event far past the horizon
+    _write(spark, src, [(9, ts(0), 100.0)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        decayed_scores(stream)
+        .writeStream.format("memory")
+        .queryName("lead_h")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, src, [(9, ts(HORIZON_DAYS + 5), 1.0)])
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in spark.sql("SELECT * FROM lead_h").collect()
+            if r.as_of_day == DAY0 + HORIZON_DAYS + 5
+        ]
+        # the day-0 bucket was evicted: only the fresh event scores,
+        # and the state histogram is back to one live day
+        assert rows and rows[0].score == 100 and rows[0].n_days_live == 1
+    finally:
+        q.stop()
