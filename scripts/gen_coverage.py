@@ -156,6 +156,20 @@ math (`scalar_math_lineitem`), JSON (`scalar_json_events`), array
 | W7 per-key ordering | keyed state serializes per-txn; in-group event-time sort | `correlate._correlate_group` |
 | W8 backpressure | `maxFilesPerTrigger` / trigger pacing | `test_sources.py::test_rate_limited_stream_batches` |
 
+Custom stateful operators beyond the reference's surface (each with
+a value-verified batch twin or a bit-exact recompute pin):
+`streaming/correlate.py` (T12 state machine, both timeout kinds,
+failover resolve), `streaming/debounce.py` (per-key emission-anchored
+throttle), `streaming/neardup.py` (near-dup gate vs persisted
+signature index — idempotent epoch-keyed writes, selective
+band-pruned probe, bucket truncation for boilerplate bands),
+`streaming/leaderboard.py` (decayed activity scores from a per-day
+histogram state — emissions bit-identical to a from-scratch batch
+recompute at ANY micro-batch boundary, since a naive running-score
+halving fold drifts under truncating division), the streaming drift
+gate and ingest-time decontamination (`operators/text.py` twins),
+and `streaming/join.py` stream-stream joins.
+
 ## §2.11 UDF surface
 
 Stage API (`Step`) = arbitrary Column transforms; `mapInPandas`
