@@ -361,3 +361,60 @@ def eval_precision_at_k(spark: SparkSession, sf_dir: str):
             " THEN 1 END)) DIV count(1) AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+#: hard negatives kept per anchor
+HN_K = 3
+
+
+@register(
+    "similarity_hard_negatives",
+    f"""{_DOTS_DUCK},
+    negs AS (
+        SELECT probe_id, cand_id, cand_label, dot,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY dot DESC, cand_id) AS rnk
+        FROM dots WHERE cand_label <> probe_label)
+    SELECT CAST(probe_id AS BIGINT) AS anchor_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(cand_id AS BIGINT) AS negative_id,
+           CAST(cand_label AS BIGINT) AS negative_label,
+           CAST(dot AS BIGINT) AS dot
+    FROM negs WHERE rnk <= {HN_K}
+    """,
+    tags=("similarity", "hard_negatives", "contrastive", "topk",
+          "training_data"),
+    description=(
+        "hard-negative mining for contrastive training: each "
+        "anchor's top-3 highest-similarity DIFFERENT-label documents "
+        "(exact integer dot, (dot DESC, cand_id) total order) — the "
+        "negatives that actually teach a retriever/embedder, vs "
+        "random negatives that are trivially far.  Same bounded-"
+        "anchor broadcast as the MRR/precision probes; the per-anchor "
+        "ranking runs through salted_window_topk so an anchor's "
+        "corpus-sized candidate list never lands on one reducer.  At "
+        "100 TB the anchor set is a partitioned loop over the corpus "
+        "(each chunk broadcast in turn) or an ANN index probe "
+        "(similarity_ivf_selective) — the mining plan per chunk is "
+        "exactly this one"
+    ),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    dots = _probe_dots(spark, sf_dir)
+    negs = dots.filter(F.col("cand_label") != F.col("probe_label"))
+    topk = salted_window_topk(
+        negs,
+        "probe_id",
+        [F.desc("dot"), F.asc("cand_id")],
+        k=HN_K,
+        salt_on="cand_id",
+    )
+    return topk.select(
+        F.col("probe_id").cast("long").alias("anchor_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("cand_id").cast("long").alias("negative_id"),
+        F.col("cand_label").cast("long").alias("negative_label"),
+        F.col("dot").cast("long").alias("dot"),
+    )
