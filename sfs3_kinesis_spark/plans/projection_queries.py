@@ -418,3 +418,72 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str):
         F.col("cand_label").cast("long").alias("negative_label"),
         F.col("dot").cast("long").alias("dot"),
     )
+
+
+@register(
+    "eval_recall_at_k",
+    f"""{_DOTS_DUCK},
+    ranked AS (
+        SELECT probe_id, probe_label, cand_label, dot,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY dot DESC, cand_id) AS rnk
+        FROM dots),
+    rel AS (
+        SELECT probe_id, count(*) AS n_rel_total
+        FROM dots WHERE cand_label = probe_label GROUP BY probe_id),
+    hits AS (
+        SELECT probe_id,
+               count(*) FILTER (WHERE cand_label = probe_label)
+                   AS n_rel_topk
+        FROM ranked WHERE rnk <= {PREC_K} GROUP BY probe_id)
+    SELECT CAST(h.probe_id AS BIGINT) AS probe_id,
+           CAST(h.n_rel_topk AS BIGINT) AS n_rel_topk,
+           CAST(r.n_rel_total AS BIGINT) AS n_rel_total,
+           CAST(CASE WHEN r.n_rel_total = 0 THEN 0
+                ELSE (10000 * h.n_rel_topk) // r.n_rel_total
+                END AS BIGINT) AS recall_bp
+    FROM hits h JOIN rel r ON h.probe_id = r.probe_id
+    """,
+    tags=("eval", "retrieval", "recall_at_k", "topk", "similarity"),
+    description=(
+        "recall@10 of the embedding space per probe: the share of "
+        "ALL same-label documents that land in the probe's top-10 "
+        "exact-dot neighbors — precision@k's denominator counts the "
+        "cut, recall@k's counts the relevant population, and a "
+        "ranker can game either alone, so the pair ships together.  "
+        "Same salted per-probe top-k as eval_precision_at_k; the "
+        "relevant-population count is one map-side-combined "
+        "aggregate over the same dot table, joined back on the "
+        "16-row probe key"
+    ),
+)
+def eval_recall_at_k(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    dots = _probe_dots(spark, sf_dir)
+    rel = (
+        dots.filter(F.col("cand_label") == F.col("probe_label"))
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    topk = salted_window_topk(
+        dots,
+        "probe_id",
+        [F.desc("dot"), F.asc("cand_id")],
+        k=PREC_K,
+        salt_on="cand_id",
+    )
+    hits = topk.groupBy("probe_id").agg(
+        F.count(
+            F.when(F.col("cand_label") == F.col("probe_label"), 1)
+        ).alias("n_rel_topk")
+    )
+    return hits.join(rel, "probe_id").select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("n_rel_topk").cast("long").alias("n_rel_topk"),
+        F.col("n_rel_total").cast("long").alias("n_rel_total"),
+        F.expr(
+            "CAST(CASE WHEN n_rel_total = 0 THEN 0"
+            " ELSE (10000 * n_rel_topk) DIV n_rel_total END AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -69,7 +69,9 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def fold_score(day_cents: dict[int, int], as_of: int) -> int:
+def fold_score(
+    day_cents: dict[int, int], as_of: int, horizon_days: int = HORIZON_DAYS
+) -> int:
     """The shared exact fold: sum of per-day contributions, each
     halved once per day of age (truncating shift).  Used by the
     stateful operator AND the test's batch recompute, so the two
@@ -77,7 +79,7 @@ def fold_score(day_cents: dict[int, int], as_of: int) -> int:
     total = 0
     for d, c in day_cents.items():
         age = as_of - d
-        if 0 <= age < HORIZON_DAYS:
+        if 0 <= age < horizon_days:
             total += c >> age
     return total
 
@@ -113,7 +115,7 @@ def _make_group_fn(horizon_days: int):
             {
                 "user_id": [int(key[0])],
                 "as_of_day": [int(as_of)],
-                "score": [int(fold_score(hist, as_of))],
+                "score": [int(fold_score(hist, as_of, horizon_days))],
                 "n_days_live": [len(hist)],
             }
         )
