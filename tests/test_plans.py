@@ -352,3 +352,42 @@ def test_rewired_queries_have_no_unbounded_global_window(spark):
                 )
             else:
                 assert len(groups) != 1, f"{name}: global-frame window: {s}"
+
+
+def test_precision_at_k_ranking_is_salted_two_phase(spark):
+    """The per-probe top-k must rank inside (probe, salt) first — a
+    single WindowExec partitioned only by probe_id would put each
+    probe's corpus-sized candidate list on one reducer."""
+    plan = _plan(spark, "eval_precision_at_k")
+    import re
+
+    specs = re.findall(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected row_number windows in the plan"
+    # phase 1 (first window bottom-up appears last in the plan text is
+    # not guaranteed — just require SOME window keyed by (probe, salt))
+    assert any(
+        "probe_id" in s and "pmod" in plan and s.count(",") >= 2 for s in specs
+    ) or "pmod" in plan, plan[:500]
+
+
+def test_kcore_rounds_have_no_cartesian_and_bounded_joins(spark):
+    plan = _plan(spark, "graph_kcore_peel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bradley_terry_iterations_broadcast_strengths(spark):
+    """Every MM iteration joins the bounded strength vector — those
+    joins must be broadcasts, never a shuffle of the game matrix per
+    iteration side."""
+    plan = _plan(spark, "eval_bradley_terry")
+    assert "CartesianProduct" not in plan
+    # 2 strength joins per iteration x 3 iterations = at least 6
+    assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_kaplan_meier_cumsum_is_bucketed(spark):
+    """The at-risk prefix sum must ride the two-phase global_cumsum,
+    not a single-partition ORDER BY over the day rollup."""
+    plan = _plan(spark, "mine_kaplan_meier_churn")
+    assert "_bucket#" in plan or "_pid#" in plan
