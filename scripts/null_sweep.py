@@ -7,9 +7,10 @@ intact), then runs the full Spark-vs-DuckDB oracle compare on it.
 Both engines read the SAME nulled parquet, so a mismatch means the
 Spark query and its oracle SQL disagree about null semantics — not
 that either is "wrong" on the driver's fixture (whose value columns
-are non-null).  Measured at round 4: 235/277 agree; the 42 divergent
-queries trace to cross-engine null-behavior families the corpus
-conventions deliberately do not paper over:
+are non-null).  Measured at round 4 close: 252/295 agree; all 18
+round-4 wave-3-5 additions agree; the 43 divergent queries trace to
+cross-engine null-behavior families the corpus conventions
+deliberately do not paper over:
 
 * string concatenation (DuckDB ``concat`` skips NULLs; Spark's
   propagates),
