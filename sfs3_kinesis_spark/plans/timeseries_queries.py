@@ -280,3 +280,45 @@ def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str):
             " END AS BIGINT)"
         ).alias("wape_bp"),
     )
+
+
+@register(
+    "events_decayed_scores_per_user",
+    """
+    WITH r AS (
+        SELECT user_id,
+               (epoch_us(ts) // 1000000) // 86400 AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id, day),
+    m AS (
+        SELECT user_id, day, cents,
+               max(day) OVER (PARTITION BY user_id) AS as_of_day
+        FROM r)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(as_of_day AS BIGINT) AS as_of_day,
+           CAST(sum(cents >> CAST(as_of_day - day AS INT)) AS BIGINT)
+               AS score,
+           CAST(count(*) AS BIGINT) AS n_days_live
+    FROM m WHERE as_of_day - day < 62
+    GROUP BY user_id, as_of_day
+    """,
+    tags=("events", "decay", "leaderboard", "streaming_twin",
+          "exact_arithmetic"),
+    description=(
+        "per-user decayed activity score anchored on EACH USER'S own "
+        "newest day (vs events_decayed_leaderboard's global anchor + "
+        "top-20): per-(user, day) cents halve once per day of age via "
+        "truncating bit shifts — float exp() never enters, so the "
+        "score is bit-stable under any partitioning.  This is the "
+        "DuckDB-verified batch twin of the streaming "
+        "decayed-score tracker (streaming/leaderboard.py), whose "
+        "per-day histogram state emits exactly these rows at any "
+        "micro-batch boundary — the oracle closes the loop: "
+        "streaming state machine == batch DataFrame == ANSI SQL.  "
+        "One map-side-combined rollup + one per-user window over it"
+    ),
+)
+def events_decayed_scores_per_user(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.streaming.leaderboard import decayed_scores_batch
+
+    return decayed_scores_batch(t(spark, sf_dir, "events"))
