@@ -84,6 +84,25 @@ def fold_score(
     return total
 
 
+def update_hist(
+    hist: dict[int, int],
+    day_cents: list[tuple[int, int]],
+    horizon_days: int = HORIZON_DAYS,
+) -> tuple[dict[int, int], int]:
+    """The pure per-batch state transition: merge this batch's
+    (day, cents) contributions into the histogram, advance ``as_of``
+    to the newest day ever seen, and evict buckets past the horizon
+    (they fold to zero forever).  Shared by the stateful operator and
+    the split-invariance property test: folding update_hist over ANY
+    partition of the events into batches must equal one-shot
+    application — the module docstring's exactness claim."""
+    hist = dict(hist)
+    for d, v in day_cents:
+        hist[int(d)] = hist.get(int(d), 0) + int(v)
+    as_of = max(hist)
+    return {d: v for d, v in hist.items() if as_of - d < horizon_days}, as_of
+
+
 def _make_group_fn(horizon_days: int):
     def fn(
         key: Tuple,
@@ -104,11 +123,9 @@ def _make_group_fn(horizon_days: int):
         # pandas datetime64[ns] → epoch days
         day = (rows["ts"].astype("int64") // 1_000_000_000) // 86_400
         c = np.floor(rows["value"] * 100 + 0.5).astype("int64")
-        for d, v in zip(day.tolist(), c.tolist()):
-            hist[int(d)] = hist.get(int(d), 0) + int(v)
-        as_of = max(hist)
-        # evict buckets past the horizon — they fold to zero forever
-        hist = {d: v for d, v in hist.items() if as_of - d < horizon_days}
+        hist, as_of = update_hist(
+            hist, list(zip(day.tolist(), c.tolist())), horizon_days
+        )
         items = sorted(hist.items())
         state.update(([d for d, _ in items], [v for _, v in items]))
         yield pd.DataFrame(

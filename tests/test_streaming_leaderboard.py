@@ -179,3 +179,57 @@ def test_streaming_decayed_scores_checkpoint_restart(spark, tmp_path):
         assert rows[(1, DAY0 + 2)] == expect[(1, DAY0 + 2)]
     finally:
         q.stop()
+
+
+def test_update_hist_split_invariance_property():
+    """Hypothesis: folding the per-batch state transition over ANY
+    partition of the events into batches yields the same histogram,
+    as_of and score as one-shot application — the exactness property
+    the per-day-histogram state design exists to provide (a running
+    halved score would fail this under truncating division)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sfs3_kinesis_spark.streaming.leaderboard import (
+        HORIZON_DAYS,
+        fold_score,
+        update_hist,
+    )
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * HORIZON_DAYS),
+            st.integers(min_value=0, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(evs=events, data=st.data())
+    def run(evs, data):
+        # one-shot
+        hist_one, asof_one = update_hist({}, evs)
+        # random contiguous split into 1..5 non-empty batches
+        n_cuts = data.draw(st.integers(min_value=0, max_value=min(4, len(evs) - 1)))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=len(evs) - 1),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                    unique=True,
+                )
+            )
+            if n_cuts
+            else []
+        )
+        hist, asof = {}, None
+        prev = 0
+        for cut in cuts + [len(evs)]:
+            hist, asof = update_hist(hist, evs[prev:cut])
+            prev = cut
+        assert (hist, asof) == (hist_one, asof_one)
+        assert fold_score(hist, asof) == fold_score(hist_one, asof_one)
+
+    run()
