@@ -166,7 +166,12 @@ band-pruned probe, bucket truncation for boilerplate bands),
 `streaming/leaderboard.py` (decayed activity scores from a per-day
 histogram state — emissions bit-identical to a from-scratch batch
 recompute at ANY micro-batch boundary, since a naive running-score
-halving fold drifts under truncating division), the streaming drift
+halving fold drifts under truncating division; state transition is a
+pure function with a hypothesis split-invariance proof),
+`streaming/quantiles.py` (log2-bucket latency p50/p95/p99 from 64
+mergeable bucket counts per key + exact integer quantile reads —
+matches the batch twin under per-key-ordered arrival, quantile rule
+property-tested against the ceiling-rank pick), the streaming drift
 gate and ingest-time decontamination (`operators/text.py` twins),
 and `streaming/join.py` stream-stream joins.
 
