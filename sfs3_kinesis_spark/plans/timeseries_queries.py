@@ -322,3 +322,66 @@ def events_decayed_scores_per_user(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.streaming.leaderboard import decayed_scores_batch
 
     return decayed_scores_batch(t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_latency_quantiles_per_user",
+    """
+    WITH g AS (
+        SELECT user_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts),
+                         ts) AS gap_s
+        FROM events),
+    b AS (
+        SELECT user_id,
+               CASE WHEN gap_s <= 0 THEN 0
+                    ELSE length(bin(CAST(gap_s AS BIGINT))) END AS bucket
+        FROM g WHERE gap_s IS NOT NULL),
+    r AS (SELECT user_id, bucket, count(*) AS c FROM b
+          GROUP BY user_id, bucket),
+    cum AS (
+        SELECT user_id, bucket, c,
+               sum(c) OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(c) OVER (PARTITION BY user_id) AS n
+        FROM r),
+    pick AS (
+        SELECT user_id, max(n) AS n_gaps,
+               min(CASE WHEN 100 * cum >= 50 * n THEN bucket END) AS b50,
+               min(CASE WHEN 100 * cum >= 95 * n THEN bucket END) AS b95,
+               min(CASE WHEN 100 * cum >= 99 * n THEN bucket END) AS b99
+        FROM cum GROUP BY user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(CASE WHEN b50 = 0 THEN 0 ELSE (1::BIGINT << (b50 - 1))
+                END AS BIGINT) AS p50_floor_s,
+           CAST(CASE WHEN b95 = 0 THEN 0 ELSE (1::BIGINT << (b95 - 1))
+                END AS BIGINT) AS p95_floor_s,
+           CAST(CASE WHEN b99 = 0 THEN 0 ELSE (1::BIGINT << (b99 - 1))
+                END AS BIGINT) AS p99_floor_s
+    FROM pick
+    """,
+    tags=("events", "quantile", "observability", "streaming_twin",
+          "exact_arithmetic"),
+    description=(
+        "per-user log2-bucket latency quantiles: inter-event gaps "
+        "bucketed by bit length (the HDR layout of "
+        "events_latency_log2_histogram, here PER KEY) with exact "
+        "integer quantile picks — the smallest bucket where "
+        "100*cum >= q*n, i.e. the ceiling-rank value of the sorted "
+        "gap multiset; no floats, bit-stable everywhere.  This is "
+        "the DuckDB-verified batch twin of the streaming quantile "
+        "tracker (streaming/quantiles.py), whose 64-count mergeable "
+        "state emits exactly these rows under per-key-ordered "
+        "arrival.  One keyed window for the gap, one keyed rollup "
+        "(<= 64 rows/user), quantiles off the rollup — never a "
+        "per-user sort of raw gaps"
+    ),
+)
+def events_latency_quantiles_per_user(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.streaming.quantiles import latency_quantiles_batch
+
+    return latency_quantiles_batch(t(spark, sf_dir, "events"))
