@@ -373,6 +373,45 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str,
+    file_partitions: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout — the zone-map posture for the
+    columns you FILTER on but cannot afford to directory-partition by
+    (high-cardinality timestamps, ids): ``repartitionByRange`` +
+    ``sortWithinPartitions`` gives every output file a narrow,
+    pairwise non-overlapping [min, max] on the cluster column, so
+
+    * parquet row-group stats prune most of each file for a range
+      predicate even in the vanilla reader, and
+    * a table format's file-level stats index (Delta/Iceberg zone
+      maps) can skip whole files — the layout contract is what this
+      writer guarantees; the skipping engine is whichever reader sits
+      on top.
+
+    Hive partitioning (write_partitioned) answers low-cardinality
+    equality pruning; range clustering answers high-cardinality range
+    pruning.  A 100 TB fact table wants both: partition by the coarse
+    calendar key, range-cluster inside each partition by event time.
+    Equal cluster-key rows land in ONE partition (range partitioner
+    invariant), so file ranges can touch at boundaries but never
+    interleave — audited by ``tests/test_partitioning.py``.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(file_partitions, F.col(cluster_by))
+        .sortWithinPartitions(cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 #: writer-side twin of stream.KINESIS_SOURCE_FORMAT / reader options
 KINESIS_SINK_FORMAT = "aws-kinesis"
 
