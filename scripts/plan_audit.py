@@ -118,6 +118,15 @@ BNLJ_ALLOWED = {
     # by construction; the full-table projection itself is an
     # equi-broadcast-join + map-side-combined partial sum
     "feature_random_projection": 2,
+    # ONE 1-row broadcast (the n_total / probe-vector scalar) whose
+    # subtree feeds both the bucket-count branch and the rank branch
+    # of the two-phase global_rank/global_cumsum; since r05 removed
+    # the localCheckpoint pin (r04 verdict item 3) the static plan
+    # PRINTS the subtree twice — at runtime the persist() inside
+    # _bucketed materializes it once, so this is one bounded BNLJ,
+    # not two
+    "mine_kaplan_meier_churn": 2,
+    "retrieval_rrf_hybrid": 2,
     # three ONE-ROW broadcasts: the (nt, k) corpus-totals row joined
     # onto the |languages| rollup (appearing twice because the weight
     # frame feeds both the reweighted-mass aggregate and the final

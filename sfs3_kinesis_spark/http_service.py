@@ -57,10 +57,15 @@ class EngineHttpService:
         host: str = "127.0.0.1",
         port: int = 0,
         request_budget_s: float = REQUEST_BUDGET_S,
+        poll_s: float = 0.25,
     ):
         self.engine = engine
         self._host, self._port = host, port
         self.budget = request_budget_s
+        #: per-held-request poll cadence; each poll is one point
+        #: lookup, so under heavy concurrency (hundreds of held
+        #: sockets) a coarser cadence trades latency for poll load
+        self.poll_s = poll_s
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -125,7 +130,7 @@ class EngineHttpService:
                     self._reply(202, {"txn_id": txn_id, "status": "RUNNING"})
                     return
                 status = service.engine.await_completion(
-                    txn_id, timeout_s=service.budget
+                    txn_id, timeout_s=service.budget, poll_s=service.poll_s
                 )
                 # the reference's terminal routing (svckinesis.js:102-124):
                 # SUCCEEDED → 200, FAILED → 400, budget lapse → 500

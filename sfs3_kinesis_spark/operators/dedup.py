@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sfs3_kinesis_spark.operators.scale import lineage_pin
+
 FINGERPRINT_MOD = 1_000_000_007
 
 
@@ -346,11 +348,15 @@ def connected_components(
     Near-dup LSH cliques still converge at the first check.
 
     Each round is two key-shuffle joins + one groupBy; labels are
-    ``localCheckpoint``ed per round, which both materializes them
-    AND truncates the logical plan — without it the plan tree grows
-    geometrically per round and Catalyst planning time, not the
-    data, becomes the bottleneck.  Convergence is a changed-vertex
-    count — one tiny driver scalar per round.
+    pinned per round via :func:`~sfs3_kinesis_spark.operators.scale.
+    lineage_pin` (a RELIABLE checkpoint when a checkpoint dir is
+    configured — the session factory sets one — so executor loss
+    recovers by re-reading checkpoint files instead of failing the
+    job), which both materializes them AND truncates the logical
+    plan — without it the plan tree grows geometrically per round
+    and Catalyst planning time, not the data, becomes the
+    bottleneck.  Convergence is a changed-vertex count — one tiny
+    driver scalar per round.
 
     Returns (vertex, component) with component = min doc_id of the
     cluster; singleton vertices (no pair) are absent — callers union
@@ -382,7 +388,7 @@ def connected_components(
         edges.groupBy(f.col("src").alias("vertex"))
         .agg(f.min("dst").alias("_nbr_min"))
         .select("vertex", f.least(f.col("vertex"), f.col("_nbr_min")).alias("component"))
-        .localCheckpoint()
+        .transform(lineage_pin)
     )
     # try/finally so the persisted edge table is released on EVERY
     # exit — the non-convergence raise included (r02 ADVICE: the
@@ -407,7 +413,7 @@ def connected_components(
                 nbr.join(parent, nbr.c1 == f.col("_pv"))
                 .select("vertex", f.col("_pc").alias("new_component"))
             )
-            joined = labels.join(jumped, "vertex").localCheckpoint()
+            joined = lineage_pin(labels.join(jumped, "vertex"))
             changed = joined.filter(f.col("component") != f.col("new_component")).count()
             labels = joined.select("vertex", f.col("new_component").alias("component"))
             if changed == 0:

@@ -60,25 +60,37 @@ class Step:
     host-language stage functions (``aprocess.js:64-135``; the
     reference's UDF surface, SURVEY.md §2.11).
 
-    ``gate_on``: name of the stage column whose presence is this
-    stage's precondition (``None`` == always run, like
-    ``stepAInputPredicate`` at ``aprocess.js:192-194``).
+    ``gate_on``: name (or tuple of names — ANDed) of the column(s)
+    whose presence is this stage's precondition (``None`` == always
+    run, like ``stepAInputPredicate`` at ``aprocess.js:192-194``).
+    A gate column may be a PRIOR STAGE's output (the reference's
+    "previous key exists" predicate) or an EXTERNAL side-input column
+    (the reference's S3 document read, whose absence raises
+    ``S3DataPreconditionError`` and is retried with backoff,
+    ``serverless.yml:80-85`` — the cross-micro-batch requeue lives in
+    ``streaming.incremental.RetryingIncrementalPipeline``).
 
     ``fail_if``: optional fault-injection predicate; rows matching it
     behave like a thrown stage error (output NULL → every later gate
     blocks → terminal status FAILED, mirroring ``aprocess.js:78-82``).
+    Stage ERRORS are terminal in the reference (caught and published
+    FAILED immediately); only PRECONDITION misses are retryable.
     """
 
     name: str
     output_col: str
     result: Column
-    gate_on: Optional[str] = None
+    gate_on: Optional[str | tuple[str, ...]] = None
     fail_if: Optional[Column] = None
 
     def predicate(self) -> Column:
         if self.gate_on is None:
             return F.lit(True)
-        return F.col(self.gate_on).isNotNull()
+        gates = (self.gate_on,) if isinstance(self.gate_on, str) else tuple(self.gate_on)
+        pred = F.lit(True)
+        for g in gates:
+            pred = pred & F.col(g).isNotNull()
+        return pred
 
 
 def reference_steps() -> list[Step]:
@@ -152,6 +164,21 @@ def run_pipeline(requests: DataFrame, steps: Optional[Sequence[Step]] = None) ->
         F.when(F.col(terminal).isNotNull(), F.lit(SUCCEEDED)).otherwise(F.lit(FAILED)),
     )
     return df
+
+
+def faulted_expr(steps: Sequence[Step]) -> Column:
+    """True where ANY stage's ``fail_if`` fault predicate fired — a
+    thrown stage ERROR in reference terms, which is terminal
+    (``aprocess.js:78-82`` publishes FAILED immediately).  Used by the
+    retrying incremental pipeline to separate terminal errors from
+    retryable PRECONDITION misses (``S3DataPreconditionError``,
+    ``serverless.yml:80-85``): a FAILED row with no fault can only be
+    a gate miss, i.e. an input that has not arrived yet."""
+    pred = F.lit(False)
+    for step in steps:
+        if step.fail_if is not None:
+            pred = pred | F.coalesce(step.fail_if, F.lit(False))
+    return pred
 
 
 def status_events(state: DataFrame, event_time: Optional[Column] = None) -> DataFrame:

@@ -240,13 +240,14 @@ def domain_cap(
 
 def curriculum_stages(
     df: DataFrame,
-    order_exprs: list,
+    order_by: list[str],
     *,
     n_stages: int,
     out_col: str = "stage",
 ) -> DataFrame:
     """Curriculum bucketing: assign every document a training stage
-    1..``n_stages`` by its global rank under ``order_exprs`` (the
+    1..``n_stages`` by its global rank under ``order_by`` (column
+    names, ``-`` prefix for descending — the global_rank spec; the
     difficulty/quality axis — e.g. short-and-clean first), stage
     boundaries exact: ``stage = ((rank-1) * n_stages) div n + 1``
     (pure integer arithmetic, so the oracle reproduces it bit-for-bit
@@ -256,12 +257,12 @@ def curriculum_stages(
     Scale shape: the global rank is the two-phase
     :func:`~sfs3_kinesis_spark.operators.scale.global_rank` (no
     single-reducer sort); ``n`` is a 1-row aggregate broadcast back.
-    Callers must make ``order_exprs`` a total order (tie-break on a
+    Callers must make ``order_by`` a total order (tie-break on a
     unique key).
     """
     from sfs3_kinesis_spark.operators.scale import global_rank
 
-    ranked = global_rank(df, order_exprs, out_col="_cur_rnk")
+    ranked = global_rank(df, order_by, out_col="_cur_rnk")
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_cur_n"))
     return (
         ranked.crossJoin(F.broadcast(n))

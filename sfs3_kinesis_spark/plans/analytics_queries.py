@@ -502,7 +502,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_rank
 
     tot = waits.agg(F.count(F.lit(1)).alias("n"))
-    r = global_rank(waits, [F.asc("wait_s"), F.asc("user_id")], out_col="rn").join(
+    r = global_rank(waits, ["wait_s", "user_id"], out_col="rn").join(
         F.broadcast(tot)
     )
     return r.agg(
@@ -574,9 +574,9 @@ def mine_rfm_segmentation(spark: SparkSession, sf_dir: str):
     # broadcast instead of an unpartitioned COUNT window (r02 verdict
     # item #5)
     tot = base.agg(F.count(F.lit(1)).alias("n"))
-    r = global_rank(base, [F.desc("last_day"), F.asc("o_custkey")], out_col="rr")
-    r = global_rank(r, [F.desc("freq"), F.asc("o_custkey")], out_col="rf")
-    r = global_rank(r, [F.desc("monetary"), F.asc("o_custkey")], out_col="rm")
+    r = global_rank(base, ["-last_day", "o_custkey"], out_col="rr")
+    r = global_rank(r, ["-freq", "o_custkey"], out_col="rf")
+    r = global_rank(r, ["-monetary", "o_custkey"], out_col="rm")
     r = r.join(F.broadcast(tot))
     score = "5 - (5 * ({r} - 1)) DIV n"
     return r.select(
@@ -685,7 +685,7 @@ def mine_lorenz_concentration(spark: SparkSession, sf_dir: str):
         F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_users")
     )
     r = global_cumsum(
-        u, [F.desc("n"), F.asc("user_id")], {"n": "cum", "one": "rk"}
+        u, ["-n", "user_id"], {"n": "cum", "one": "rk"}
     ).join(F.broadcast(tots))
     at80 = F.min(F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rk")))
     return r.agg(

@@ -153,7 +153,7 @@ def eval_auc_rank_sum(spark: SparkSession, sf_dir: str):
         F.sum("pos").alias("np"),
         F.sum(F.lit(1) - F.col("pos")).alias("nn"),
     )
-    c = global_cumsum(g, [F.asc("score_q")], {"nn": "cnn"})
+    c = global_cumsum(g, ["score_q"], {"nn": "cnn"})
     return c.agg(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum("nn").cast("long").alias("n_neg"),
@@ -436,7 +436,7 @@ def eval_calibration_deciles(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_rank
 
     b = _scored(spark, sf_dir)
-    r = global_rank(b, [F.asc("score_q"), F.asc("vec_id")], out_col="rnk")
+    r = global_rank(b, ["score_q", "vec_id"], out_col="rnk")
     n = b.agg(F.count(F.lit(1)).alias("n"))
     p = (
         r.crossJoin(F.broadcast(n))

@@ -1713,7 +1713,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str):
     # runs the two-phase bucketed prefix sum, and peak/first-peak fold
     # in the final aggregate via a max_by pair instead of a global MAX
     # window (r02 verdict item #5)
-    sweep = global_cumsum(grouped, [F.asc("us")], {"dsum": "concurrency"})
+    sweep = global_cumsum(grouped, ["us"], {"dsum": "concurrency"})
     return sweep.agg(
         F.max("concurrency").cast("long").alias("peak_concurrency"),
         (

@@ -251,7 +251,7 @@ def feature_onehot_vocab(spark: SparkSession, sf_dir: str):
     # the category table is a vocabulary — unbounded in principle
     # (high-cardinality categoricals), so the index assignment is the
     # two-phase bucketed global_rank, not a single-partition window
-    ranked = global_rank(g, [F.desc("n"), F.asc("source")], out_col="_rk")
+    ranked = global_rank(g, ["-n", "source"], out_col="_rk")
     return ranked.join(F.broadcast(tot)).select(
         "source",
         (F.col("_rk") - 1).cast("long").alias("onehot_idx"),
@@ -522,7 +522,7 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str):
         F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )
     total = o.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    r = global_rank(o, [F.col("cents").asc(), F.col("o_orderkey").asc()])
+    r = global_rank(o, ["cents", "o_orderkey"])
     binned = r.join(F.broadcast(total)).select(
         "cents", F.expr("CAST((rnk - 1) * 10 DIV n AS BIGINT)").alias("bin")
     )

@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sfs3_kinesis_spark.operators.scale import lineage_pin
 from sfs3_kinesis_spark.plans.core import register, t
 
 #: shared constants — one source of truth for the Spark callable AND
@@ -296,8 +297,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str):
         .select("u", "v")
         # every round re-reads the previous round's edge set twice
         # (degree build + the filter join) — pin each round's frame so
-        # the whole prefix is not recomputed 2^rounds times
-        .localCheckpoint(eager=False)
+        # the whole prefix is not recomputed 2^rounds times; reliable
+        # checkpoint (recomputable on executor loss) when a checkpoint
+        # dir is configured, which the session factory guarantees
+        .transform(lambda d: lineage_pin(d, eager=False))
     )
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -311,7 +314,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str):
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(lambda d: lineage_pin(d, eager=False))
         )
     return (
         edges.select(F.col("u").alias("node"))

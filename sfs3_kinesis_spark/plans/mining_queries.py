@@ -1210,7 +1210,7 @@ def mine_abc_classification(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_cumsum
 
     r = global_cumsum(
-        pr, [F.desc("cents"), F.asc("l_partkey")], {"cents": "cum"}
+        pr, ["-cents", "l_partkey"], {"cents": "cum"}
     ).join(F.broadcast(pr.agg(F.sum("cents").alias("tot"))))
     cls = r.withColumn(
         "abc",
@@ -1480,7 +1480,7 @@ def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
     g = c.groupBy("cents").agg(
         F.sum("is_a").alias("a_cnt"), F.count(F.lit(1)).alias("ties")
     )
-    cum = global_cumsum(g, [F.asc("cents")], {"ties": "cum_ties"})
+    cum = global_cumsum(g, ["cents"], {"ties": "cum_ties"})
     r = cum.withColumn("min_rank", F.col("cum_ties") - F.col("ties") + 1)
     w2 = F.sum(F.col("a_cnt") * (2 * F.col("min_rank") + F.col("ties") - 1))
     na = F.sum("a_cnt")
@@ -1544,7 +1544,7 @@ def mine_ks_two_sample(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_cumsum
 
     tots = g.agg(F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb"))
-    cum = global_cumsum(g, [F.asc("cents")], {"a_cnt": "ca", "b_cnt": "cb"}).join(
+    cum = global_cumsum(g, ["cents"], {"a_cnt": "ca", "b_cnt": "cb"}).join(
         F.broadcast(tots)
     )
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))

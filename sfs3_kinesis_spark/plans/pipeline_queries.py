@@ -82,3 +82,70 @@ def pipeline_fail_path(spark: SparkSession, sf_dir: str):
     )
     state = run_pipeline(_requests(spark, sf_dir), steps)
     return state.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "pipeline_retry_exhausted",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS txn_id,
+           CASE WHEN doc_id % 6 <= 2 THEN 'SUCCEEDED' ELSE 'FAILED' END AS status,
+           CAST(CASE WHEN doc_id % 6 <= 2 THEN doc_id % 6 + 1 ELSE 3 END
+                AS INTEGER)        AS attempts
+    FROM documents
+    """,
+    tags=("pipeline", "retry", "cross_batch", "exhaustion"),
+    description=(
+        "cross-micro-batch precondition retry (r04 verdict top item): "
+        "every doc is a request at epoch 0, but its side document — the "
+        "stage-C precondition (serverless.yml:80-85 "
+        "S3DataPreconditionError) — arrives at epoch doc_id%6.  The "
+        "REAL RetryingIncrementalPipeline runs 4 micro-batches against "
+        "a state store: docs arriving by epoch 2 succeed with attempts "
+        "= arrival+1; later arrivals exhaust MaxAttempts=3 and go "
+        "terminal FAILED (T9 routing).  The oracle is the closed form "
+        "of that schedule — the engine must REACH it by actually "
+        "requeuing rows across batches"
+    ),
+)
+def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("txn_id"),
+        (F.col("doc_id") % 6).alias("_arrival"),
+    )
+    requests = docs.select("txn_id", F.lit("{}").alias("request"))
+    epoch_cell = [0]
+
+    def side_input():
+        # the side table AS OF the current epoch: documents whose
+        # arrival epoch has passed (the eventually-consistent read)
+        return docs.filter(F.col("_arrival") <= F.lit(epoch_cell[0])).select(
+            "txn_id", F.lit("{}").alias("side_doc")
+        )
+
+    steps = reference_steps()
+    c = steps[2]
+    steps[2] = Step(c.name, c.output_col, c.result, gate_on=("step_b_output", "side_doc"))
+    tmp = tempfile.mkdtemp(prefix="retry_store_")
+    try:
+        sink = KeyedUpsertSink(spark, tmp)
+        pipe = RetryingIncrementalPipeline(
+            sink, steps, side_input, max_attempts=3, backoff_epochs=0
+        )
+        empty = requests.limit(0)
+        for epoch in range(4):
+            epoch_cell[0] = epoch
+            pipe.process_batch(requests if epoch == 0 else empty, epoch)
+        # materialize before the store dir is removed (the returned
+        # frame must not hold lineage into the tempdir)
+        rows = (
+            sink.current().select("txn_id", "status", "attempts").collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "txn_id string, status string, attempts int")

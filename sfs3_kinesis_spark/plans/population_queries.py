@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from sfs3_kinesis_spark.operators.scale import lineage_pin
 from sfs3_kinesis_spark.plans.core import register, t
 
 #: Bradley–Terry: player-set size, strength scale, MM iterations
@@ -164,7 +165,8 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str):
         .select("p")
         # feeds the member build, the init vector and every
         # iteration's frame — pin so the top-N agg runs once
-        .localCheckpoint(eager=False)
+        # (reliable checkpoint under the session-default checkpoint dir)
+        .transform(lambda d: lineage_pin(d, eager=False))
     )
     member = lq.join(F.broadcast(players), "p").select("o", "p", "q")
     a, b = member.alias("a"), member.alias("b")
@@ -196,7 +198,8 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str):
             (F.coalesce("w", F.lit(0)) + F.coalesce("wr", F.lit(0))).alias("n"),
         )
         # referenced by every iteration — pin the bounded game matrix
-        .localCheckpoint(eager=False)
+        # (reliable checkpoint under the session-default checkpoint dir)
+        .transform(lambda d: lineage_pin(d, eager=False))
     )
     wins = g.groupBy("i").agg(
         F.sum("w").alias("wi"), F.sum("n").alias("ni")
@@ -327,7 +330,7 @@ def mine_kaplan_meier_churn(spark: SparkSession, sf_dir: str):
     )
     cum = global_cumsum(
         ev.withColumn("out", F.col("d_churn") + F.col("c_censor")),
-        [F.asc("day")],
+        ["day"],
         {"out": "cum_out"},
     )
     return cum.select(

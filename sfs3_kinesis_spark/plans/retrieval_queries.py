@@ -232,7 +232,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str):
     # the keyword candidate list is corpus-sized for a common term —
     # rank it with the two-phase bucketed global_rank, never an
     # unpartitioned window (r02 verdict item #5)
-    kr = global_rank(kw, [F.desc("tf"), F.asc("doc_id")], out_col="r_kw").select(
+    kr = global_rank(kw, ["-tf", "doc_id"], out_col="r_kw").select(
         "doc_id", "r_kw"
     )
     q = emb.select(
@@ -247,7 +247,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str):
         "vec_id",
         F.expr("aggregate(zip_with(vi, pv, (x, y) -> x * y), 0L, (s, x) -> s + x)").alias("dot"),
     )
-    vr = global_rank(dots, [F.desc("dot"), F.asc("vec_id")], out_col="r_vec").select(
+    vr = global_rank(dots, ["-dot", "vec_id"], out_col="r_vec").select(
         "vec_id", "r_vec"
     )
     return kr.join(vr, kr["doc_id"] == vr["vec_id"]).select(
@@ -1074,7 +1074,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str):
     )
     # |slabs| grows with the corpus (docs/50) — two-phase bucketed
     # prefix sum instead of a single-partition running total
-    return global_cumsum(b, [F.asc("bucket")], {"new_terms": "cumulative_vocab"}).select(
+    return global_cumsum(b, ["bucket"], {"new_terms": "cumulative_vocab"}).select(
         F.col("bucket").cast("long").alias("doc_bucket_50"),
         F.col("new_terms").cast("long").alias("new_terms"),
         F.col("cumulative_vocab").cast("long").alias("cumulative_vocab"),

@@ -579,7 +579,7 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str):
 def sample_curriculum_stages(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return sampling.curriculum_stages(
-        d, [F.asc("n_chars"), F.asc("doc_id")], n_stages=4
+        d, ["n_chars", "doc_id"], n_stages=4
     ).select("doc_id", "stage")
 
 

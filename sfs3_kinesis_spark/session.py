@@ -14,6 +14,7 @@ JSON world of the reference (`aprocess.js` never range-checks).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -53,9 +54,25 @@ def get_spark(app_name: str = "sfs3_kinesis_spark", *, shuffle_partitions: int |
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # reliable-checkpoint files are reclaimed when their RDD is GC'd
+        # (otherwise every lineage_pin call leaks a checkpoint dir)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if spark.sparkContext.getCheckpointDir() is None:
+        # reliable-checkpoint home for the iterative operators
+        # (connected components, k-core peeling, Bradley-Terry):
+        # with a checkpoint dir configured, operators.scale.lineage_pin
+        # writes recomputable checkpoint files instead of executor-local
+        # blocks, so losing an executor on a real (spot/preemptible)
+        # cluster recovers instead of failing the job.  On a cluster
+        # this should point at HDFS/S3; locally a tmp dir models it.
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(
+                tempfile.gettempdir(), f"sfs3-ckpt-{os.getpid()}"
+            )
+        )
     return spark

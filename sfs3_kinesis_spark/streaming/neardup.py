@@ -21,7 +21,20 @@ primitives:
   collided in a band ever enter the verify join (plan-asserted in
   ``tests/test_streaming_dedup.py``);
 * append the batch's keys + shingles to the index (delta-append,
-  O(batch) per epoch — the same LSM posture as KeyedUpsertSink).
+  O(batch) per epoch — the same LSM posture as KeyedUpsertSink);
+* every ``compact_every`` epochs, fold the accumulated
+  ``epoch=N`` delta directories into a base GENERATION
+  (``bands_base/g<G>/``) and atomically flip a manifest — the
+  KeyedUpsertSink LSM discipline applied to the index (r04 verdict
+  "what's wrong #1": without compaction a 1.5 s trigger writes ~57k
+  epoch directories a day and the per-batch history read pays
+  file-listing + footer costs that grow without bound).  The
+  manifest's ``max_epoch`` high-water mark keeps retry idempotency:
+  only epochs STRICTLY BEFORE the current one are ever folded, so a
+  crashed-and-retried epoch still overwrites exactly its own delta
+  directories, and delta reads skip ``epoch <= max_epoch`` so
+  leftover folded dirs (a crash between the manifest flip and the
+  delta deletes) are invisible rather than double-counted.
 
 Exactly-once under foreachBatch's at-least-once retry contract: every
 write is EPOCH-KEYED — each batch lands in ``<dir>/epoch=<id>/`` with
@@ -112,8 +125,10 @@ class StreamingNearDup:
         jaccard_threshold: float = 0.5,
         max_candidates_per_doc: int | None = 64,
         max_bucket_size: int | None = _DEFAULT_BUCKET_SIZE,
+        compact_every: int | None = 16,
     ):
         self.spark = spark
+        self.root = root
         self.bands_dir = os.path.join(root, "bands")
         self.shingles_dir = os.path.join(root, "shingles")
         self.matches_dir = os.path.join(root, "matches")
@@ -128,27 +143,156 @@ class StreamingNearDup:
             # break it, so the bound defaults off there
             max_bucket_size = 64 if max_candidates_per_doc is not None else None
         self.max_bucket_size = max_bucket_size
+        #: fold the epoch deltas into a base generation whenever more
+        #: than this many delta dirs exist (None = never — the
+        #: pre-r05 unbounded-accretion behavior, tests only)
+        self.compact_every = compact_every
+
+    # -- generation manifest -------------------------------------------- #
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+    def _manifest(self) -> dict:
+        """{"bands": {"gen": G, "max_epoch": E}, "shingles": {...}} —
+        gen 0 / max_epoch -2 means "no base generation" (epoch=-1 is
+        the legacy-migration partition, so the empty high-water must
+        sit below it)."""
+        import json
+
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _write_manifest(self, m: dict) -> None:
+        """Atomic flip (tmp + rename) — the manifest IS the commit
+        point of a compaction; readers never see a half-built base."""
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _base_dir(self, delta_dir: str, gen: int) -> str:
+        return f"{delta_dir}_base/g{int(gen)}"
 
     # -- reads --------------------------------------------------------- #
 
     def _read(self, path: str, *, before_epoch: int | None = None) -> DataFrame | None:
-        """Read an epoch-partitioned index directory.  ``before_epoch``
-        filters to strictly earlier epochs (partition-pruned — the
-        filter is on the directory key, so a retried epoch never scans
-        its own first attempt)."""
-        if not _has_parquet(path):
+        """Read one index store: base generation (if a compaction has
+        committed one) + the epoch-partitioned delta tail.
+
+        ``before_epoch`` filters to strictly earlier epochs
+        (partition-pruned on the delta side — the filter is on the
+        directory key, so a retried epoch never scans its own first
+        attempt).  Deltas at or below the manifest's ``max_epoch``
+        high-water mark are skipped: their rows live in the base, and
+        leftover delta dirs from a crash between the manifest flip
+        and the delta deletes must be invisible, not double-counted.
+        """
+        key = os.path.basename(path)
+        entry = self._manifest().get(key, {})
+        gen, hw = int(entry.get("gen", 0)), int(entry.get("max_epoch", -2))
+        parts = []
+        if gen > 0:
+            base = self.spark.read.parquet(self._base_dir(path, gen))
+            if before_epoch is not None:
+                # the base only holds epochs <= hw < any live epoch,
+                # so this prunes nothing in steady state — it matters
+                # only for time-travel style reads below the high water
+                base = base.filter(F.col("epoch") < F.lit(int(before_epoch)))
+            parts.append(base)
+        if _has_parquet(path):
+            df = self.spark.read.parquet(path)
+            if "epoch" not in df.columns:
+                # pre-epoch-layout store (flat append-mode files written
+                # before the idempotent rewrite): no partition key means
+                # every row predates the current stream — treat the whole
+                # directory as history instead of crashing on an
+                # unresolved column
+                parts.append(df.withColumn("epoch", F.lit(-1).cast("int")))
+            else:
+                df = df.filter(F.col("epoch") > F.lit(hw))
+                if before_epoch is not None:
+                    df = df.filter(F.col("epoch") < F.lit(int(before_epoch)))
+                parts.append(df)
+        if not parts:
             return None
-        df = self.spark.read.parquet(path)
-        if "epoch" not in df.columns:
-            # pre-epoch-layout store (flat append-mode files written
-            # before the idempotent rewrite): no partition key means
-            # every row predates the current stream — treat the whole
-            # directory as history instead of crashing on an
-            # unresolved column
-            return df
-        if before_epoch is not None:
-            df = df.filter(F.col("epoch") < F.lit(int(before_epoch)))
-        return df
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact(self, upto_epoch: int) -> None:
+        """Fold every delta directory with ``epoch <= upto_epoch``
+        into the next base generation for both per-batch stores
+        (bands + shingles) — the KeyedUpsertSink LSM discipline.
+
+        Protocol (crash-safe at every step):
+
+        1. write base ``g<G+1>`` = old base + qualifying deltas into a
+           FRESH directory (a crash here leaves an orphan the manifest
+           never references; the retry overwrites it);
+        2. atomically flip the manifest (gen=G+1, max_epoch) — the
+           commit point: reads now see the new base and skip deltas
+           ``<= max_epoch``;
+        3. best-effort delete of the folded delta dirs and the old
+           base (a crash here leaves dirs that step 2 already made
+           invisible — cleaned on the next compaction pass).
+
+        Callers must pass ``upto_epoch`` STRICTLY BELOW the live
+        epoch: the current epoch's delta dirs are the retry-overwrite
+        unit and must stay addressable.  ``matches/`` is an
+        append-only RESULT log, never read on the hot path, so it is
+        left un-compacted (compact it offline with
+        ``operators.scale.compact_small_files`` if its listing cost
+        ever matters).
+        """
+        import shutil
+
+        m = self._manifest()
+        for path in (self.bands_dir, self.shingles_dir):
+            key = os.path.basename(path)
+            entry = m.get(key, {})
+            gen, hw = int(entry.get("gen", 0)), int(entry.get("max_epoch", -2))
+            if upto_epoch <= hw:
+                continue
+            # flat legacy files must be inside epoch=-1/ BEFORE the
+            # fold, or they would survive the delta deletes and
+            # double-count against their own folded copies
+            self._migrate_flat_layout(path)
+            cur = self._read(path, before_epoch=upto_epoch + 1)
+            if cur is None:
+                continue
+            new_base = self._base_dir(path, gen + 1)
+            # epoch preserved as a plain column: reads stay uniform
+            # and the high-water invariant (base epochs <= max_epoch)
+            # is auditable from the data itself
+            cur.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
+                "overwrite"
+            ).parquet(new_base)
+            m[key] = {"gen": gen + 1, "max_epoch": int(upto_epoch)}
+            self._write_manifest(m)
+            if gen > 0:
+                shutil.rmtree(self._base_dir(path, gen), ignore_errors=True)
+            if os.path.isdir(path):
+                for d in os.listdir(path):
+                    if d.startswith("epoch="):
+                        try:
+                            ep = int(d.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if ep <= upto_epoch:
+                            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    def _delta_dir_count(self) -> int:
+        if not os.path.isdir(self.bands_dir):
+            return 0
+        return sum(1 for d in os.listdir(self.bands_dir) if d.startswith("epoch="))
 
     def matches(self) -> DataFrame | None:
         """The append-only match log (new_doc_id, dup_of, jaccard,
@@ -344,6 +488,17 @@ class StreamingNearDup:
             self._write_epoch(
                 sh.select("doc_id", "shingles"), self.shingles_dir, epoch_id
             )
+            # bound the delta tail: fold everything STRICTLY BEFORE
+            # this epoch into the base generation once enough deltas
+            # accrete (this epoch's dirs stay addressable — they are
+            # the retry-overwrite unit).  Per-batch read cost is now
+            # O(1 base + <= compact_every deltas) forever, instead of
+            # one directory per trigger since the dawn of the stream.
+            if (
+                self.compact_every is not None
+                and self._delta_dir_count() > self.compact_every
+            ):
+                self.compact(int(epoch_id) - 1)
         finally:
             sh.unpersist()
             keys.unpersist()

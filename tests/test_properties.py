@@ -639,7 +639,7 @@ def test_global_rank_property_matches_window(spark, rows, n_buckets):
     data = [(i, v, p) for i, (v, p) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, v long, p long")
     order = [F.desc("v"), F.asc("id")]
-    got = {r.id: r.rnk for r in global_rank(df, order, n_buckets=n_buckets).collect()}
+    got = {r.id: r.rnk for r in global_rank(df, ["-v", "id"], n_buckets=n_buckets).collect()}
     exp = {
         r.id: r.rnk
         for r in df.withColumn(
@@ -668,7 +668,7 @@ def test_global_cumsum_property_matches_window(spark, rows, n_buckets):
     data = [(i, v, w) for i, (v, w) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, v long, w long")
     order = [F.asc("v"), F.asc("id")]
-    out = global_cumsum(df, order, {"w": "cw"}, n_buckets=n_buckets)
+    out = global_cumsum(df, ["v", "id"], {"w": "cw"}, n_buckets=n_buckets)
     got = {r.id: r.cw for r in out.collect()}
     win = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     exp = {r.id: r.cw for r in df.withColumn("cw", F.sum("w").over(win)).collect()}

@@ -244,9 +244,9 @@ def test_round3_operators_handle_empty_input(spark):
     from sfs3_kinesis_spark.streaming.correlate import OUTPUT_SCHEMA, failover_resolve
 
     df = spark.range(0).select(F.col("id"), (F.col("id") % 3).alias("v"))
-    gr = global_rank(df, [F.desc("v"), F.asc("id")], n_buckets=4)
+    gr = global_rank(df, ["-v", "id"], n_buckets=4)
     assert gr.count() == 0 and "rnk" in gr.columns
-    gc = global_cumsum(df, [F.asc("v"), F.asc("id")], {"v": "cv"}, n_buckets=4)
+    gc = global_cumsum(df, ["v", "id"], {"v": "cv"}, n_buckets=4)
     assert gc.count() == 0 and "cv" in gc.columns
     assert guard_all_pairs(df, op="t", scale_twin="x", max_rows=10).count() == 0
 

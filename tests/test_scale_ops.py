@@ -169,7 +169,7 @@ def test_global_rank_matches_single_window(spark):
 
     df = spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("tf"))
     order = [F.desc("tf"), F.asc("id")]
-    got = {r.id: r.rnk for r in global_rank(df, order, n_buckets=16).collect()}
+    got = {r.id: r.rnk for r in global_rank(df, ["-tf", "id"], n_buckets=16).collect()}
     exp = {
         r.id: r.rnk
         for r in df.withColumn(
@@ -191,7 +191,7 @@ def test_global_cumsum_matches_single_window(spark):
         F.col("id"), (F.col("id") % 11).alias("v"), (F.col("id") % 3).alias("u")
     )
     order = [F.desc("v"), F.asc("id")]
-    out = global_cumsum(df, order, {"v": "cv", "u": "cu"}, n_buckets=16)
+    out = global_cumsum(df, ["-v", "id"], {"v": "cv", "u": "cu"}, n_buckets=16)
     got = {r.id: (r.cv, r.cu) for r in out.collect()}
     w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     exp = {
@@ -215,7 +215,7 @@ def test_global_rank_no_unpartitioned_data_window(spark):
 
     df = spark.range(1_000).select(F.col("id"), (F.col("id") % 5).alias("v"))
     plan = (
-        global_rank(df, [F.desc("v"), F.asc("id")], n_buckets=8)
+        global_rank(df, ["-v", "id"], n_buckets=8)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -247,3 +247,62 @@ def test_guard_all_pairs_blocks_corpus_sized_input(spark):
     big = spark.range(11)
     with pytest.raises(RuntimeError, match="twin"):
         guard_all_pairs(big, op="t", scale_twin="twin", max_rows=10)
+
+
+def test_global_rank_recomputes_identically_after_unpersist(spark):
+    """r04 verdict item 3: the two-phase rank must survive losing its
+    cached/pinned blocks MID-COMPUTATION.  Bucket ids are a pure
+    function of row values (literal value-derived boundaries baked
+    into the plan — no localCheckpoint, no partition-id dependence),
+    so evicting every cached block between the count branch and a
+    re-collect — the local-mode stand-in for executor loss on a
+    preemptible cluster — must reproduce bit-identical ranks, even
+    when the input arrives with a different partition layout."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank
+
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    ranked = global_rank(df, ["-v", "id"], n_buckets=16)
+    first = {r.id: r.rnk for r in ranked.collect()}
+    # simulate losing every executor-held block: drop ALL cached data
+    # (the persist() inside _bucketed included) and recompute from
+    # pure lineage
+    spark.catalog.clearCache()
+    second = {r.id: r.rnk for r in ranked.collect()}
+    assert first == second
+    # adversarial layout change: same values, different partitioning
+    # and arrival order — value-derived buckets must not notice
+    shuffled = df.repartition(3, "v").sortWithinPartitions(F.desc("id"))
+    third = {
+        r.id: r.rnk
+        for r in global_rank(shuffled, ["-v", "id"], n_buckets=16).collect()
+    }
+    assert first == third
+
+    cs = global_cumsum(df, ["v", "id"], {"v": "cv"}, n_buckets=16)
+    c1 = {r.id: r.cv for r in cs.collect()}
+    spark.catalog.clearCache()
+    c2 = {r.id: r.cv for r in cs.collect()}
+    assert c1 == c2
+
+
+def test_global_rank_plan_is_checkpoint_free(spark):
+    """No localCheckpoint / checkpoint scan in the rank plan: the
+    r04-verdict reliability exposure was the pinned executor-local
+    blocks, so the fixed plan must read from lineage (scans + shuffles
+    only), never an ExistingRDD/LogicalRDD pin."""
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    df = spark.range(1_000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    plan = (
+        global_rank(df, ["-v", "id"], n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LogicalRDD" not in plan, plan

@@ -617,3 +617,130 @@ def test_kinesis_stub_replayed_commit_is_idempotent(spark, tmp_path):
     assert recs[-1] == ("t-0", "payload-0b")  # epoch order kept
     other = 1 - shard
     assert shard_records(other) == first[other]
+
+
+def test_kinesis_stub_reshard_split_merge_restart(spark, tmp_path):
+    """Resharding — the semantics the reference explicitly punts on
+    (svckinesis.js:187,230-232 TODO): SplitShard mid-stream, a
+    consumer RESTART across the reshard, then MergeShards, with every
+    record delivered exactly once (no loss, no duplication) and
+    writer routing following the OPEN shard map at each commit."""
+    import json as _json
+
+    from sfs3_kinesis_spark.sources import kinesis_stub
+    from sfs3_kinesis_spark.sources.kinesis_stub import (
+        describe_stream,
+        merge_shards,
+        split_shard,
+    )
+    from sfs3_kinesis_spark.sources.sinks import kinesis_sink
+    from sfs3_kinesis_spark.sources.stream import kinesis_stream
+
+    root = str(tmp_path / "kin")
+    kinesis_stub.register(spark)
+    keys = [f"k-{i}" for i in range(12)]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def produce(batch_no):
+        spark.createDataFrame(
+            [(k, f"b{batch_no}") for k in keys], "txn_id string, status string"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        events = spark.readStream.schema("txn_id string, status string").parquet(
+            str(in_dir)
+        )
+        qw = (
+            kinesis_sink(events, "reshard-me", region="eu-west-1", endpoint_url=root)
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .start()
+        )
+        try:
+            qw.processAllAvailable()
+        finally:
+            qw.stop()
+
+    out_dir = tmp_path / "consumed"
+
+    def consume():
+        # parquet file sink: the one that RECOVERS from a checkpoint
+        # (memory sinks cannot), which is the point of this test
+        src = kinesis_stream(
+            spark,
+            "reshard-me",
+            region="eu-west-1",
+            starting_position="TRIM_HORIZON",
+            endpoint_url=root,
+        )
+        q = (
+            src.selectExpr("partitionKey", "data")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [
+            (r.partitionKey, _json.loads(r.data))
+            for r in spark.read.parquet(str(out_dir)).collect()
+        ]
+
+    produce(1)
+    got = consume()
+    assert len(got) == 12  # batch 1, once
+
+    # mid-stream split of shard "0" while the consumer is STOPPED
+    c1, c2 = split_shard(root, "reshard-me", "0")
+    open_ids = {s["id"] for s in describe_stream(root, "reshard-me")
+                if s["status"] == "OPEN"}
+    assert open_ids == {"1", c1, c2}
+
+    produce(2)
+    got = consume()  # restart from checkpoint across the reshard
+    assert len(got) == 24, "restart across split lost or duplicated records"
+    per_key = {}
+    for pk, data in got:
+        per_key.setdefault(pk, []).append(data["status"])
+    assert all(sorted(v) == ["b1", "b2"] for v in per_key.values()), per_key
+
+    # keys that routed to shard 0 now land in its children, split by
+    # the refined residue class; shard 0's file stopped growing
+    import glob as g
+    import zlib
+
+    child_files = [
+        f
+        for c in (c1, c2)
+        for f in g.glob(str(tmp_path / "kin" / "reshard-me" / f"shard-{c}.b*.jsonl"))
+    ]
+    assert child_files, "no child-shard files after the split"
+    child_keys = {
+        _json.loads(ln)["partitionKey"] for f in child_files for ln in open(f)
+    }
+    assert child_keys == {
+        k for k in keys if zlib.crc32(k.encode()) % 2 == 0
+    }, "children must own exactly the split parent's key set"
+
+    # merge the children back and keep consuming — still exactly once
+    merged = merge_shards(root, "reshard-me", c1, c2)
+    produce(3)
+    got = consume()
+    assert len(got) == 36, "restart across merge lost or duplicated records"
+    merged_files = g.glob(
+        str(tmp_path / "kin" / "reshard-me" / f"shard-{merged}.b*.jsonl")
+    )
+    assert merged_files, "no merged-shard files after the merge"
+
+    # invariant checks: non-OPEN shards reject reshard calls, and
+    # non-sibling merges are refused (Kinesis adjacency rule)
+    import pytest
+
+    with pytest.raises(ValueError, match="not OPEN"):
+        split_shard(root, "reshard-me", "0")
+    m1, _m2 = split_shard(root, "reshard-me", merged)
+    with pytest.raises(ValueError, match="mergeable"):
+        # (mod 4, rem 0) and (mod 2, rem 1) are not siblings
+        merge_shards(root, "reshard-me", m1, "1")

@@ -239,3 +239,171 @@ def test_continuous_rollup_updates_in_place(spark, tmp_path):
         assert by_status == {"SUCCEEDED": 3, "FAILED": 1}
     finally:
         q.stop()
+
+
+def _retry_fixture(spark, tmp_path, **kw):
+    """RetryingIncrementalPipeline over a file-backed side input:
+    step-c's precondition requires the txn's side document
+    (serverless.yml:80-85 S3DataPreconditionError shape)."""
+    from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    side_dir = tmp_path / "side"
+    events: list[tuple[str, str, int]] = []
+
+    def side_input():
+        import os
+
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(side_dir)
+            for f in fs
+        ):
+            return None
+        return spark.read.schema("txn_id string, side_doc string").parquet(
+            str(side_dir)
+        )
+
+    def on_events(batch_df, epoch_id):
+        events.extend(
+            (r["txn_id"], r["status"], epoch_id)
+            for r in batch_df.select("txn_id", "status").collect()
+        )
+
+    steps = reference_steps()
+    c = steps[2]
+    steps[2] = Step(c.name, c.output_col, c.result, gate_on=("step_b_output", "side_doc"))
+    sink = KeyedUpsertSink(spark, str(tmp_path / "store"))
+    pipe = RetryingIncrementalPipeline(
+        sink, steps, side_input, on_events=on_events, **kw
+    )
+
+    def arrive(txn_ids):
+        spark.createDataFrame(
+            [(t, "{}") for t in txn_ids], "txn_id string, side_doc string"
+        ).coalesce(1).write.mode("append").parquet(str(side_dir))
+
+    def batch(txn_ids, epoch):
+        pipe.process_batch(
+            spark.createDataFrame(
+                [(t, "{}") for t in txn_ids], "txn_id string, request string"
+            ),
+            epoch,
+        )
+
+    return pipe, sink, events, arrive, batch
+
+
+def test_cross_batch_precondition_retry_and_exhaustion(spark, tmp_path):
+    """r04 verdict TOP item: a txn whose stage-C side input arrives in
+    a LATER micro-batch than the request gate-fails, requeues with its
+    attempts counter, succeeds when the document lands; a txn whose
+    document never lands exhausts MaxAttempts=3 and emits the terminal
+    FAILED status event (T9 routing) exactly once — the full ASL
+    Retry/Catch contract (serverless.yml:80-85) across micro-batches."""
+    pipe, sink, events, arrive, batch = _retry_fixture(spark, tmp_path)
+
+    arrive(["t0"])                      # t0's doc is already there
+    batch(["t0", "t1", "t2"], 0)
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t0"]["status"] == "SUCCEEDED" and st["t0"]["attempts"] == 1
+    assert st["t1"]["status"] == "RETRYING" and st["t1"]["attempts"] == 1
+    assert st["t2"]["status"] == "RETRYING" and st["t2"]["attempts"] == 1
+    assert events == [("t0", "SUCCEEDED", 0)]
+
+    arrive(["t1"])                      # t1's doc lands in batch 1
+    batch([], 1)
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t1"]["status"] == "SUCCEEDED" and st["t1"]["attempts"] == 2
+    assert st["t1"]["step_c_output"] is not None
+    assert st["t2"]["status"] == "RETRYING" and st["t2"]["attempts"] == 2
+    assert ("t1", "SUCCEEDED", 1) in events
+
+    batch([], 2)                        # backoff: t2 waits until epoch 3
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t2"]["status"] == "RETRYING" and st["t2"]["attempts"] == 2
+
+    batch([], 3)                        # t2's third try exhausts
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t2"]["status"] == "FAILED" and st["t2"]["attempts"] == 3
+    assert st["t2"]["step_c_output"] is None
+    assert events.count(("t2", "FAILED", 3)) == 1
+
+    batch([], 4)                        # terminal rows are never re-tried
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t2"]["status"] == "FAILED" and st["t2"]["attempts"] == 3
+    assert len([e for e in events if e[0] == "t2"]) == 1
+
+
+def test_retry_epoch_replay_does_not_double_increment(spark, tmp_path):
+    """foreachBatch retries its CURRENT epoch after a crash: replaying
+    epoch 1 must not count a second try for rows the crashed first
+    attempt already wrote (the `_epoch < current` requeue guard), and
+    terminal events re-emit with the SAME event payload (deduped
+    downstream by event_id — at-least-once with idempotent dedup)."""
+    pipe, sink, events, arrive, batch = _retry_fixture(spark, tmp_path)
+
+    batch(["t9"], 0)
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t9"]["status"] == "RETRYING" and st["t9"]["attempts"] == 1
+
+    batch([], 1)                        # first run of epoch 1
+    batch([], 1)                        # crashed-and-replayed epoch 1
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t9"]["attempts"] == 2, "replay must not double-increment"
+    assert st["t9"]["status"] == "RETRYING"
+
+    batch([], 3)                        # third (real) try exhausts
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["t9"]["status"] == "FAILED" and st["t9"]["attempts"] == 3
+
+
+def test_retry_backoff_epochs_delay_retries(spark, tmp_path):
+    """Exponential backoff in trigger units (IntervalSeconds 2 /
+    BackoffRate 2, serverless.yml:82-84): with backoff_epochs=2 a row
+    that failed at epoch 0 is not retried before epoch 2, and the next
+    wait doubles — tries land at epochs 0, 2, 6."""
+    pipe, sink, events, arrive, batch = _retry_fixture(
+        spark, tmp_path, backoff_epochs=2
+    )
+
+    batch(["b1"], 0)
+    for epoch in range(1, 8):
+        batch([], epoch)
+        row = sink.current().filter(F.col("txn_id") == "b1").collect()[0]
+        if epoch < 2:
+            assert row["attempts"] == 1, f"retried too early at {epoch}"
+        elif epoch < 6:
+            assert row["attempts"] == 2, f"epoch {epoch}"
+        else:
+            assert row["attempts"] == 3 and row["status"] == "FAILED"
+
+
+def test_retry_faults_are_terminal_not_retried(spark, tmp_path):
+    """A thrown stage ERROR is caught and published FAILED immediately
+    (aprocess.js:78-82) — only PRECONDITION misses retry.  A faulted
+    row must go terminal on its first try even though its side doc is
+    present."""
+    from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    steps = reference_steps()
+    d = steps[3]
+    steps[3] = Step(
+        d.name, d.output_col, d.result, d.gate_on, fail_if=F.col("txn_id") == "bad"
+    )
+    sink = KeyedUpsertSink(spark, str(tmp_path / "store"))
+    pipe = RetryingIncrementalPipeline(
+        sink, steps, lambda: None, on_events=None, max_attempts=3
+    )
+    pipe.process_batch(
+        spark.createDataFrame(
+            [("bad", "{}"), ("ok", "{}")], "txn_id string, request string"
+        ),
+        0,
+    )
+    st = {r["txn_id"]: r for r in sink.current().collect()}
+    assert st["bad"]["status"] == "FAILED" and st["bad"]["attempts"] == 1
+    assert st["ok"]["status"] == "SUCCEEDED"
