@@ -113,6 +113,13 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
     _quiesce(spark)
     neardup_rate = _neardup_throughput(spark)
+    # r04 verdict next-round #7: the round-4 stateful trackers join
+    # the driver-visible bench so state-transition regressions surface
+    leaderboard_rate = _leaderboard_throughput(spark, n_events=200)  # warm-up
+    leaderboard_rate = _leaderboard_throughput(spark)
+    _quiesce(spark)
+    quantile_rate = _quantile_throughput(spark)
+    _quiesce(spark)
 
     # Three runs per query: run 1 pays whole-stage-codegen
     # compilation, JIT and parquet footer reads (reported as cold);
@@ -160,6 +167,8 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "streaming_matched_pairs_per_sec": streaming,
         "streaming_neardup_docs_per_sec": neardup_rate,
+        "streaming_leaderboard_events_per_sec": leaderboard_rate,
+        "streaming_quantile_events_per_sec": quantile_rate,
         "sf": sf,
         "cpus_affinity": n_cpus,
         "load_1m": load_1m,
@@ -180,6 +189,8 @@ def main() -> None:
             "cold_total": detail["cold_total"],
             "streaming_matched_pairs_per_sec": streaming,
             "streaming_neardup_docs_per_sec": neardup_rate,
+            "streaming_leaderboard_events_per_sec": leaderboard_rate,
+            "streaming_quantile_events_per_sec": quantile_rate,
             "load_1m": load_1m,
             "sf": sf,
         }
@@ -264,6 +275,103 @@ def _streaming_throughput(spark, n: int = 10000) -> float:
             q.stop()
         elapsed = time.time() - start
         return round(matched / elapsed, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _leaderboard_throughput(spark, n_events: int = 50000, n_users: int = 2000) -> float:
+    """Input events per second through the decayed-leaderboard
+    stateful tracker (streaming/leaderboard.py): one drain of
+    ``n_events`` spread over ``n_users`` keys and 8 activity days,
+    wall-clocked from query start until every key has emitted.  The
+    per-key work is the exact per-day histogram fold, so this measures
+    state-transition cost, not ranking."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.sources.sinks import wait_for_rows
+    from sfs3_kinesis_spark.sources.stream import stream_from_batch
+    from sfs3_kinesis_spark.streaming.leaderboard import decayed_scores
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = spark.range(n_events).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (F.unix_timestamp(F.lit(t0)) + (F.col("id") % 8) * 86400).cast(
+            "timestamp"
+        ).alias("ts"),
+        (F.col("id") % 97 / 10.0).alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_lb_")
+    try:
+        stream = stream_from_batch(events, tmp)
+        start = time.time()
+        q = (
+            decayed_scores(stream)
+            .writeStream.format("memory")
+            .queryName("bench_lb_tp")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            wait_for_rows(
+                spark,
+                "SELECT count(DISTINCT user_id) FROM bench_lb_tp",
+                n_users,
+                timeout_s=180,
+            )
+        finally:
+            q.stop()
+        return round(n_events / (time.time() - start), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _quantile_throughput(spark, n_events: int = 50000, n_users: int = 2000) -> float:
+    """Input events per second through the log2-bucket latency
+    quantile tracker (streaming/quantiles.py) — per-key gap
+    bucketing + exact bucket-quantile emission per trigger."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.sources.sinks import wait_for_rows
+    from sfs3_kinesis_spark.sources.stream import stream_from_batch
+    from sfs3_kinesis_spark.streaming.quantiles import latency_quantiles
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = spark.range(n_events).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (
+            F.unix_timestamp(F.lit(t0))
+            + (F.col("id") / n_users).cast("long") * ((F.col("id") % 13) + 1)
+        ).cast("timestamp").alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_q_")
+    try:
+        stream = stream_from_batch(events, tmp)
+        start = time.time()
+        q = (
+            latency_quantiles(stream)
+            .writeStream.format("memory")
+            .queryName("bench_q_tp")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            wait_for_rows(
+                spark,
+                "SELECT count(DISTINCT user_id) FROM bench_q_tp",
+                n_users,
+                timeout_s=180,
+            )
+        finally:
+            q.stop()
+        return round(n_events / (time.time() - start), 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
