@@ -344,6 +344,11 @@ class KeyedUpsertSink:
             os.rename(tmp, d)
             shutil.rmtree(old)
             removed += n_all - n_kept
+        if removed:
+            # the swap changed file names under an unchanged directory
+            # path; the session-wide file-status cache would otherwise
+            # serve the OLD listing to the next read (FILE_NOT_EXIST)
+            self.spark.catalog.refreshByPath(self.path)
         return removed
 
     def writer(self, stream_df: DataFrame):

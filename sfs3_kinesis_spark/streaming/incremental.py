@@ -128,11 +128,17 @@ class RetryingIncrementalPipeline:
     4. MERGE every row into the state store (idempotent keyed upsert)
        and emit status events for the TERMINAL rows only.
 
-    All routing is one whole-stage-codegen projection over the batch;
-    the only extra work versus the non-retrying pipeline is the
-    point-pruned state-store read for RETRYING rows — O(retry
-    backlog), never O(history), because the store merge is
-    key-partitioned and the filter pushes into every delta scan.
+    All routing is one whole-stage-codegen projection over the batch.
+    The retry backlog lives in its OWN keyed store (``<state>/\_pending``,
+    a second :class:`KeyedUpsertSink`) rather than being re-derived
+    from the state store: the state store is O(all txns ever seen) and
+    merging it every 1.5 s trigger would be the classic
+    read-amplification failure; the pending store holds only txns that
+    have ever retried, terminal txns are masked by a tombstone row
+    (``done=true``) the moment they resolve, and a periodic
+    ``forget_keys`` sweep physically erases tombstoned keys so the
+    store tracks the LIVE backlog, not retry history.  Both stores
+    compact on the KeyedUpsertSink LSM cadence.
     """
 
     def __init__(
@@ -144,7 +150,11 @@ class RetryingIncrementalPipeline:
         on_events: Optional[Callable[[DataFrame, int], None]] = None,
         max_attempts: int = 3,
         backoff_epochs: int = 1,
+        pending_sink: Optional[KeyedUpsertSink] = None,
+        cleanup_every: int = 16,
     ):
+        import os
+
         if max_attempts < 1:
             raise ValueError("max_attempts must be >= 1")
         self.state_sink = state_sink
@@ -153,14 +163,20 @@ class RetryingIncrementalPipeline:
         self.on_events = on_events
         self.max_attempts = max_attempts
         self.backoff_epochs = backoff_epochs
+        # nested under the state dir ("_pending" matches neither the
+        # v<N> nor d<N> version patterns, so the parent scan skips it)
+        self.pending_sink = pending_sink or KeyedUpsertSink(
+            state_sink.spark, os.path.join(state_sink.path, "_pending")
+        )
+        self.cleanup_every = cleanup_every
 
     def _requeue(self, epoch_id: int) -> Optional[DataFrame]:
-        cur = self.state_sink.current()
+        cur = self.pending_sink.current()
         if cur is None:
             return None
         return (
             cur.filter(
-                (F.col("status") == RETRYING)
+                (~F.col("done"))
                 & (F.col("retry_after") <= F.lit(int(epoch_id)))
                 # idempotency under foreachBatch's at-least-once retry:
                 # a re-run of epoch N must not re-try rows its own
@@ -170,6 +186,41 @@ class RetryingIncrementalPipeline:
             )
             .select("txn_id", "request", "attempts")
         )
+
+    def _update_pending(self, out: DataFrame, epoch_id: int) -> None:
+        """MERGE this batch's backlog movement into the pending store:
+        RETRYING rows live (with their next-eligible epoch), rows that
+        went terminal AFTER having retried are tombstoned (``done``)
+        so the next requeue read skips them; first-try terminals never
+        enter the store at all.  Every ``cleanup_every`` epochs the
+        tombstoned keys are physically erased (bounded store ==
+        the live backlog plus one cleanup window of tombstones)."""
+        moved = out.filter(
+            (F.col("status") == RETRYING) | (F.col("attempts") > 1)
+        ).select(
+            "txn_id",
+            "request",
+            "attempts",
+            F.coalesce("retry_after", F.lit(-1)).alias("retry_after"),
+            (F.col("status") != RETRYING).alias("done"),
+        )
+        if moved.isEmpty():
+            return
+        self.pending_sink.apply_batch(moved, epoch_id)
+
+    def _cleanup_pending(self, epoch_id: int) -> None:
+        """Physically erase tombstoned keys — LAST in the epoch, after
+        every plan whose lineage reads the pending files has been
+        evaluated (forget_keys rewrites the delta directories in
+        place; an in-flight lazy plan re-evaluated after the rewrite
+        would chase the pre-rewrite file listing)."""
+        if not self.cleanup_every or int(epoch_id) % self.cleanup_every != 0:
+            return
+        cur = self.pending_sink.current()
+        if cur is not None:
+            dead = [r["txn_id"] for r in cur.filter("done").select("txn_id").collect()]
+            if dead:
+                self.pending_sink.forget_keys(dead)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         todo = batch_df.withColumn("attempts", F.lit(0).cast("int"))
@@ -228,7 +279,17 @@ class RetryingIncrementalPipeline:
             terminal = out.filter(F.col("status").isin(SUCCEEDED, FAILED))
             events = status_events(terminal, event_time=F.current_timestamp())
             self.on_events(events, epoch_id)
+        # STATE before PENDING: a crash between the two writes leaves
+        # the pending row un-tombstoned, so the replay re-tries the row
+        # and rewrites the identical state (idempotent-by-value); the
+        # reverse order would tombstone the retry while the state row
+        # was never committed — a silently lost terminal state.  The
+        # cleanup sweep runs dead LAST: it rewrites pending files in
+        # place, and every lazy plan reading them must be fully
+        # evaluated first.
         self.state_sink.apply_batch(out, epoch_id)
+        self._update_pending(out, epoch_id)
+        self._cleanup_pending(epoch_id)
 
     def start(self, requests_stream: DataFrame, checkpoint_dir: str):
         return (

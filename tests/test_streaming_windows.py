@@ -407,3 +407,48 @@ def test_retry_faults_are_terminal_not_retried(spark, tmp_path):
     st = {r["txn_id"]: r for r in sink.current().collect()}
     assert st["bad"]["status"] == "FAILED" and st["bad"]["attempts"] == 1
     assert st["ok"]["status"] == "SUCCEEDED"
+
+
+def test_retry_backlog_store_is_bounded_by_live_backlog(spark, tmp_path):
+    """The requeue source is the dedicated pending store, NOT a merge
+    of the whole state store (O(backlog) per trigger, not O(all txns
+    ever)): first-try terminals never enter it, resolved retriers are
+    tombstoned immediately and physically erased by the periodic
+    forget_keys sweep."""
+    from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    pipe, sink, events, arrive, batch = _retry_fixture(
+        spark, tmp_path, backoff_epochs=0
+    )
+    pipe.cleanup_every = 2
+
+    arrive(["ok0"])                      # ok0 resolves on first try
+    batch(["ok0", "slow", "dead"], 0)
+    pend = {r["txn_id"]: r for r in pipe.pending_sink.current().collect()}
+    # first-try success never touches the pending store
+    assert set(pend) == {"slow", "dead"}
+    assert not pend["slow"]["done"] and not pend["dead"]["done"]
+
+    arrive(["slow"])                     # slow resolves on try 2
+    batch([], 1)
+    pend = {r["txn_id"]: r for r in pipe.pending_sink.current().collect()}
+    assert pend["slow"]["done"], "resolved retrier must be tombstoned"
+    assert not pend["dead"]["done"]
+
+    batch([], 2)                         # dead exhausts (try 3); cleanup epoch
+    # the epoch-2 cleanup (which runs LAST in the epoch) physically
+    # erased every tombstone, slow's AND dead's own fresh one: the
+    # drained backlog leaves an empty store
+    cur = pipe.pending_sink.current()
+    rows = [] if cur is None else cur.collect()
+    assert rows == [], f"backlog drained -> store empty, got {rows}"
+
+    batch([], 3)                         # nothing left: no resurrections
+    cur = pipe.pending_sink.current()
+    assert cur is None or cur.collect() == []
+
+    # the state store still carries the full audit trail
+    st = {r["txn_id"]: r["status"] for r in sink.current().collect()}
+    assert st == {"ok0": "SUCCEEDED", "slow": "SUCCEEDED", "dead": "FAILED"}
