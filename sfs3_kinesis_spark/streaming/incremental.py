@@ -108,12 +108,12 @@ class RetryingIncrementalPipeline:
 
     Per micro-batch:
 
-    1. requeue: rows in the state store with status RETRYING whose
-       backoff epoch has arrived (``retry_after <= epoch``) and that
-       were written by a STRICTLY EARLIER epoch join the new batch —
-       the epoch guard makes a crashed-and-retried foreachBatch epoch
-       idempotent (its own first attempt's writes are not re-tried,
-       so the attempts counter can never double-increment);
+    1. requeue: live rows in the PENDING store whose backoff epoch
+       has arrived (``retry_after <= epoch``) and that were written by
+       a STRICTLY EARLIER epoch join the new batch — the epoch guard
+       makes a crashed-and-retried foreachBatch epoch idempotent (its
+       own first attempt's writes are not re-tried, so the attempts
+       counter can never double-increment);
     2. left-join the side input, run the staged projection
        (:func:`~sfs3_kinesis_spark.operators.pipeline.run_pipeline`);
     3. route: SUCCEEDED → terminal (status event);  FAILED with a

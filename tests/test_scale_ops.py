@@ -353,3 +353,87 @@ def test_multimodal_real_codec_when_pil_available(spark):
     assert all(len(v) == FEATURE_DIM for v in by_id.values())
     # darker shade -> lower red-channel mean: the decode really read pixels
     assert by_id[0][0] < by_id[4][0]
+
+
+def test_global_rank_null_placement_matches_window(spark):
+    """The normalized key encodes null placement per field (NULLS
+    FIRST for asc, NULLS LAST for desc — Spark's defaults), so ranks
+    over nullable sort keys must match the single-window form
+    exactly, nulls and all."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank
+
+    rows = [
+        (i, None if i % 5 == 0 else i % 7, None if i % 11 == 0 else float(i % 3))
+        for i in range(3_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, w double")
+
+    for spec, order in (
+        (["v", "id"], [F.asc("v"), F.asc("id")]),
+        (["-v", "id"], [F.desc("v"), F.asc("id")]),
+        (["-w", "-v", "id"], [F.desc("w"), F.desc("v"), F.asc("id")]),
+    ):
+        got = {
+            r.id: r.rnk for r in global_rank(df, spec, n_buckets=8).collect()
+        }
+        exp = {
+            r.id: r.rnk
+            for r in df.withColumn(
+                "rnk", F.row_number().over(W.orderBy(*order)).cast("long")
+            ).collect()
+        }
+        assert got == exp, f"null placement diverged for {spec}"
+
+    out = global_cumsum(df, ["v", "id"], {"id": "cid"}, n_buckets=8)
+    got = {r.id: r.cid for r in out.collect()}
+    w = W.orderBy(F.asc("v"), F.asc("id")).rowsBetween(W.unboundedPreceding, 0)
+    exp = {r.id: r.cid for r in df.withColumn("cid", F.sum("id").over(w)).collect()}
+    assert got == exp
+
+
+def test_global_rank_desc_types_and_loud_errors(spark):
+    """Descending normalization per dtype (date via unix_date,
+    timestamp via unix_micros, boolean via int cast) matches the
+    window form; a descending STRING key has no order-preserving
+    numeric image and must fail LOUDLY, not mis-sort."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.scale import global_rank
+
+    rows = [
+        (
+            i,
+            dt.date(2024, 1, 1 + i % 20),
+            dt.datetime(2024, 1, 1, 12, i % 50, i % 60),
+            i % 2 == 0,
+            f"s{i % 9}",
+        )
+        for i in range(1_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, t timestamp, b boolean, s string")
+    for spec, order in (
+        (["-d", "id"], [F.desc("d"), F.asc("id")]),
+        (["-t", "id"], [F.desc("t"), F.asc("id")]),
+        (["-b", "id"], [F.desc("b"), F.asc("id")]),
+        (["s", "-d", "id"], [F.asc("s"), F.desc("d"), F.asc("id")]),
+    ):
+        got = {r.id: r.rnk for r in global_rank(df, spec, n_buckets=8).collect()}
+        exp = {
+            r.id: r.rnk
+            for r in df.withColumn(
+                "rnk", F.row_number().over(W.orderBy(*order)).cast("long")
+            ).collect()
+        }
+        assert got == exp, spec
+
+    with pytest.raises(ValueError, match="descending order on non-numeric"):
+        global_rank(df, ["-s", "id"])
+    with pytest.raises(TypeError, match="column-name strings"):
+        global_rank(df, [F.desc("d")])
