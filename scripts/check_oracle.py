@@ -3,7 +3,10 @@ the local twin of the driver's CORRECTNESS gate.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
 (extra args restrict the run to queries whose name starts with any
-of the given prefixes)
+of the given prefixes; a ``-prefix`` argument EXCLUDES matching
+names — used at sf0.1 to skip the handful of O(n^2)-by-design
+DuckDB oracles documented in SCALE.md, whose ORACLE side takes tens
+of minutes at 5000 docs while the engine's pruned plan is seconds)
 """
 
 from __future__ import annotations
@@ -20,9 +23,13 @@ from tests.oracle import compare, duck_connection  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefixes = tuple(sys.argv[2:])
+    includes = tuple(a for a in sys.argv[2:] if not a.startswith("-"))
+    excludes = tuple(a[1:] for a in sys.argv[2:] if a.startswith("-"))
     names = sorted(
-        n for n in REGISTRY if not prefixes or n.startswith(prefixes)
+        n
+        for n in REGISTRY
+        if (not includes or n.startswith(includes))
+        and not (excludes and n.startswith(excludes))
     )
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
