@@ -452,3 +452,85 @@ def test_retry_backlog_store_is_bounded_by_live_backlog(spark, tmp_path):
     # the state store still carries the full audit trail
     st = {r["txn_id"]: r["status"] for r in sink.current().collect()}
     assert st == {"ok0": "SUCCEEDED", "slow": "SUCCEEDED", "dead": "FAILED"}
+
+
+def test_retry_pipeline_survives_query_restart_mid_retry(spark, tmp_path):
+    """End-to-end through writeStream + checkpoint: a txn enters while
+    its side document is missing, the QUERY stops with the txn mid-
+    retry, and a restarted query (fresh foreachBatch epochs, same
+    pending store) completes it when the document lands — the retry
+    backlog must survive process death exactly like the reference's
+    Step Functions execution survives Lambda restarts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    req_dir = tmp_path / "req"
+    req_dir.mkdir()
+    side_dir = tmp_path / "side"
+
+    def side_input():
+        if not any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(side_dir) for f in fs
+        ):
+            return None
+        return spark.read.schema("txn_id string, side_doc string").parquet(
+            str(side_dir)
+        )
+
+    steps = reference_steps()
+    c = steps[2]
+    steps[2] = Step(c.name, c.output_col, c.result, gate_on=("step_b_output", "side_doc"))
+    sink = KeyedUpsertSink(spark, str(tmp_path / "store"))
+    # max_attempts generous: epochs are consumed by empty triggers too
+    pipe = RetryingIncrementalPipeline(
+        sink, steps, side_input, max_attempts=10, backoff_epochs=0
+    )
+
+    def feed(ids):
+        spark.createDataFrame(
+            [(t, "{}") for t in ids], "txn_id string, request string"
+        ).coalesce(1).write.mode("append").parquet(str(req_dir))
+
+    stream = spark.readStream.schema("txn_id string, request string").parquet(
+        str(req_dir)
+    )
+    feed(["r1"])
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = sink.current().filter(F.col("txn_id") == "r1").collect()[0]
+    assert row["status"] == "RETRYING" and row["attempts"] >= 1
+    attempts_before = row["attempts"]
+
+    # the document lands while the pipeline is DOWN; a fresh pipeline
+    # instance over the same stores restarts from the checkpoint
+    spark.createDataFrame(
+        [("r1", "{}"), ("r2", "{}")], "txn_id string, side_doc string"
+    ).coalesce(1).write.mode("append").parquet(str(side_dir))
+    pipe2 = RetryingIncrementalPipeline(
+        KeyedUpsertSink(spark, str(tmp_path / "store")),
+        steps,
+        side_input,
+        max_attempts=10,
+        backoff_epochs=0,
+    )
+    stream2 = spark.readStream.schema("txn_id string, request string").parquet(
+        str(req_dir)
+    )
+    feed(["r2"])  # new traffic so the restarted query has a batch to run
+    q2 = pipe2.start(stream2, str(tmp_path / "ckpt"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    st = {r["txn_id"]: r for r in pipe2.state_sink.current().collect()}
+    assert st["r1"]["status"] == "SUCCEEDED", st["r1"]
+    assert st["r1"]["attempts"] > attempts_before
+    assert st["r2"]["status"] == "SUCCEEDED" and st["r2"]["attempts"] == 1
