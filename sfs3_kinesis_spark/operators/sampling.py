@@ -272,3 +272,49 @@ def curriculum_stages(
         )
         .drop("_cur_rnk", "_cur_n")
     )
+
+
+def priority_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    salt: int = 8,
+) -> DataFrame:
+    """Weighted sample of ``k`` items per key by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): item priority q = w/u with u
+    uniform(0,1], keep the k largest, and the (k+1)-th priority is the
+    threshold ``tau`` that makes ``sum(max(w, tau))`` over the sample
+    an unbiased estimator of the key's TOTAL weight — the
+    subset-sum-estimating weighted sample a curation pipeline wants
+    (sample big documents more, still estimate corpus mass exactly).
+
+    Engine form is integer-exact and rng-free: u = (hash(id)+1)/M for
+    the module's arithmetic hash and modulus M, so the priority
+    surrogate is ``(w * M) DIV (hash+1)`` — BIGINT floor arithmetic
+    both engines evaluate identically (w*M <= ~1e14 << 2^63).  Ranking
+    runs through the salted two-phase window top-k, so a hot key's
+    corpus-sized candidate list spreads over ``salt`` phase-1
+    reducers.  Returns the top ``k+1`` rows per key with ``_pr``
+    (scaled priority) and ``rnk``; rank k+1 is the threshold row —
+    callers split sample (rnk <= k) from tau (rnk == k+1).
+    """
+    from sfs3_kinesis_spark.operators.scale import salted_window_topk
+
+    out = df.withColumn(
+        "_pr",
+        F.expr(
+            f"CAST({weight_col} AS BIGINT) * {HASH_MOD} "
+            f"DIV ({hash_sql(id_col)} + 1)"
+        ),
+    )
+    return salted_window_topk(
+        out,
+        key_col,
+        [F.desc("_pr"), F.asc(id_col)],
+        k=k + 1,
+        salt=salt,
+        salt_on=id_col,
+    )

@@ -614,3 +614,76 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str):
     return salted_window_topk(
         d, "source", [F.asc("_h"), F.asc("doc_id")], k=5, salt_on="doc_id"
     ).select("source", F.col("doc_id").cast("long").alias("doc_id"), "rnk")
+
+
+@register(
+    "sample_priority_pps",
+    f"""
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             CAST(n_chars AS BIGINT) * 1000000007
+               // ({hash_sql('doc_id')} + 1) AS pr
+      FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY pr DESC, doc_id) AS rn
+      FROM p),
+    tau AS (SELECT source, pr AS tau FROM r WHERE rn = 4),
+    s AS (SELECT * FROM r WHERE rn <= 3)
+    SELECT s.source,
+           list_sort(list(CAST(s.doc_id AS BIGINT)))       AS sampled_ids,
+           CAST(SUM(CASE WHEN CAST(s.n_chars AS BIGINT) * 1000000007
+                              > COALESCE(t.tau, 0)
+                         THEN CAST(s.n_chars AS BIGINT) * 1000000007
+                         ELSE t.tau END)
+                // 1000000007 AS BIGINT)                   AS est_total_chars,
+           (SELECT CAST(SUM(n_chars) AS BIGINT)
+            FROM documents d WHERE d.source = s.source)    AS true_total_chars
+    FROM s LEFT JOIN tau t ON s.source = t.source
+    GROUP BY s.source
+    """,
+    tags=("sampling", "priority", "pps", "weighted", "estimator",
+          "exact_arithmetic"),
+    description=(
+        "priority sampling (Duffield-Lund-Thorup): 3 docs per source "
+        "weighted by n_chars via the integer priority surrogate "
+        "(w*M) DIV (hash+1) — big documents sampled preferentially, "
+        "rng-free and retry-deterministic — PLUS the scheme's point: "
+        "the (k+1)-th priority is the threshold tau making "
+        "sum(max(w, tau)) over the sample an unbiased estimate of the "
+        "source's TOTAL character mass, emitted beside the true total "
+        "as a visible audit.  Ranking runs the salted two-phase window "
+        "top-k so a hot source spreads over 8 phase-1 reducers; all "
+        "arithmetic is BIGINT floor ops both engines evaluate "
+        "identically"
+    ),
+)
+def sample_priority_pps(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    ranked = sampling.priority_sample_per_key(
+        d, "source", "doc_id", "n_chars", k=3
+    )
+    tau = ranked.filter(F.col("rnk") == 4).select(
+        "source", F.col("_pr").alias("_tau")
+    )
+    s = ranked.filter(F.col("rnk") <= 3).join(tau, "source", "left")
+    totals = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("true_total_chars")
+    )
+    est = (
+        s.groupBy("source")
+        .agg(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("long"))).alias(
+                "sampled_ids"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(n_chars AS BIGINT) * 1000000007 "
+                "> COALESCE(_tau, 0) "
+                "THEN CAST(n_chars AS BIGINT) * 1000000007 ELSE _tau END) "
+                "DIV 1000000007 AS BIGINT)"
+            ).alias("est_total_chars"),
+        )
+    )
+    return est.join(totals, "source").select(
+        "source", "sampled_ids", "est_total_chars", "true_total_chars"
+    )
