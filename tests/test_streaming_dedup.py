@@ -567,6 +567,19 @@ def test_streaming_near_dup_compaction_bounds_index_and_keeps_detection(
     assert len(again) == len(set(again)), "replayed epoch duplicated matches"
     assert set(again) == got_c
 
+    # cold restart over the compacted index: a FRESH operator must
+    # read the manifest + base generation and keep matching docs whose
+    # signatures now live ONLY in the folded base
+    nd_r = StreamingNearDup(spark, str(tmp_path / "ndx_c"), compact_every=3)
+    nd_r.process_batch(
+        spark.createDataFrame(
+            [(150, base_text + " with a fresh little tail appended")], doc_schema
+        ),
+        8,
+    )
+    got_r = {(r.new_doc_id, r.dup_of) for r in nd_r.matches().collect()}
+    assert (150, 1) in got_r, "fresh operator failed to read the compacted base"
+
 
 def test_streaming_near_dup_compaction_crash_between_flip_and_delete(
     spark, tmp_path
