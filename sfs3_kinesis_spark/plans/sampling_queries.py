@@ -632,11 +632,10 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str):
     s AS (SELECT * FROM r WHERE rn <= 3)
     SELECT s.source,
            list_sort(list(CAST(s.doc_id AS BIGINT)))       AS sampled_ids,
-           CAST(SUM(CASE WHEN CAST(s.n_chars AS BIGINT) * 1000000007
+           CAST(SUM(CASE WHEN CAST(s.n_chars AS BIGINT)
                               > COALESCE(t.tau, 0)
-                         THEN CAST(s.n_chars AS BIGINT) * 1000000007
-                         ELSE t.tau END)
-                // 1000000007 AS BIGINT)                   AS est_total_chars,
+                         THEN CAST(s.n_chars AS BIGINT)
+                         ELSE t.tau END) AS BIGINT)        AS est_total_chars,
            (SELECT CAST(SUM(n_chars) AS BIGINT)
             FROM documents d WHERE d.source = s.source)    AS true_total_chars
     FROM s LEFT JOIN tau t ON s.source = t.source
@@ -677,10 +676,10 @@ def sample_priority_pps(spark: SparkSession, sf_dir: str):
                 "sampled_ids"
             ),
             F.expr(
-                "CAST(SUM(CASE WHEN CAST(n_chars AS BIGINT) * 1000000007 "
+                "CAST(SUM(CASE WHEN CAST(n_chars AS BIGINT) "
                 "> COALESCE(_tau, 0) "
-                "THEN CAST(n_chars AS BIGINT) * 1000000007 ELSE _tau END) "
-                "DIV 1000000007 AS BIGINT)"
+                "THEN CAST(n_chars AS BIGINT) ELSE _tau END) "
+                "AS BIGINT)"
             ).alias("est_total_chars"),
         )
     )

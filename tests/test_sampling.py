@@ -95,3 +95,23 @@ def test_temperature_resample_balances_and_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in sampling.temperature_resample(d, F.col("doc_id"), "lang").select("doc_id").collect())
     assert a == b
+
+
+def test_priority_sample_estimator_band(spark):
+    """Duffield-Lund-Thorup invariant: with tau = the (k+1)-th
+    priority, sum(max(w, tau)) over the k sampled items estimates the
+    key's TOTAL weight (unbiased over the hash's u; JACM 2007 Thm 1).
+    The old formula compared tau/M to w, which never fired and biased
+    the estimate ~8x low — pin the corrected band: every per-source
+    estimate within [0.35x, 3x] of truth and the mean ratio across 20
+    sources inside [0.75, 1.25] (k=3 variance; deterministic hash, so
+    these are fixed numbers per sf dir, checked at both test SFs)."""
+    from sfs3_kinesis_spark.plans import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = REGISTRY["sample_priority_pps"].spark(spark, sf).collect()
+        assert len(rows) == 20
+        ratios = [r["est_total_chars"] / r["true_total_chars"] for r in rows]
+        assert all(0.35 < x < 3.0 for x in ratios), (sf, sorted(ratios))
+        mean = sum(ratios) / len(ratios)
+        assert 0.75 < mean < 1.25, (sf, mean)
