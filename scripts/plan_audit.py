@@ -52,6 +52,53 @@ def global_windows(plan: str) -> int:
     return n
 
 
+#: a LocalRelation leaf bigger than this is a driver-side
+#: materialization smuggled into a registered query (collect() +
+#: createDataFrame): its LocalTableScan plan shows 0 exchanges /
+#: 0 joins and every other column of this audit reads as perfectly
+#: scale-safe — the one shape the TEXT audit is blind to.  Bounded
+#: literal tables (query vectors, sign grids, centroid seeds,
+#: boundary arrays) all sit far below this.
+LOCAL_ROWS_MAX = 256
+
+
+def _has_parallel_collection(jrdd) -> bool:
+    """True if a ParallelCollectionRDD sits anywhere in the RDD's
+    dependency lineage — the signature of a driver-held collection
+    (collect() + createDataFrame / parallelize).  Checkpoint-pinned
+    frames are also LogicalRDD leaves, but their lineage roots in a
+    ReliableCheckpointRDD (distributed files), never a parallelized
+    driver buffer — so iterative queries using lineage_pin don't
+    false-positive here."""
+    if jrdd.getClass().getSimpleName() == "ParallelCollectionRDD":
+        return True
+    it = jrdd.dependencies().iterator()
+    while it.hasNext():
+        if _has_parallel_collection(it.next().rdd()):
+            return True
+    return False
+
+
+def max_local_rows(df) -> int:
+    """Largest driver-local leaf (rows) in the optimized plan.  The
+    executed-plan STRING renders local inputs as `LocalTableScan` /
+    `Scan ExistingRDD` with no size, so a collect-backed result is
+    indistinguishable from an 8-row literal table there; here the
+    LocalRelation node carries its row buffer directly, and a
+    LogicalRDD whose lineage roots in a ParallelCollectionRDD is
+    counted (a job, but exactly as large as the offending collect)."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    worst = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        name = leaf.nodeName()
+        if name == "LocalRelation":
+            worst = max(worst, leaf.data().size())
+        elif name == "LogicalRDD" and _has_parallel_collection(leaf.rdd()):
+            worst = max(worst, leaf.rdd().count())
+    return worst
+
+
 def audit(plan: str) -> dict[str, int | str]:
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
@@ -185,6 +232,16 @@ def main() -> None:
             flags.append(
                 f"- `{name}`: {a['gwin']} single-partition ORDER BY window(s) "
                 "over a potentially unbounded input"
+            )
+        try:
+            lrows = max_local_rows(df)
+        except Exception:  # noqa: BLE001 — connect mode has no _jdf
+            lrows = 0
+        if lrows > LOCAL_ROWS_MAX:
+            flags.append(
+                f"- `{name}`: {lrows}-row LocalRelation leaf — a "
+                "driver-collected input masquerading as a plan "
+                f"(bound: {LOCAL_ROWS_MAX})"
             )
     out = [
         "# PLANS — physical-plan audit of the query corpus",

@@ -108,6 +108,7 @@ def pipeline_fail_path(spark: SparkSession, sf_dir: str):
     ),
 )
 def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
+    import os
     import shutil
     import tempfile
 
@@ -131,21 +132,26 @@ def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
     steps = reference_steps()
     c = steps[2]
     steps[2] = Step(c.name, c.output_col, c.result, gate_on=("step_b_output", "side_doc"))
-    tmp = tempfile.mkdtemp(prefix="retry_store_")
-    try:
-        sink = KeyedUpsertSink(spark, tmp)
-        pipe = RetryingIncrementalPipeline(
-            sink, steps, side_input, max_attempts=3, backoff_epochs=0
-        )
-        empty = requests.limit(0)
-        for epoch in range(4):
-            epoch_cell[0] = epoch
-            pipe.process_batch(requests if epoch == 0 else empty, epoch)
-        # materialize before the store dir is removed (the returned
-        # frame must not hold lineage into the tempdir)
-        rows = (
-            sink.current().select("txn_id", "status", "attempts").collect()
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, "txn_id string, status string, attempts int")
+    # run-scoped STABLE store (keyed by sf_dir, one per scale factor,
+    # wiped at the start of each run): the returned frame keeps its
+    # lineage INTO the parquet store instead of collect()ing every
+    # state row through driver memory — at corpus scale the old
+    # collect()/createDataFrame round-trip was a driver-side
+    # materialization of the whole documents table, and its
+    # LocalTableScan plan was invisible to scripts/plan_audit.py.
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "sfs3kspark_retry_demo",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+    sink = KeyedUpsertSink(spark, store)
+    pipe = RetryingIncrementalPipeline(
+        sink, steps, side_input, max_attempts=3, backoff_epochs=0
+    )
+    empty = requests.limit(0)
+    for epoch in range(4):
+        epoch_cell[0] = epoch
+        pipe.process_batch(requests if epoch == 0 else empty, epoch)
+    return sink.current().select("txn_id", "status", "attempts")

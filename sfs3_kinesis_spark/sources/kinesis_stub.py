@@ -309,12 +309,16 @@ class _StubStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         rows = []
         # the end offset's shard set is authoritative for a replay:
-        # it already includes any shard discovered in that batch
+        # it already includes any shard discovered in that batch.
+        # Build the generation map ONCE per call — describe_stream
+        # re-reads SHARDS.json, and doing that inside the sort-key
+        # lambda is O(shards^2) metadata reads per replayed batch.
+        gens = {
+            s["id"]: (s["gen"], int(s["id"]))
+            for s in describe_stream(self.root, self.stream)
+        }
         for sid in sorted(
-            end.get("shards", {}),
-            key=lambda i: ({s["id"]: (s["gen"], int(s["id"]))
-                            for s in describe_stream(self.root, self.stream)}
-                           .get(i, (0, 0))),
+            end.get("shards", {}), key=lambda i: gens.get(i, (0, 0))
         ):
             lo = int(start.get("shards", {}).get(sid, 0))
             hi = int(end.get("shards", {}).get(sid, 0))

@@ -13,8 +13,9 @@ event_id = txn_id/stage key.
 Within a micro-batch the INTERNAL stage gates are trivially
 satisfied (the stages are one projection).  The reference's
 retry-with-backoff consistency dance (S3DataPreconditionError +
-IntervalSeconds 2 / BackoffRate 2 / MaxAttempts 3,
-serverless.yml:80-85) exists because *its* stages race
+IntervalSeconds 1 / BackoffRate 1 / MaxAttempts 3 — a CONSTANT
+one-second interval, serverless.yml:80-85) exists because *its*
+stages race
 eventual-consistency reads across process hops; the one place the
 same race survives in the engine is an EXTERNAL side input — a
 stage whose precondition document may land in a LATER micro-batch
@@ -94,8 +95,11 @@ class IncrementalPipeline:
 class RetryingIncrementalPipeline:
     """Cross-micro-batch precondition retry — the reference's ASL
     ``Retry`` block (``serverless.yml:80-85``: S3DataPreconditionError,
-    IntervalSeconds 2, BackoffRate 2, MaxAttempts 3) realized on
-    micro-batches.
+    IntervalSeconds 1, BackoffRate 1, MaxAttempts 3 — a CONSTANT
+    one-second retry interval) realized on micro-batches.  The
+    interval maps to ``backoff_epochs`` trigger units and the rate to
+    ``backoff_rate``; the defaults reproduce the reference's constant
+    schedule, ``backoff_rate=2`` gives the classic exponential curve.
 
     The racing read the reference retries is modeled as an EXTERNAL
     side input: ``side_input()`` returns the current side table
@@ -121,8 +125,9 @@ class RetryingIncrementalPipeline:
        the reference CATCHES errors and publishes FAILED without
        retrying (``aprocess.js:78-82``); FAILED with no fault = a
        precondition miss → RETRYING with ``attempts + 1`` and
-       ``retry_after = epoch + backoff_epochs * 2^(attempts-1)``
-       (IntervalSeconds×BackoffRate in trigger units) while
+       ``retry_after = epoch + backoff_epochs * backoff_rate^(attempts-1)``
+       (IntervalSeconds×BackoffRate^n in trigger units; the reference's
+       BackoffRate is 1, so the default schedule is CONSTANT) while
        ``attempts < max_attempts``, else terminal FAILED — MaxAttempts
        exhaustion (T9 routing);
     4. MERGE every row into the state store (idempotent keyed upsert)
@@ -150,6 +155,7 @@ class RetryingIncrementalPipeline:
         on_events: Optional[Callable[[DataFrame, int], None]] = None,
         max_attempts: int = 3,
         backoff_epochs: int = 1,
+        backoff_rate: float = 1.0,
         pending_sink: Optional[KeyedUpsertSink] = None,
         cleanup_every: int = 16,
     ):
@@ -157,12 +163,15 @@ class RetryingIncrementalPipeline:
 
         if max_attempts < 1:
             raise ValueError("max_attempts must be >= 1")
+        if backoff_rate < 1.0:
+            raise ValueError("backoff_rate must be >= 1 (ASL BackoffRate)")
         self.state_sink = state_sink
         self.steps = list(steps)
         self.side_input = side_input
         self.on_events = on_events
         self.max_attempts = max_attempts
         self.backoff_epochs = backoff_epochs
+        self.backoff_rate = float(backoff_rate)
         # nested under the state dir ("_pending" matches neither the
         # v<N> nor d<N> version patterns, so the parent scan skips it)
         self.pending_sink = pending_sink or KeyedUpsertSink(
@@ -264,8 +273,17 @@ class RetryingIncrementalPipeline:
                 "retry_after": F.when(
                     retrying,
                     F.lit(int(epoch_id))
-                    + F.lit(self.backoff_epochs)
-                    * F.pow(F.lit(2.0), (tries - 1).cast("double")).cast("long"),
+                    + (
+                        # reference default: BackoffRate 1 → constant
+                        # interval; rate > 1 → exponential schedule
+                        F.lit(self.backoff_epochs)
+                        if self.backoff_rate == 1.0
+                        else F.lit(self.backoff_epochs)
+                        * F.pow(
+                            F.lit(self.backoff_rate),
+                            (tries - 1).cast("double"),
+                        ).cast("long")
+                    ),
                 ).cast("long"),
                 "status": F.when(retrying, F.lit(RETRYING)).otherwise(
                     F.col("status")

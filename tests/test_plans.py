@@ -391,3 +391,33 @@ def test_kaplan_meier_cumsum_is_bucketed(spark):
     not a single-partition ORDER BY over the day rollup."""
     plan = _plan(spark, "mine_kaplan_meier_churn")
     assert "_bucket#" in plan or "_pid#" in plan
+
+
+def test_plan_audit_sees_collect_backed_plans(spark):
+    """r05 verdict #1: a collect()/createDataFrame round-trip renders
+    as a LocalTableScan / Scan ExistingRDD — 0 exchanges, 0 joins —
+    and read as perfectly scale-safe to the TEXT audit.  Pin the
+    closer: max_local_rows counts a driver-parallelized leaf, ignores
+    checkpoint-pinned (distributed) LogicalRDDs, and the real
+    pipeline_retry_exhausted plan is now parquet-backed (no
+    driver-local leaf at all)."""
+    from scripts.plan_audit import LOCAL_ROWS_MAX, max_local_rows
+
+    # synthetic offender: the shape the old query had
+    rows = [(str(i), "SUCCEEDED", 1) for i in range(2_000)]
+    offender = spark.createDataFrame(rows, "txn_id string, status string, attempts int")
+    assert max_local_rows(offender) == 2_000 > LOCAL_ROWS_MAX
+
+    # a checkpointed frame is LogicalRDD-backed but DISTRIBUTED —
+    # must not be counted as a driver-local leaf
+    from sfs3_kinesis_spark.operators.scale import lineage_pin
+
+    pinned = lineage_pin(spark.range(5_000).toDF("id"))
+    assert max_local_rows(pinned) == 0
+
+    # the real fixed query: parquet-backed lineage, no local leaf
+    df = REGISTRY["pipeline_retry_exhausted"].spark(spark, SF)
+    assert max_local_rows(df) <= LOCAL_ROWS_MAX
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "parquet" in plan.lower()

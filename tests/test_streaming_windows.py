@@ -320,17 +320,16 @@ def test_cross_batch_precondition_retry_and_exhaustion(spark, tmp_path):
     assert st["t2"]["status"] == "RETRYING" and st["t2"]["attempts"] == 2
     assert ("t1", "SUCCEEDED", 1) in events
 
-    batch([], 2)                        # backoff: t2 waits until epoch 3
-    st = {r["txn_id"]: r for r in sink.current().collect()}
-    assert st["t2"]["status"] == "RETRYING" and st["t2"]["attempts"] == 2
-
-    batch([], 3)                        # t2's third try exhausts
+    # constant 1-epoch interval (serverless.yml:83-84 IntervalSeconds 1
+    # / BackoffRate 1): t2's third try lands at epoch 2 and exhausts
+    batch([], 2)
     st = {r["txn_id"]: r for r in sink.current().collect()}
     assert st["t2"]["status"] == "FAILED" and st["t2"]["attempts"] == 3
     assert st["t2"]["step_c_output"] is None
-    assert events.count(("t2", "FAILED", 3)) == 1
+    assert events.count(("t2", "FAILED", 2)) == 1
 
-    batch([], 4)                        # terminal rows are never re-tried
+    batch([], 3)                        # terminal rows are never re-tried
+    batch([], 4)
     st = {r["txn_id"]: r for r in sink.current().collect()}
     assert st["t2"]["status"] == "FAILED" and st["t2"]["attempts"] == 3
     assert len([e for e in events if e[0] == "t2"]) == 1
@@ -360,12 +359,13 @@ def test_retry_epoch_replay_does_not_double_increment(spark, tmp_path):
 
 
 def test_retry_backoff_epochs_delay_retries(spark, tmp_path):
-    """Exponential backoff in trigger units (IntervalSeconds 2 /
-    BackoffRate 2, serverless.yml:82-84): with backoff_epochs=2 a row
-    that failed at epoch 0 is not retried before epoch 2, and the next
-    wait doubles — tries land at epochs 0, 2, 6."""
+    """Exponential backoff in trigger units (the ASL BackoffRate>1
+    curve — the reference itself uses BackoffRate 1, tested below):
+    with backoff_epochs=2, backoff_rate=2 a row that failed at epoch 0
+    is not retried before epoch 2, and the next wait doubles — tries
+    land at epochs 0, 2, 6."""
     pipe, sink, events, arrive, batch = _retry_fixture(
-        spark, tmp_path, backoff_epochs=2
+        spark, tmp_path, backoff_epochs=2, backoff_rate=2
     )
 
     batch(["b1"], 0)
@@ -378,6 +378,38 @@ def test_retry_backoff_epochs_delay_retries(spark, tmp_path):
             assert row["attempts"] == 2, f"epoch {epoch}"
         else:
             assert row["attempts"] == 3 and row["status"] == "FAILED"
+
+
+def test_retry_constant_interval_is_the_reference_default(spark, tmp_path):
+    """The reference's actual Retry block is IntervalSeconds 1 /
+    BackoffRate 1 / MaxAttempts 3 (serverless.yml:80-85) — a CONSTANT
+    interval, not exponential.  The default ``backoff_rate=1.0``
+    reproduces it: with backoff_epochs=2 the waits never grow, so
+    tries land at epochs 0, 2, 4 (vs 0, 2, 6 for rate 2)."""
+    import pytest
+
+    pipe, sink, events, arrive, batch = _retry_fixture(
+        spark, tmp_path, backoff_epochs=2
+    )
+    assert pipe.backoff_rate == 1.0
+
+    batch(["c1"], 0)
+    for epoch in range(1, 6):
+        batch([], epoch)
+        row = sink.current().filter(F.col("txn_id") == "c1").collect()[0]
+        if epoch < 2:
+            assert row["attempts"] == 1, f"retried too early at {epoch}"
+        elif epoch < 4:
+            assert row["attempts"] == 2, f"epoch {epoch}"
+        else:
+            assert row["attempts"] == 3 and row["status"] == "FAILED"
+
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    with pytest.raises(ValueError, match="backoff_rate"):
+        RetryingIncrementalPipeline(
+            sink, [], lambda: None, backoff_rate=0.5
+        )
 
 
 def test_retry_faults_are_terminal_not_retried(spark, tmp_path):
