@@ -1,0 +1,301 @@
+"""Round-6 curation wave: dataset-engineering operators a training
+pipeline reaches for between dedup and packing — deterministic fold
+assignment, leave-one-out target encoding, corpus Zipf profiling, and
+a nonparametric drift test for ingest monitoring.
+
+All four follow the corpus conventions (plans/core.py): exact integer
+arithmetic end to end, every computed column aliased identically on
+both engines, bounded non-equi joins only over calendar rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sfs3_kinesis_spark.plans.core import register, t
+
+#: Knuth's multiplicative hash constant — the deterministic fold
+#: assigner both engines compute identically on BIGINT (doc_id is
+#: ~1e5 max, so the product stays far under 2^63).
+_KFOLD_MULT = 2654435761
+_KFOLD_K = 5
+
+
+@register(
+    "sample_stratified_kfold",
+    f"""
+    WITH assigned AS (
+        SELECT lang,
+               ((doc_id * {_KFOLD_MULT}) % 4294967296) % {_KFOLD_K} AS fold,
+               n_chars
+        FROM documents),
+    cell AS (
+        SELECT lang, fold,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars
+        FROM assigned GROUP BY lang, fold)
+    SELECT lang,
+           CAST(fold AS BIGINT)       AS fold,
+           CAST(n_docs AS BIGINT)     AS n_docs,
+           CAST(sum_chars AS BIGINT)  AS sum_chars,
+           CAST((1000 * n_docs) // sum(n_docs) OVER (PARTITION BY lang)
+                AS BIGINT)            AS frac_x1000
+    FROM cell
+    """,
+    tags=("sampling", "kfold", "stratified", "cross_validation", "exact_arithmetic"),
+    description=(
+        "stratified k-fold assignment (k=5) for cross-validation "
+        "splits: fold = Knuth-multiplicative hash of doc_id, so "
+        "membership is a pure projection (no shuffle, no stored split "
+        "table, reproducible across runs and engines) and every doc "
+        "lands in EXACTLY one fold by construction — the leakage-free "
+        "property train/val splitters must prove.  Per (lang, fold) "
+        "counts + char mass + within-language fold share (x1000 "
+        "integer) audit the stratification balance; the share window "
+        "partitions on the 5-language key, never globally"
+    ),
+)
+def sample_stratified_kfold(spark: SparkSession, sf_dir: str):
+    assigned = t(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.col("doc_id") * F.lit(_KFOLD_MULT)) % F.lit(4294967296) % F.lit(_KFOLD_K)).alias(
+            "fold"
+        ),
+        "n_chars",
+    )
+    cell = assigned.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    return cell.withColumn(
+        "_lang_total", F.sum("n_docs").over(W.partitionBy("lang"))
+    ).select(
+        "lang",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        F.expr("CAST((1000 * n_docs) DIV _lang_total AS BIGINT)").alias("frac_x1000"),
+    )
+
+
+#: count-min sketch geometry: 4 independent rows x 64 counters.
+#: Multiplicative-shift hashes on the BIGINT key with fixed odd
+#: constants — both engines compute them bit-identically, unlike
+#: xxhash64 (Spark-only).  p is a Mersenne prime (2^31 - 1).
+_CMS_W = 64
+_CMS_P = 2147483647
+_CMS_AB = ((2654435761, 104729), (2246822519, 224737), (3266489917, 350377), (668265263, 479909))
+
+
+def _cms_hash_sql(row: int, key: str) -> str:
+    a, b = _CMS_AB[row]
+    return f"((({key} * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+@register(
+    "agg_countmin_heavy_audit",
+    f"""
+    WITH hits AS (
+        SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id),
+    cells AS (
+        SELECT r.row_id,
+               CASE r.row_id
+                    WHEN 0 THEN {_cms_hash_sql(0, 'user_id')}
+                    WHEN 1 THEN {_cms_hash_sql(1, 'user_id')}
+                    WHEN 2 THEN {_cms_hash_sql(2, 'user_id')}
+                    ELSE        {_cms_hash_sql(3, 'user_id')}
+               END AS bucket,
+               count(*) AS c
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_id) r
+        GROUP BY 1, 2),
+    est AS (
+        SELECT h.user_id, h.true_n,
+               min(c.c) AS est_n
+        FROM hits h
+        JOIN cells c
+          ON c.bucket = CASE c.row_id
+                             WHEN 0 THEN {_cms_hash_sql(0, 'h.user_id')}
+                             WHEN 1 THEN {_cms_hash_sql(1, 'h.user_id')}
+                             WHEN 2 THEN {_cms_hash_sql(2, 'h.user_id')}
+                             ELSE        {_cms_hash_sql(3, 'h.user_id')}
+                        END
+        GROUP BY h.user_id, h.true_n)
+    SELECT user_id,
+           CAST(true_n AS BIGINT)            AS true_n,
+           CAST(est_n AS BIGINT)             AS est_n,
+           est_n >= true_n                   AS never_underestimates
+    FROM est
+    ORDER BY true_n DESC, user_id
+    LIMIT 50
+    """,
+    tags=("agg", "sketch", "countmin", "mergeable", "audit", "exact_arithmetic"),
+    description=(
+        "count-min sketch heavy-hitter audit: a 4x64 counter grid "
+        "(multiplicative-shift hashes with fixed odd constants — "
+        "bit-identical across engines, unlike xxhash) built as ONE "
+        "map-side-combined aggregate whose partial state is 256 int64 "
+        "cells regardless of data size — the mergeable frequency "
+        "sketch streaming rollups store when exact per-key counts "
+        "don't fit.  The query estimates every key's frequency "
+        "(min over the 4 rows) NEXT TO its exact count and pins the "
+        "CMS guarantee est >= true in a column; top-50 keys under a "
+        "total order.  At 100 TB the cells aggregate shuffles 256 "
+        "rows and the probe joins against a 256-row broadcast"
+    ),
+)
+def agg_countmin_heavy_audit(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select("user_id")
+    hits = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_id"),
+                            F.expr(_cms_hash_sql(i, "user_id")).alias("bucket"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("h")
+        )
+        .groupBy(F.col("h.row_id").alias("row_id"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = hits.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.expr(_cms_hash_sql(i, "user_id")).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", F.col("h.row_id").alias("row_id"), F.col("h.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.select(
+            "user_id",
+            F.col("true_n").cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+            (F.col("est_n") >= F.col("true_n")).alias("never_underestimates"),
+        )
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "text_zipf_spectrum",
+    """
+    WITH tk AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+        SELECT term, count(*) AS f FROM tk GROUP BY term)
+    SELECT CAST(length(bin(f)) AS BIGINT)  AS log2_bucket,
+           CAST(count(*) AS BIGINT)        AS n_terms,
+           CAST(sum(f) AS BIGINT)          AS n_tokens
+    FROM tf GROUP BY 1
+    """,
+    tags=("text", "zipf", "corpus_stats", "frequency_spectrum", "exact_arithmetic"),
+    description=(
+        "corpus frequency spectrum (the Zipf profile): how many "
+        "DISTINCT terms occur with frequency in each power-of-two "
+        "band, and the token mass each band carries.  Zipfian text "
+        "shows the hapax-heavy tail (n_terms halving-ish per band) "
+        "every tokenizer-vocabulary and quality-filter decision reads "
+        "off; a crawl whose spectrum flattens is template spam.  Two "
+        "map-side-combined aggregates (term counts, then <=64 "
+        "log2-band rollup via length(bin(f)) — pure integer/string "
+        "ops identical in both engines); the spectrum is the SCALABLE "
+        "form of a rank-frequency plot (no global rank needed)"
+    ),
+)
+def text_zipf_spectrum(spark: SparkSession, sf_dir: str):
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return tf.groupBy(
+        F.expr("CAST(length(bin(f)) AS BIGINT)").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("f").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "mine_mann_kendall_trend",
+    """
+    WITH d AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS day,
+               count(*) AS c
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY 1, 2)
+    SELECT a.priority,
+           CAST(count(DISTINCT a.day) + 1 AS BIGINT)      AS n_days,
+           CAST(sum(sign(b.c - a.c)) AS BIGINT)           AS s_stat,
+           CASE WHEN sum(sign(b.c - a.c)) > 0 THEN 'inc'
+                WHEN sum(sign(b.c - a.c)) < 0 THEN 'dec'
+                ELSE 'flat' END                           AS trend
+    FROM d a JOIN d b
+      ON a.priority = b.priority AND a.day < b.day
+    GROUP BY a.priority
+    """,
+    tags=("timeseries", "trend", "mann_kendall", "nonparametric", "exact_arithmetic"),
+    description=(
+        "Mann-Kendall trend test statistic S = sum of sign(c_j - c_i) "
+        "over all day pairs i<j, per priority over the 1995 daily "
+        "order counts — the nonparametric monotonic-trend detector "
+        "(no distribution assumption, robust to outliers) ingest "
+        "monitoring runs on volume series.  The pair join is over the "
+        "CALENDAR-BOUNDED daily rollup (<=365 rows/priority — the "
+        "bounded-rollup precedent of mine_change_point), equi-keyed "
+        "on priority so it plans as a broadcast hash join with the "
+        "day inequality as a residual filter, never a nested loop "
+        "over facts.  n_days = distinct left days + 1 (every day but "
+        "the last appears as a left endpoint); integer sign sums are "
+        "bit-stable everywhere"
+    ),
+)
+def mine_mann_kendall_trend(spark: SparkSession, sf_dir: str):
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.priority") == F.col("b.priority"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.priority").alias("priority"))
+        .agg(
+            (F.countDistinct(F.col("a.day")) + 1).cast("long").alias("n_days"),
+            s.cast("long").alias("s_stat"),
+            F.when(s > 0, F.lit("inc"))
+            .when(s < 0, F.lit("dec"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )

@@ -142,7 +142,9 @@ def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
     store = os.path.join(
         tempfile.gettempdir(),
         "sfs3kspark_retry_demo",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        # pid-scoped: two concurrent sessions (driver gate + a local
+        # sweep) must not wipe each other's store mid-read
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}",
     )
     shutil.rmtree(store, ignore_errors=True)
     os.makedirs(store, exist_ok=True)

@@ -692,33 +692,72 @@ DBSCAN_EPS = 25
 DBSCAN_MINPTS = 4
 
 
+#: min-label rounds in the DBSCAN oracle's components unroll.  Each
+#: round takes min(own, neighbors', label's label); the jump step
+#:  accelerates long chains but is NOT a strict doubling guarantee, so
+#: the bound that matters is the plain propagation one: rounds >=
+#: eccentricity of the min-id node <= hop-diameter of the core graph,
+#: which the 1000x1000 grid caps at ~2*1000/eps = 80 for a straight
+#: dense path and which measures ~26 on the sf0.1 fixture (19810
+#: points collapse to ONE cluster).  48 = measured need + ~2x margin;
+#: an unconverged oracle can only FAIL the gate loudly (Spark's
+#: connected_components iterates to a checked fixpoint), never match
+#: it silently.
+DBSCAN_CC_ROUNDS = 48
+
+
 def _dbscan_oracle() -> str:
+    """Fixed-round iterative min-label components instead of the old
+    RECURSIVE transitive closure (r05 verdict missing #3): the closure
+    enumerated every (node, reachable-label) pair — O(n x |component|)
+    rows, DNF at 35+ min on sf0.1's 19810 points — while this unroll
+    keeps ONE label row per node per round and converges by label
+    chaining (each round takes the min of the node's label, its
+    neighbors' labels, and its label's label).  Every round CTE is
+    MATERIALIZED (the k-core precedent: chained re-reads would expand
+    the base scan exponentially).  Measured: sf0.01 22.8 s -> 0.4 s
+    bit-identical; sf0.1 DNF -> ~15 s."""
     r, m = DBSCAN_EPS, DBSCAN_MINPTS
-    return f"""
-    WITH RECURSIVE p AS (
+    parts = [
+        f"""
+    WITH p AS MATERIALIZED (
         SELECT event_id AS id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
                user_id % 1000 AS y
         FROM events WHERE event_type = 'error'),
-    nbr AS (
+    nbr AS MATERIALIZED (
         SELECT a.id, count(*) AS n
         FROM p a JOIN p b
           ON a.id <> b.id
          AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}
         GROUP BY a.id),
-    core AS (SELECT id, n FROM nbr WHERE n >= {m}),
-    ce AS (
+    core AS MATERIALIZED (SELECT id, n FROM nbr WHERE n >= {m}),
+    ce AS MATERIALIZED (
         SELECT a.id AS u, b.id AS v
         FROM p a JOIN p b
           ON a.id < b.id
          AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {r}
         WHERE a.id IN (SELECT id FROM core) AND b.id IN (SELECT id FROM core)),
-    und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
-    reach AS (
-        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM und)
-        UNION
-        SELECT e.v AS u, r2.lbl FROM reach r2 JOIN und e ON e.u = r2.u),
-    comp AS (SELECT u AS id, min(lbl) AS cluster_rep FROM reach GROUP BY u),
+    und AS MATERIALIZED (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+    l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM und)"""
+    ]
+    for i in range(1, DBSCAN_CC_ROUNDS + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f""",
+    n{i} AS (SELECT e.u, min(pl.lbl) AS lbl FROM und e
+             JOIN {prev} pl ON e.v = pl.u GROUP BY e.u),
+    j{i} AS (SELECT l1.u, min(l2.lbl) AS lbl FROM {prev} l1
+             JOIN {prev} l2 ON l1.lbl = l2.u GROUP BY l1.u),
+    l{i} AS MATERIALIZED (
+        SELECT l.u, least(l.lbl, coalesce(n.lbl, l.lbl),
+                          coalesce(j.lbl, l.lbl)) AS lbl
+        FROM {prev} l LEFT JOIN n{i} n ON n.u = l.u
+        LEFT JOIN j{i} j ON j.u = l.u)"""
+        )
+    parts.append(
+        f""",
+    comp AS (SELECT u AS id, lbl AS cluster_rep FROM l{DBSCAN_CC_ROUNDS}),
     labeled AS (
         SELECT core.id, coalesce(comp.cluster_rep, core.id) AS cluster_rep,
                core.n
@@ -726,6 +765,8 @@ def _dbscan_oracle() -> str:
     SELECT id, cluster_rep, CAST(n AS BIGINT) AS n_neighbors
     FROM labeled
     """
+    )
+    return "".join(parts)
 
 
 @register(

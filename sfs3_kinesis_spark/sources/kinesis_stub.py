@@ -165,6 +165,36 @@ def _write_shards(root: str, stream_name: str, shards: list[dict]) -> None:
     os.replace(tmp, path)
 
 
+def create_stream(
+    root: str, stream_name: str, shard_count: int = DEFAULT_NUM_SHARDS
+) -> list[str]:
+    """CreateStream: provision ``shard_count`` OPEN shards — residue
+    classes ``(mod shard_count, rem s)``, which partition the key
+    space for ANY count.  Shard count is a CreateStream parameter in
+    AWS (not a producer option), so this is the emulator's only
+    channel for a non-default count; streams never explicitly created
+    keep the metadata-free two-shard default.  Returns the shard ids."""
+    if shard_count < 1:
+        raise ValueError("shard_count must be >= 1")
+    if not _STREAM_NAME_RE.match(stream_name or ""):
+        raise ValueError(f"invalid stream name {stream_name!r}")
+    d = _stream_dir(root, stream_name)
+    if os.path.exists(_shards_meta_path(root, stream_name)) or (
+        os.path.isdir(d) and any(f.startswith("shard-") for f in os.listdir(d))
+    ):
+        raise ValueError(f"stream {stream_name!r} already exists")
+    _write_shards(
+        root,
+        stream_name,
+        [
+            {"id": str(s), "mod": shard_count, "rem": s, "gen": 0,
+             "status": "OPEN", "parents": []}
+            for s in range(shard_count)
+        ],
+    )
+    return [str(s) for s in range(shard_count)]
+
+
 def split_shard(root: str, stream_name: str, shard_id: str) -> tuple[str, str]:
     """SplitShard: close ``shard_id`` and open two children covering
     its key set ((m,r) -> (2m,r) + (2m,r+m)).  Returns the child ids."""

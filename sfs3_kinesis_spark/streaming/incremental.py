@@ -230,6 +230,12 @@ class RetryingIncrementalPipeline:
             dead = [r["txn_id"] for r in cur.filter("done").select("txn_id").collect()]
             if dead:
                 self.pending_sink.forget_keys(dead)
+        # the pending store is a transient backlog, not a system of
+        # record — drop history no longer needed for the current
+        # read (unlike the STATE store, which keeps deltas for time
+        # travel).  Without this the on-disk directory count grows
+        # O(epochs) forever even though every READ is bounded.
+        self.pending_sink.vacuum()
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         todo = batch_df.withColumn("attempts", F.lit(0).cast("int"))
@@ -290,24 +296,35 @@ class RetryingIncrementalPipeline:
                 ),
             }
         )
-        # terminal events BEFORE the state write (same crash-ordering
-        # argument as IncrementalPipeline.process_batch: duplicates
-        # dedupe on event_id, losses would be unrecoverable)
-        if self.on_events is not None:
-            terminal = out.filter(F.col("status").isin(SUCCEEDED, FAILED))
-            events = status_events(terminal, event_time=F.current_timestamp())
-            self.on_events(events, epoch_id)
-        # STATE before PENDING: a crash between the two writes leaves
-        # the pending row un-tombstoned, so the replay re-tries the row
-        # and rewrites the identical state (idempotent-by-value); the
-        # reverse order would tombstone the retry while the state row
-        # was never committed — a silently lost terminal state.  The
-        # cleanup sweep runs dead LAST: it rewrites pending files in
-        # place, and every lazy plan reading them must be fully
-        # evaluated first.
-        self.state_sink.apply_batch(out, epoch_id)
-        self._update_pending(out, epoch_id)
-        self._cleanup_pending(epoch_id)
+        # ONE materialization of the staged projection per epoch: the
+        # batch result feeds three consumers (event emission, the
+        # state MERGE, the backlog routing) and would otherwise be
+        # recomputed — including the requeue read's store merge — once
+        # per consumer.  Textbook foreachBatch: persist the micro-batch
+        # output, unpersist when every consumer has written.
+        out = out.persist()
+        try:
+            # terminal events BEFORE the state write (same
+            # crash-ordering argument as IncrementalPipeline
+            # .process_batch: duplicates dedupe on event_id, losses
+            # would be unrecoverable)
+            if self.on_events is not None:
+                terminal = out.filter(F.col("status").isin(SUCCEEDED, FAILED))
+                events = status_events(terminal, event_time=F.current_timestamp())
+                self.on_events(events, epoch_id)
+            # STATE before PENDING: a crash between the two writes
+            # leaves the pending row un-tombstoned, so the replay
+            # re-tries the row and rewrites the identical state
+            # (idempotent-by-value); the reverse order would tombstone
+            # the retry while the state row was never committed — a
+            # silently lost terminal state.  The cleanup sweep runs
+            # dead LAST: it rewrites pending files in place, and every
+            # lazy plan reading them must be fully evaluated first.
+            self.state_sink.apply_batch(out, epoch_id)
+            self._update_pending(out, epoch_id)
+            self._cleanup_pending(epoch_id)
+        finally:
+            out.unpersist(blocking=False)
 
     def start(self, requests_stream: DataFrame, checkpoint_dir: str):
         return (

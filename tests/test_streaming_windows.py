@@ -566,3 +566,109 @@ def test_retry_pipeline_survives_query_restart_mid_retry(spark, tmp_path):
     assert st["r1"]["status"] == "SUCCEEDED", st["r1"]
     assert st["r1"]["attempts"] > attempts_before
     assert st["r2"]["status"] == "SUCCEEDED" and st["r2"]["attempts"] == 1
+
+
+def test_retry_pending_store_soak_bounded_files_and_requeue(spark, tmp_path):
+    """r05 verdict next-round #8: the O(backlog) pending-store claim,
+    measured over sustained load instead of argued.  200 epochs at a
+    steady 10% retry rate (every retrier's side doc lands one epoch
+    later, so the LIVE backlog is ~1 txn at any instant).  Pinned:
+
+    * the per-trigger requeue READ stays at the live backlog (never
+      grows with epochs);
+    * the pending store's on-disk directory count stays bounded by
+      base-snapshot + compaction window + cleanup window (the cleanup
+      sweep now VACUUMs history the transient backlog store does not
+      need — without it dirs grew O(epochs) even though reads were
+      bounded);
+    * the pending ROW count stays within live backlog + one cleanup
+      window of tombstones.
+
+    The side-input table is pruned to the last few epochs (resolved
+    txns never re-gate), and shuffle partitions are dropped to 4 for
+    the duration — 200 epochs of 32-task micro-jobs is scheduler
+    noise, not signal."""
+    import os
+
+    from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+    from sfs3_kinesis_spark.streaming.incremental import RetryingIncrementalPipeline
+
+    per_epoch, retriers = 10, 1  # 10% retry rate
+    epochs = 200
+
+    arrived: dict[str, int] = {}  # txn_id -> arrival epoch
+    now = [0]
+
+    def side_input():
+        # only the recent tail: a resolved txn never re-gates, so its
+        # side doc is dead weight (and an O(epochs) side table would
+        # measure the FIXTURE, not the store)
+        recent = [t for t, e in arrived.items() if e >= now[0] - 3]
+        if not recent:
+            return None
+        return spark.createDataFrame(
+            [(t, "{}") for t in sorted(recent)], "txn_id string, side_doc string"
+        )
+
+    # ONE gated step: the soak measures the PENDING-STORE mechanics
+    # (requeue, tombstone, forget_keys, vacuum) — the 6-stage chain's
+    # plan-compilation cost per epoch is the cross-batch retry tests'
+    # subject, not this one's
+    c = reference_steps()[2]
+    steps = [Step(c.name, c.output_col, c.result, gate_on=("side_doc",))]
+    sink = KeyedUpsertSink(spark, str(tmp_path / "store"), compact_every=32)
+    pipe = RetryingIncrementalPipeline(sink, steps, side_input, cleanup_every=16)
+    pending_dir = str(tmp_path / "store" / "_pending")
+
+    max_dirs = 0
+    max_requeue = 0
+    max_rows = 0
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        for epoch in range(epochs):
+            now[0] = epoch
+            ids = [f"e{epoch}-{i}" for i in range(per_epoch)]
+            # 90% of this epoch's docs are already there; the
+            # retriers' docs arrive at the NEXT epoch (one retry each)
+            arrived.update({t: epoch for t in ids[retriers:]})
+            req = pipe._requeue(epoch)
+            if req is not None:
+                max_requeue = max(max_requeue, req.count())
+            pipe.process_batch(
+                spark.createDataFrame(
+                    [(t, "{}") for t in ids], "txn_id string, request string"
+                ),
+                epoch,
+            )
+            arrived.update({t: epoch + 1 for t in ids[:retriers]})
+            if epoch % 25 == 0 or epoch > epochs - 4:
+                if os.path.isdir(pending_dir):
+                    n_dirs = sum(
+                        1
+                        for d in os.listdir(pending_dir)
+                        if d[0] in "vd" and d[1:].isdigit()
+                    )
+                    max_dirs = max(max_dirs, n_dirs)
+                cur = pipe.pending_sink.current()
+                if cur is not None:
+                    max_rows = max(max_rows, cur.count())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # requeue read = live backlog only (eligible, not-yet-tombstoned)
+    assert max_requeue <= retriers * 2, max_requeue
+    # dirs: one base snapshot + <= compact_every deltas (8) + the
+    # <= cleanup_every epochs (16) of deltas since the last vacuum
+    assert max_dirs <= 1 + 8 + 16 + 4, max_dirs
+    # rows: live backlog + <= one cleanup window of tombstones
+    assert max_rows <= retriers * (16 + 2), max_rows
+
+    # the schedule resolved correctly under soak: spot-check a midway
+    # epoch — its retrier succeeded with attempts=2, the rest first-try
+    st = {r["txn_id"]: r for r in sink.current().filter(
+        F.col("txn_id").startswith("e100-")
+    ).collect()}
+    assert st["e100-0"]["attempts"] == 2 and st["e100-0"]["status"] == "SUCCEEDED"
+    assert st["e100-5"]["attempts"] == 1 and st["e100-5"]["status"] == "SUCCEEDED"
