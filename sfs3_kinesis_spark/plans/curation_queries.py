@@ -299,3 +299,127 @@ def mine_mann_kendall_trend(spark: SparkSession, sf_dir: str):
             .alias("trend"),
         )
     )
+
+
+@register(
+    "mine_theil_sen_slope",
+    """
+    WITH d AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS day,
+               count(*) AS c
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY 1, 2),
+    sl AS (
+        SELECT a.priority,
+               CAST(floor(1000.0 * (b.c - a.c)
+                          / datediff('day', a.day, b.day)) AS BIGINT)
+                   AS slope_x1000
+        FROM d a JOIN d b
+          ON a.priority = b.priority AND a.day < b.day),
+    r AS (
+        SELECT priority, slope_x1000,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY slope_x1000) AS rn,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM sl)
+    SELECT priority,
+           CAST(n AS BIGINT)           AS n_pairs,
+           CAST(slope_x1000 AS BIGINT) AS median_slope_x1000
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+    tags=("timeseries", "trend", "theil_sen", "robust", "nonparametric"),
+    description=(
+        "Theil-Sen slope estimator: the MEDIAN of all pairwise slopes "
+        "(c_j - c_i)/(day_j - day_i) of the 1995 daily order counts, "
+        "per priority — the robust trend MAGNITUDE companion to "
+        "mine_mann_kendall_trend's direction test (up to ~29% "
+        "contamination tolerated, vs OLS's zero).  Pair join over the "
+        "calendar-bounded daily rollup (broadcast equi-join on "
+        "priority, day inequality residual); slopes scaled x1000 and "
+        "floored (IEEE division is correctly rounded, so the double "
+        "and its floor agree bit-for-bit across engines); lower "
+        "median by nearest rank over the priority-partitioned window "
+        "— never a global sort"
+    ),
+)
+def mine_theil_sen_slope(spark: SparkSession, sf_dir: str):
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    sl = a.join(
+        F.broadcast(b),
+        (F.col("a.priority") == F.col("b.priority")) & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.priority").alias("priority"),
+        F.expr(
+            "CAST(floor(1000.0 * (b.c - a.c) / datediff(b.day, a.day)) AS BIGINT)"
+        ).alias("slope_x1000"),
+    )
+    w = W.partitionBy("priority").orderBy("slope_x1000")
+    r = sl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("priority"))
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "priority",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_x1000").cast("long").alias("median_slope_x1000"),
+    )
+
+
+@register(
+    "events_burstiness_fano",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type,
+               count(*) AS n, sum(c) AS sc, sum(c * c) AS sc2
+        FROM h GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT)  AS n_hours,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST((1000 * (n * sc2 - sc * sc)) // (n * sc) AS BIGINT)
+               AS fano_x1000
+    FROM s
+    """,
+    tags=("events", "burstiness", "fano", "timeseries", "exact_arithmetic"),
+    description=(
+        "Fano factor (variance-to-mean ratio x1000) of hourly event "
+        "counts per type: ~1000 for Poisson arrivals, >>1000 for "
+        "bursty traffic, <1000 for rate-limited/regular — the "
+        "dispersion diagnostic ingest monitoring pairs with the "
+        "drift gate.  Exact integers end to end: the variance "
+        "numerator n*sum(c^2) - (sum c)^2 is non-negative by "
+        "Cauchy-Schwarz, so both engines' floor divisions agree; two "
+        "map-side-combined aggregates (hourly rollup, then per-type "
+        "moments), no window, no join"
+    ),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str):
+    h = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.expr("CAST((1000 * (n * sc2 - sc * sc)) DIV (n * sc) AS BIGINT)").alias(
+            "fano_x1000"
+        ),
+    )

@@ -134,7 +134,7 @@ class RetryingIncrementalPipeline:
        and emit status events for the TERMINAL rows only.
 
     All routing is one whole-stage-codegen projection over the batch.
-    The retry backlog lives in its OWN keyed store (``<state>/\_pending``,
+    The retry backlog lives in its OWN keyed store (``<state>/_pending``,
     a second :class:`KeyedUpsertSink`) rather than being re-derived
     from the state store: the state store is O(all txns ever seen) and
     merging it every 1.5 s trigger would be the classic

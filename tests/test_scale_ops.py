@@ -593,3 +593,33 @@ def test_multimodal_stdlib_bmp_codec_runs_real_bytes_unconditionally(spark):
     pil = {r.media_id: r.features for r in decode_and_featurize(media, codec=pil_codec).collect()}
     for k in by_id:
         assert all(abs(a - b) < 1e-9 for a, b in zip(by_id[k], pil[k]))
+
+
+def test_bmp_roundtrip_property():
+    """Property: encode_bmp24/decode_bmp24 round-trip ANY pixel grid
+    exactly — including odd widths (4-byte row padding), 1-pixel
+    images, and extreme channel values.  Pure stdlib, no Spark."""
+    from hypothesis import given, settings, strategies as st
+
+    from sfs3_kinesis_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+    pixel = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        rows = [
+            [data.draw(pixel) for _ in range(w)] for _ in range(h)
+        ]
+        payload = encode_bmp24(w, h, rows)
+        w2, h2, rows2 = decode_bmp24(payload)
+        assert (w2, h2) == (w, h)
+        assert rows2 == rows
+
+    check()
