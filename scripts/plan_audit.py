@@ -192,6 +192,7 @@ BNLJ_ALLOWED = {
 #: flag.  Value = (allowed count, bound justification).
 GLOBAL_WINDOW_ALLOWED = {
     "alloc_largest_remainder": (2, "|nations| rollup (25 rows)"),
+    "sample_allocation_neyman": (2, "|languages| rollup (5 rows)"),
     "sample_mixture_budget": (2, "|languages| rollup"),
     "sample_temperature_lang": (1, "|languages| rollup"),
     "sample_systematic_pps": (1, "fixed 100-row stride table"),

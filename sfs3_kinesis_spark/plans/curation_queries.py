@@ -1,11 +1,14 @@
 """Round-6 curation wave: dataset-engineering operators a training
-pipeline reaches for between dedup and packing — deterministic fold
-assignment, leave-one-out target encoding, corpus Zipf profiling, and
-a nonparametric drift test for ingest monitoring.
+pipeline reaches for between dedup and packing — deterministic
+stratified k-fold assignment, corpus Zipf profiling, Mann-Kendall /
+Theil-Sen trend tests for ingest monitoring, a count-min frequency
+sketch with an in-query guarantee audit, Fano-factor burstiness,
+Neyman-optimal sample allocation, and Gini decision-stump induction.
 
-All four follow the corpus conventions (plans/core.py): exact integer
-arithmetic end to end, every computed column aliased identically on
-both engines, bounded non-equi joins only over calendar rollups.
+All of them follow the corpus conventions (plans/core.py): exact
+integer arithmetic end to end, every computed column aliased
+identically on both engines, pair joins only over calendar- or
+domain-bounded rollups, windows partitioned on bounded keys.
 """
 
 from __future__ import annotations
@@ -422,4 +425,203 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         F.expr("CAST((1000 * (n * sc2 - sc * sc)) DIV (n * sc) AS BIGINT)").alias(
             "fano_x1000"
         ),
+    )
+
+
+@register(
+    "sample_allocation_neyman",
+    """
+    WITH s AS (
+        SELECT lang, count(*) AS n,
+               sum(n_chars) AS sx, sum(n_chars * n_chars) AS sx2
+        FROM documents GROUP BY lang),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS BIGINT)
+                   AS weight
+        FROM s),
+    tot AS (SELECT sum(weight) AS total FROM w),
+    q AS (
+        SELECT lang, n, weight,
+               (100000 * weight) // total AS fl,
+               (100000 * weight) % total AS rem
+        FROM w, tot),
+    r AS (
+        SELECT lang, n, weight, fl, rem,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               sum(fl) OVER () AS allocated
+        FROM q)
+    SELECT lang,
+           CAST(n AS BIGINT)      AS n_docs,
+           CAST(weight AS BIGINT) AS neyman_weight,
+           CAST(fl + CASE WHEN rk <= 100000 - allocated THEN 1 ELSE 0 END
+                AS BIGINT)        AS alloc
+    FROM r
+    """,
+    tags=("sampling", "stratified", "neyman", "allocation", "exact_arithmetic"),
+    description=(
+        "Neyman-optimal stratified sample allocation: a 100k-unit "
+        "labeling/eval budget split across language strata "
+        "proportional to N_h * S_h (stratum size x std dev — the "
+        "allocation that minimizes the estimator's variance; "
+        "proportional allocation over-samples homogeneous strata).  "
+        "N_h*S_h = sqrt(n*sum(x^2) - (sum x)^2) in ONE exact integer "
+        "moment pass per stratum (the bigint->double->sqrt->floor "
+        "chain is IEEE-deterministic in both engines); integer "
+        "largest-remainder rounding makes the allocations sum to the "
+        "budget EXACTLY (the alloc_largest_remainder idiom).  The "
+        "only windows run over the |languages| rollup"
+    ),
+)
+def sample_allocation_neyman(spark: SparkSession, sf_dir: str):
+    s = t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sx2"),
+    )
+    w = s.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS BIGINT)"
+        ).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("total"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "weight",
+        F.expr("(100000 * weight) DIV total").alias("fl"),
+        F.expr("(100000 * weight) % total").alias("rem"),
+    )
+    r = q.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("rem"), "lang"))
+    ).withColumn("allocated", F.sum("fl").over(W.partitionBy()))
+    return r.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("weight").cast("long").alias("neyman_weight"),
+        F.expr(
+            "CAST(fl + CASE WHEN rk <= 100000 - allocated THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("alloc"),
+    )
+
+
+#: fixed $500 bin width for the decision-stump split search — the
+#: candidate-threshold domain is bounded by the PRICE RANGE (~1200
+#: bins), never by row count.
+_GINI_BIN_CENTS = 50000
+
+
+@register(
+    "mine_gini_best_split",
+    f"""
+    WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) // {_GINI_BIN_CENTS}
+                   AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+    b AS (
+        SELECT priority, bin, count(*) AS n, sum(y) AS pos
+        FROM o GROUP BY priority, bin),
+    c AS (
+        SELECT priority, bin,
+               sum(n)   OVER (PARTITION BY priority ORDER BY bin) AS nl,
+               sum(pos) OVER (PARTITION BY priority ORDER BY bin) AS pl,
+               sum(n)   OVER (PARTITION BY priority) AS nt,
+               sum(pos) OVER (PARTITION BY priority) AS pt
+        FROM b),
+    g AS (
+        SELECT priority, bin, nl, nt,
+               (nl * (1000000 - (1000000 * (pl * pl + (nl - pl) * (nl - pl))) // (nl * nl))
+                + (nt - nl) * (1000000 - (1000000 * ((pt - pl) * (pt - pl)
+                     + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl))))
+                     // ((nt - nl) * (nt - nl)))) // nt AS impurity_x1e6
+        FROM c WHERE nl < nt),
+    best AS (
+        SELECT priority, bin, nl, nt, impurity_x1e6,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY impurity_x1e6, bin) AS rk
+        FROM g)
+    SELECT priority,
+           CAST(bin * {_GINI_BIN_CENTS} AS BIGINT) AS split_cents,
+           CAST(nl AS BIGINT)                      AS n_left,
+           CAST(nt - nl AS BIGINT)                 AS n_right,
+           CAST(impurity_x1e6 AS BIGINT)           AS impurity_x1e6
+    FROM best WHERE rk = 1
+    """,
+    tags=("mining", "gini", "decision_stump", "ml_primitive", "exact_arithmetic"),
+    description=(
+        "decision-stump induction by exact Gini impurity: per "
+        "priority, the order-value threshold that best separates "
+        "finished ('F') from open orders — weighted Gini of the "
+        "left/right partitions (x1e6, pure bigint squares and floor "
+        "divisions, non-negative throughout so both engines' integer "
+        "division agrees) minimized over every $500 bin boundary.  "
+        "One fact rollup to (priority, bin); cumulative counts, "
+        "totals, impurity, and the argmin all run over the "
+        "PRICE-RANGE-bounded bin table (~1.2k rows), windows "
+        "partitioned on the 5-value priority — the split-search "
+        "shape a distributed decision-tree layer runs per feature "
+        "per node"
+    ),
+)
+def mine_gini_best_split(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            f"CAST(floor(o_totalprice * 100) AS BIGINT) DIV {_GINI_BIN_CENTS}"
+        ).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    b = o.groupBy("priority", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wp = W.partitionBy("priority")
+    wc = wp.orderBy("bin")
+    c = b.select(
+        "priority",
+        "bin",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+        F.sum("n").over(wp).alias("nt"),
+        F.sum("pos").over(wp).alias("pt"),
+    )
+    g = (
+        c.filter(F.col("nl") < F.col("nt"))
+        .withColumn("nr", F.col("nt") - F.col("nl"))
+        .withColumn("pr", F.col("pt") - F.col("pl"))
+        .withColumn(
+            "gl",
+            F.expr(
+                "1000000 - (1000000 * (pl * pl + (nl - pl) * (nl - pl))) DIV (nl * nl)"
+            ),
+        )
+        .withColumn(
+            "gr",
+            F.expr(
+                "1000000 - (1000000 * (pr * pr + (nr - pr) * (nr - pr))) DIV (nr * nr)"
+            ),
+        )
+        .select(
+            "priority",
+            "bin",
+            "nl",
+            "nt",
+            F.expr("CAST((nl * gl + nr * gr) DIV nt AS BIGINT)").alias(
+                "impurity_x1e6"
+            ),
+        )
+    )
+    best = g.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("priority").orderBy("impurity_x1e6", "bin")),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "priority",
+        F.expr(f"CAST(bin * {_GINI_BIN_CENTS} AS BIGINT)").alias("split_cents"),
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        F.col("impurity_x1e6").cast("long").alias("impurity_x1e6"),
     )
