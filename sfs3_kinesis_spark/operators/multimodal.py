@@ -125,7 +125,18 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, list]:
         raise ValueError("only 24-bit uncompressed BMP is supported")
     bottom_up = height > 0
     height = abs(height)
+    # corrupt headers must fail LOUDLY with a ValueError naming the
+    # defect, not IndexError mid-row (which would fail a whole
+    # mapInPandas task with no hint of which payload was bad) or a
+    # silently nonsensical negative-width result
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_size = (width * 3 + 3) & ~3
+    if off < 54 or len(payload) < off + row_size * height:
+        raise ValueError(
+            f"truncated BMP payload: need {off + row_size * height} bytes "
+            f"for {width}x{height}, got {len(payload)}"
+        )
     rows = []
     for ry in range(height):
         base = off + ry * row_size

@@ -208,7 +208,12 @@ _BOUNDS_MEMO_MAX = 256
 #: recomputation ranks identically).
 from collections import OrderedDict as _OrderedDict
 
-_KEYED_CACHE: "_OrderedDict[object, DataFrame]" = _OrderedDict()
+#: value = (source df, persisted keyed df): the source is kept so a
+#: hit can be confirmed with the full sameSemantics plan comparison
+#: (a bare 32-bit semanticHash collision between different plans
+#: would otherwise silently rank the WRONG rows) and so frames from
+#: a stopped/replaced SparkSession are detected and dropped.
+_KEYED_CACHE: "_OrderedDict[object, tuple[DataFrame, DataFrame]]" = _OrderedDict()
 _KEYED_CACHE_MAX = 16
 
 
@@ -217,7 +222,7 @@ def clear_keyed_cache() -> None:
     between bench rounds / test modules to return executor storage
     memory; subsequent rank calls simply re-persist."""
     while _KEYED_CACHE:
-        _, old = _KEYED_CACHE.popitem(last=False)
+        _, (_, old) = _KEYED_CACHE.popitem(last=False)
         try:
             old.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — session already stopped
@@ -402,26 +407,50 @@ def _bucketed(
     # Held in the bounded _KEYED_CACHE LRU (not leaked): a repeat of
     # the same semantic plan reuses the live cached frame, and the
     # eviction path unpersists the oldest one.
-    cache_key = memo_key if memo_key is not None else object()
+    # the keyed frame depends only on (input plan, order_by) — NOT on
+    # n_buckets (that belongs to the bounds memo only), so rank and
+    # cumsum calls at different bucket counts share one persisted copy
+    cache_key = (
+        (memo_key[0], memo_key[1]) if memo_key is not None else object()
+    )
+    keyed = None
     if cache_key in _KEYED_CACHE:
-        keyed = _KEYED_CACHE[cache_key]
-        _KEYED_CACHE.move_to_end(cache_key)
+        src, cand = _KEYED_CACHE[cache_key]
+        # hit-validation, in escalation order of what a stale/false
+        # hit would cost: (1) a frame from a STOPPED/replaced session
+        # crashes on first use — identity-check the session; (2) a
+        # 32-bit semanticHash COLLISION between genuinely different
+        # plans would silently rank the wrong rows — confirm with the
+        # full plan comparison (sameSemantics), which is exactly the
+        # check Spark's own CacheManager performs after a hash match.
         try:
-            # an external spark.catalog.clearCache() (bench does this
-            # between queries) unpersists entries behind the LRU's
-            # back; a "hit" on an evicted frame would silently
-            # recompute the upstream once per consumer branch
-            lvl = keyed.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                keyed.persist()
-        except Exception:  # noqa: BLE001 — connect mode
-            pass
-    else:
+            if src.sparkSession is spark and df.sameSemantics(src):
+                keyed = cand
+                _KEYED_CACHE.move_to_end(cache_key)
+                # an external spark.catalog.clearCache() (bench does
+                # this between queries) unpersists entries behind the
+                # LRU's back; a "hit" on an evicted frame would
+                # silently recompute the upstream once per consumer
+                lvl = keyed.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    keyed.persist()
+        except Exception:  # noqa: BLE001 — stopped context, connect mode
+            keyed = None
+        if keyed is None:
+            _KEYED_CACHE.pop(cache_key, None)
+            try:
+                cand.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+    if keyed is None:
         keyed = df.withColumn("_gk", _order_key(df, order_by)).persist()
         while len(_KEYED_CACHE) >= _KEYED_CACHE_MAX:
-            _, old = _KEYED_CACHE.popitem(last=False)
-            old.unpersist(blocking=False)
-        _KEYED_CACHE[cache_key] = keyed
+            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+        _KEYED_CACHE[cache_key] = (df, keyed)
     gk_schema = keyed.schema["_gk"].dataType
     if memo_key is not None and memo_key in _BOUNDS_MEMO:
         bounds = _BOUNDS_MEMO[memo_key]

@@ -390,7 +390,7 @@ def mine_theil_sen_slope(spark: SparkSession, sf_dir: str):
     SELECT event_type,
            CAST(n AS BIGINT)  AS n_hours,
            CAST(sc AS BIGINT) AS n_events,
-           CAST((1000 * (n * sc2 - sc * sc)) // (n * sc) AS BIGINT)
+           CAST((1000 * sc2) // sc - (1000 * sc) // n AS BIGINT)
                AS fano_x1000
     FROM s
     """,
@@ -400,9 +400,13 @@ def mine_theil_sen_slope(spark: SparkSession, sf_dir: str):
         "counts per type: ~1000 for Poisson arrivals, >>1000 for "
         "bursty traffic, <1000 for rate-limited/regular — the "
         "dispersion diagnostic ingest monitoring pairs with the "
-        "drift gate.  Exact integers end to end: the variance "
-        "numerator n*sum(c^2) - (sum c)^2 is non-negative by "
-        "Cauchy-Schwarz, so both engines' floor divisions agree; two "
+        "drift gate.  Exact integers end to end in the subtractive "
+        "form E[c^2]/E[c] - E[c] (1000*sc2 DIV sc - 1000*sc DIV n, "
+        "non-negative by Cauchy-Schwarz, error <2e-3) — the product "
+        "form n*sc2 - sc^2 would square the corpus total and wrap "
+        "int64 at planetary scale; beyond ~3e15 hourly-count mass "
+        "use DECIMAL(38) partials (the agg_decimal_exact_products "
+        "pattern); two "
         "map-side-combined aggregates (hourly rollup, then per-type "
         "moments), no window, no join"
     ),
@@ -422,9 +426,9 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         "event_type",
         F.col("n").cast("long").alias("n_hours"),
         F.col("sc").cast("long").alias("n_events"),
-        F.expr("CAST((1000 * (n * sc2 - sc * sc)) DIV (n * sc) AS BIGINT)").alias(
-            "fano_x1000"
-        ),
+        F.expr(
+            "CAST((1000 * sc2) DIV sc - (1000 * sc) DIV n AS BIGINT)"
+        ).alias("fano_x1000"),
     )
 
 
@@ -437,7 +441,9 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         FROM documents GROUP BY lang),
     w AS (
         SELECT lang, n,
-               CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS BIGINT)
+               CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38, 0)) * sx2
+                                     - CAST(sx AS DECIMAL(38, 0)) * sx
+                                     AS DOUBLE))) AS BIGINT)
                    AS weight
         FROM s),
     tot AS (SELECT sum(weight) AS total FROM w),
@@ -465,9 +471,11 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         "proportional to N_h * S_h (stratum size x std dev — the "
         "allocation that minimizes the estimator's variance; "
         "proportional allocation over-samples homogeneous strata).  "
-        "N_h*S_h = sqrt(n*sum(x^2) - (sum x)^2) in ONE exact integer "
-        "moment pass per stratum (the bigint->double->sqrt->floor "
-        "chain is IEEE-deterministic in both engines); integer "
+        "N_h*S_h = sqrt(n*sum(x^2) - (sum x)^2) in ONE exact moment "
+        "pass per stratum — the variance numerator runs in "
+        "DECIMAL(38,0) (bigint n*sx2 wraps at ~1e19; decimal partials "
+        "carry corpus scale) and the decimal->double->sqrt->floor "
+        "chain is IEEE-deterministic in both engines; integer "
         "largest-remainder rounding makes the allocations sum to the "
         "budget EXACTLY (the alloc_largest_remainder idiom).  The "
         "only windows run over the |languages| rollup"
@@ -483,7 +491,8 @@ def sample_allocation_neyman(spark: SparkSession, sf_dir: str):
         "lang",
         "n",
         F.expr(
-            "CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS BIGINT)"
+            "CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38, 0)) * sx2"
+            " - CAST(sx AS DECIMAL(38, 0)) * sx AS DOUBLE))) AS BIGINT)"
         ).alias("weight"),
     )
     tot = w.agg(F.sum("weight").alias("total"))
@@ -534,10 +543,14 @@ _GINI_BIN_CENTS = 50000
         FROM b),
     g AS (
         SELECT priority, bin, nl, nt,
-               (nl * (1000000 - (1000000 * (pl * pl + (nl - pl) * (nl - pl))) // (nl * nl))
-                + (nt - nl) * (1000000 - (1000000 * ((pt - pl) * (pt - pl)
-                     + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl))))
-                     // ((nt - nl) * (nt - nl)))) // nt AS impurity_x1e6
+               (nl * (1000000
+                      - ((1000000 * pl // nl) * pl
+                         + (1000000 * (nl - pl) // nl) * (nl - pl)) // nl)
+                + (nt - nl) * (1000000
+                      - ((1000000 * (pt - pl) // (nt - nl)) * (pt - pl)
+                         + (1000000 * ((nt - nl) - (pt - pl)) // (nt - nl))
+                           * ((nt - nl) - (pt - pl))) // (nt - nl)))
+               // nt AS impurity_x1e6
         FROM c WHERE nl < nt),
     best AS (
         SELECT priority, bin, nl, nt, impurity_x1e6,
@@ -556,9 +569,12 @@ _GINI_BIN_CENTS = 50000
         "decision-stump induction by exact Gini impurity: per "
         "priority, the order-value threshold that best separates "
         "finished ('F') from open orders — weighted Gini of the "
-        "left/right partitions (x1e6, pure bigint squares and floor "
-        "divisions, non-negative throughout so both engines' integer "
-        "division agrees) minimized over every $500 bin boundary.  "
+        "left/right partitions (x1e6) minimized over every $500 bin "
+        "boundary; the class shares are scaled BEFORE squaring "
+        "((1e6*p DIV n)*p DIV n, error <2e-6, never p^2*1e6), so the "
+        "bigint headroom holds to ~9e12 rows per stratum instead of "
+        "~3e6 — all terms non-negative, both engines' floor division "
+        "agrees.  "
         "One fact rollup to (priority, bin); cumulative counts, "
         "totals, impurity, and the argmin all run over the "
         "PRICE-RANGE-bounded bin table (~1.2k rows), windows "
@@ -595,13 +611,15 @@ def mine_gini_best_split(spark: SparkSession, sf_dir: str):
         .withColumn(
             "gl",
             F.expr(
-                "1000000 - (1000000 * (pl * pl + (nl - pl) * (nl - pl))) DIV (nl * nl)"
+                "1000000 - ((1000000 * pl DIV nl) * pl"
+                " + (1000000 * (nl - pl) DIV nl) * (nl - pl)) DIV nl"
             ),
         )
         .withColumn(
             "gr",
             F.expr(
-                "1000000 - (1000000 * (pr * pr + (nr - pr) * (nr - pr))) DIV (nr * nr)"
+                "1000000 - ((1000000 * pr DIV nr) * pr"
+                " + (1000000 * (nr - pr) DIV nr) * (nr - pr)) DIV nr"
             ),
         )
         .select(

@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from sfs3_kinesis_spark.operators.pipeline import Step, reference_steps, run_pipeline
 from sfs3_kinesis_spark.plans.core import register, t
 
+#: per-process call counter for pipeline_retry_exhausted's run-scoped
+#: store — a fresh directory per call so previously returned frames
+#: keep valid lineage (see the query body)
+_RETRY_DEMO_SEQ = 0
+
 
 def _requests(spark: SparkSession, sf_dir: str):
     """Fixture documents as pipeline requests: txn_id = doc_id."""
@@ -132,21 +137,37 @@ def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
     steps = reference_steps()
     c = steps[2]
     steps[2] = Step(c.name, c.output_col, c.result, gate_on=("step_b_output", "side_doc"))
-    # run-scoped STABLE store (keyed by sf_dir, one per scale factor,
-    # wiped at the start of each run): the returned frame keeps its
-    # lineage INTO the parquet store instead of collect()ing every
-    # state row through driver memory — at corpus scale the old
+    # run-scoped STABLE store: the returned frame keeps its lineage
+    # INTO the parquet store instead of collect()ing every state row
+    # through driver memory — at corpus scale the old
     # collect()/createDataFrame round-trip was a driver-side
     # materialization of the whole documents table, and its
     # LocalTableScan plan was invisible to scripts/plan_audit.py.
-    store = os.path.join(
-        tempfile.gettempdir(),
-        "sfs3kspark_retry_demo",
-        # pid-scoped: two concurrent sessions (driver gate + a local
-        # sweep) must not wipe each other's store mid-read
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-{os.getpid()}",
+    # The path is (full-sf_dir-hash, pid, per-call sequence): the
+    # hash keeps two sf dirs with the same basename apart, the pid
+    # keeps concurrent sessions apart, and the SEQUENCE means a new
+    # call never wipes the directory a previously returned frame is
+    # still lazily reading — only stores two-or-more calls old (same
+    # prefix, lower seq) are garbage-collected.
+    import hashlib
+
+    global _RETRY_DEMO_SEQ
+    _RETRY_DEMO_SEQ += 1
+    prefix = (
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+        f"-{os.getpid()}"
     )
-    shutil.rmtree(store, ignore_errors=True)
+    base = os.path.join(tempfile.gettempdir(), "sfs3kspark_retry_demo")
+    store = os.path.join(base, f"{prefix}-{_RETRY_DEMO_SEQ:06d}")
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            if name.startswith(prefix + "-"):
+                try:
+                    seq = int(name.rsplit("-", 1)[1])
+                except ValueError:
+                    continue
+                if seq < _RETRY_DEMO_SEQ - 1:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     os.makedirs(store, exist_ok=True)
     sink = KeyedUpsertSink(spark, store)
     pipe = RetryingIncrementalPipeline(

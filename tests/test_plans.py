@@ -421,3 +421,16 @@ def test_plan_audit_sees_collect_backed_plans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert "parquet" in plan.lower()
+
+
+def test_retry_demo_store_survives_repeat_calls(spark):
+    """The run-scoped store is sequence-numbered per call: a frame
+    returned by an earlier call must stay readable after later calls
+    (only stores two-or-more calls old are garbage-collected), and
+    two sf dirs are keyed by the FULL path hash, not the basename."""
+    first = REGISTRY["pipeline_retry_exhausted"].spark(spark, SF)
+    n1 = first.count()
+    second = REGISTRY["pipeline_retry_exhausted"].spark(spark, SF)
+    assert second.count() == n1
+    # the first frame's lineage is still valid after the second call
+    assert first.count() == n1

@@ -623,3 +623,25 @@ def test_bmp_roundtrip_property():
         assert rows2 == rows
 
     check()
+
+
+def test_bmp_decode_rejects_corrupt_headers():
+    """Corrupt BMPs fail LOUDLY with ValueError naming the defect —
+    never IndexError mid-row (which would fail a whole mapInPandas
+    task anonymously) or a silent nonsense result."""
+    import struct
+
+    import pytest
+
+    from sfs3_kinesis_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+    good = encode_bmp24(4, 3, [[(1, 2, 3)] * 4] * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(good[:-5])
+    # negative width in the info header
+    bad_w = bytearray(good)
+    struct.pack_into("<i", bad_w, 18, -4)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp24(bytes(bad_w))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp24(b"JUNK" + good[4:])
