@@ -37,9 +37,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: Optional[str], tags: tuple[str, ...] = (), description: str = ""):
-    """Decorator: register a (spark_fn, oracle_sql) pair under ``name``."""
+    """Decorator: register a (spark_fn, oracle_sql) pair under ``name``.
+
+    Duplicate names raise at import time: the registry is a dict, so a
+    silent re-registration would REPLACE an existing query (twice
+    nearly shipped in round 6 — a new query accidentally shadowing an
+    older one of the same name, with only the total count to notice).
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(
+                f"query name {name!r} is already registered "
+                f"(by {REGISTRY[name].spark.__module__}); pick a new name"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, tags, description)
         return fn
 

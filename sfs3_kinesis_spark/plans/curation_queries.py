@@ -643,3 +643,38 @@ def mine_gini_best_split(spark: SparkSession, sf_dir: str):
         (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
         F.col("impurity_x1e6").cast("long").alias("impurity_x1e6"),
     )
+
+
+@register(
+    "sample_dedup_weighted",
+    """
+    WITH g AS (
+        SELECT md5(text) AS fp, count(*) AS n_copies
+        FROM documents GROUP BY md5(text))
+    SELECT d.doc_id,
+           CAST(g.n_copies AS BIGINT)        AS n_copies,
+           CAST(1000 // g.n_copies AS BIGINT) AS weight_x1000
+    FROM documents d JOIN g ON md5(d.text) = g.fp
+    """,
+    tags=("sampling", "dedup", "reweighting", "exact_arithmetic"),
+    description=(
+        "duplicate-aware sampling weights: every document keeps "
+        "weight 1/n_copies of its exact-duplicate group (md5 text "
+        "fingerprint), so a corpus sampled by these weights counts "
+        "each distinct text ONCE in expectation — the soft "
+        "alternative to dropping duplicates outright (dedup_exact_*'s "
+        "hard keep-one), which preserves provenance diversity while "
+        "removing frequency bias.  One fingerprint rollup shuffled on "
+        "the hash + one equi-join back on the same key (co-partitioned "
+        "— the join reuses the rollup's partitioning); integer "
+        "weights x1000"
+    ),
+)
+def sample_dedup_weighted(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+    g = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return d.join(g, "fp").select(
+        "doc_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.expr("CAST(1000 DIV n_copies AS BIGINT)").alias("weight_x1000"),
+    )
