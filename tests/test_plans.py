@@ -434,3 +434,15 @@ def test_retry_demo_store_survives_repeat_calls(spark):
     assert second.count() == n1
     # the first frame's lineage is still valid after the second call
     assert first.count() == n1
+
+
+def test_register_rejects_duplicate_names():
+    """The registry is a dict: without this guard a new query silently
+    REPLACES an older one of the same name (nearly shipped twice in
+    round 6, noticed only via the total count)."""
+    import pytest
+
+    from sfs3_kinesis_spark.plans.core import register
+
+    with pytest.raises(ValueError, match="already registered"):
+        register("q01_pricing_summary", None)(lambda s, d: None)
