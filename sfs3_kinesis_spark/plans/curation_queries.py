@@ -91,8 +91,14 @@ _CMS_AB = ((2654435761, 104729), (2246822519, 224737), (3266489917, 350377), (66
 
 
 def _cms_hash_sql(row: int, key: str) -> str:
+    # reduce the key mod p BEFORE the multiply: the raw product
+    # key * a overflows int64 for key >~ 2.8e9 (a_max ~ 3.3e9), where
+    # non-ANSI Spark wraps silently while DuckDB raises — the claimed
+    # bit-identical cross-engine hash would diverge beyond
+    # fixture-scale ids (ADVICE r06).  (key % p) < 2^31 keeps the
+    # product under ~7.0e18 < 2^63-1 for every a in _CMS_AB.
     a, b = _CMS_AB[row]
-    return f"((({key} * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
+    return f"(((({key} % {_CMS_P}) * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
 
 
 @register(
@@ -271,7 +277,10 @@ def text_zipf_spectrum(spark: SparkSession, sf_dir: str):
         "day inequality as a residual filter, never a nested loop "
         "over facts.  n_days = distinct left days + 1 (every day but "
         "the last appears as a left endpoint); integer sign sums are "
-        "bit-stable everywhere"
+        "bit-stable everywhere.  CONTRACT: a priority observed on "
+        "only ONE day has no pairs and is absent from the output (a "
+        "single point has no trend) — both engines agree by "
+        "construction"
     ),
 )
 def mine_mann_kendall_trend(spark: SparkSession, sf_dir: str):
@@ -446,12 +455,15 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
                                      AS DOUBLE))) AS BIGINT)
                    AS weight
         FROM s),
-    tot AS (SELECT sum(weight) AS total FROM w),
+    tot AS (SELECT sum(weight) AS total, sum(n) AS total_n FROM w),
     q AS (
         SELECT lang, n, weight,
-               (100000 * weight) // total AS fl,
-               (100000 * weight) % total AS rem
-        FROM w, tot),
+               (100000 * ew) // et AS fl,
+               (100000 * ew) % et AS rem
+        FROM (SELECT lang, n, weight,
+                     CASE WHEN total = 0 THEN n ELSE weight END AS ew,
+                     CASE WHEN total = 0 THEN total_n ELSE total END AS et
+              FROM w, tot)),
     r AS (
         SELECT lang, n, weight, fl, rem,
                row_number() OVER (ORDER BY rem DESC, lang) AS rk,
@@ -477,8 +489,11 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str):
         "carry corpus scale) and the decimal->double->sqrt->floor "
         "chain is IEEE-deterministic in both engines; integer "
         "largest-remainder rounding makes the allocations sum to the "
-        "budget EXACTLY (the alloc_largest_remainder idiom).  The "
-        "only windows run over the |languages| rollup"
+        "budget EXACTLY (the alloc_largest_remainder idiom).  If "
+        "every stratum is constant (all weights 0) the allocation "
+        "falls back to proportional-to-n — the Neyman limit under "
+        "equal variances — instead of an engine-divergent zero "
+        "division.  The only windows run over the |languages| rollup"
     ),
 )
 def sample_allocation_neyman(spark: SparkSession, sf_dir: str):
@@ -495,13 +510,25 @@ def sample_allocation_neyman(spark: SparkSession, sf_dir: str):
             " - CAST(sx AS DECIMAL(38, 0)) * sx AS DOUBLE))) AS BIGINT)"
         ).alias("weight"),
     )
-    tot = w.agg(F.sum("weight").alias("total"))
+    tot = w.agg(F.sum("weight").alias("total"), F.sum("n").alias("total_n"))
+    # degenerate-input guard (ADVICE r06): if EVERY stratum has
+    # constant n_chars, all Neyman weights are 0 and the division by
+    # the summed weight would be engine-divergent (Spark DIV -> NULL,
+    # DuckDB // -> error).  Fall back to proportional-to-n allocation
+    # — the textbook degenerate case of Neyman allocation (equal
+    # variances => proportional) — identically in both engines.
     q = w.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n",
         "weight",
-        F.expr("(100000 * weight) DIV total").alias("fl"),
-        F.expr("(100000 * weight) % total").alias("rem"),
+        F.expr("CASE WHEN total = 0 THEN n ELSE weight END").alias("ew"),
+        F.expr("CASE WHEN total = 0 THEN total_n ELSE total END").alias("et"),
+    ).select(
+        "lang",
+        "n",
+        "weight",
+        F.expr("(100000 * ew) DIV et").alias("fl"),
+        F.expr("(100000 * ew) % et").alias("rem"),
     )
     r = q.withColumn(
         "rk", F.row_number().over(W.orderBy(F.desc("rem"), "lang"))

@@ -702,7 +702,11 @@ DBSCAN_MINPTS = 4
 #: points collapse to ONE cluster).  48 = measured need + ~2x margin;
 #: an unconverged oracle can only FAIL the gate loudly (Spark's
 #: connected_components iterates to a checked fixpoint), never match
-#: it silently.
+#: it silently.  The oracle's final SELECT additionally ASSERTS
+#: convergence (l48 == l47) via DuckDB error() (ADVICE r06), so a
+#: fixture with a longer core chain fails with a named
+#: raise-DBSCAN_CC_ROUNDS message instead of a confusing spurious
+#: hash mismatch.
 DBSCAN_CC_ROUNDS = 48
 
 
@@ -758,12 +762,21 @@ def _dbscan_oracle() -> str:
     parts.append(
         f""",
     comp AS (SELECT u AS id, lbl AS cluster_rep FROM l{DBSCAN_CC_ROUNDS}),
+    conv AS (
+        SELECT count(*) AS ndiff
+        FROM l{DBSCAN_CC_ROUNDS} a JOIN l{DBSCAN_CC_ROUNDS - 1} b
+          ON a.u = b.u AND a.lbl <> b.lbl),
     labeled AS (
         SELECT core.id, coalesce(comp.cluster_rep, core.id) AS cluster_rep,
                core.n
         FROM core LEFT JOIN comp ON comp.id = core.id)
-    SELECT id, cluster_rep, CAST(n AS BIGINT) AS n_neighbors
-    FROM labeled
+    SELECT id, cluster_rep,
+           CAST(CASE WHEN ndiff > 0
+                     THEN error('DBSCAN oracle: min-label unroll NOT '
+                                'converged after {DBSCAN_CC_ROUNDS} rounds '
+                                '- raise DBSCAN_CC_ROUNDS')
+                     ELSE n END AS BIGINT) AS n_neighbors
+    FROM labeled, conv
     """
     )
     return "".join(parts)
