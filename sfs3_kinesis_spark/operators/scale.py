@@ -206,6 +206,8 @@ _BOUNDS_MEMO_MAX = 256
 #: frame; eviction unpersists (safe mid-plan — Spark falls back to
 #: recomputation, and bucketing is value-derived so every
 #: recomputation ranks identically).
+import os as _os
+import threading as _threading
 from collections import OrderedDict as _OrderedDict
 
 #: value = (source df, persisted keyed df): the source is kept so a
@@ -214,19 +216,35 @@ from collections import OrderedDict as _OrderedDict
 #: would otherwise silently rank the WRONG rows) and so frames from
 #: a stopped/replaced SparkSession are detected and dropped.
 _KEYED_CACHE: "_OrderedDict[object, tuple[DataFrame, DataFrame]]" = _OrderedDict()
-_KEYED_CACHE_MAX = 16
+#: env-overridable for perf forensics: SFS3K_KEYED_CACHE_MAX=0 turns
+#: reuse off entirely (every call persists fresh and the previous
+#: entry is evicted), which is the A/B lever for ruling the cache
+#: in/out of a regression without editing code.
+_KEYED_CACHE_MAX = int(_os.environ.get("SFS3K_KEYED_CACHE_MAX", "16"))
+
+#: ALL mutation of the cache dict happens under this lock (r06
+#: verdict wrong #2): two threads building rank plans concurrently —
+#: a driver running two streaming queries, parallel query dispatch —
+#: could otherwise interleave the lookup/move_to_end/popitem sequence
+#: and corrupt the OrderedDict.  An eviction unpersisting a frame
+#: another thread has IN HAND remains safe by design (Spark falls
+#: back to recomputation, and bucketing is value-derived so every
+#: recomputation ranks identically); the lock protects the
+#: bookkeeping, not the Spark jobs.
+_KEYED_CACHE_LOCK = _threading.RLock()
 
 
 def clear_keyed_cache() -> None:
     """Unpersist every frame :func:`_bucketed` is holding.  Call
     between bench rounds / test modules to return executor storage
     memory; subsequent rank calls simply re-persist."""
-    while _KEYED_CACHE:
-        _, (_, old) = _KEYED_CACHE.popitem(last=False)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
+    with _KEYED_CACHE_LOCK:
+        while _KEYED_CACHE:
+            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
 
 
 def _order_key(df: DataFrame, order_by: list[str]) -> Column:
@@ -407,54 +425,68 @@ def _bucketed(
     # Held in the bounded _KEYED_CACHE LRU (not leaked): a repeat of
     # the same semantic plan reuses the live cached frame, and the
     # eviction path unpersists the oldest one.
-    # the keyed frame depends only on (input plan, order_by) — NOT on
-    # n_buckets (that belongs to the bounds memo only), so rank and
-    # cumsum calls at different bucket counts share one persisted copy
+    # the keyed frame depends only on (session, input plan, order_by)
+    # — NOT on n_buckets (that belongs to the bounds memo only), so
+    # rank and cumsum calls at different bucket counts share one
+    # persisted copy.  The session id keeps concurrent sessions from
+    # evicting each other's entries on a hash coincidence (a stale id
+    # after GC-reuse is caught by the identity check below).
     cache_key = (
-        (memo_key[0], memo_key[1]) if memo_key is not None else object()
+        (id(spark), memo_key[0], memo_key[1]) if memo_key is not None else object()
     )
     keyed = None
-    if cache_key in _KEYED_CACHE:
-        src, cand = _KEYED_CACHE[cache_key]
-        # hit-validation, in escalation order of what a stale/false
-        # hit would cost: (1) a frame from a STOPPED/replaced session
-        # crashes on first use — identity-check the session; (2) a
-        # 32-bit semanticHash COLLISION between genuinely different
-        # plans would silently rank the wrong rows — confirm with the
-        # full plan comparison (sameSemantics), which is exactly the
-        # check Spark's own CacheManager performs after a hash match.
-        try:
-            if src.sparkSession is spark and df.sameSemantics(src):
-                keyed = cand
-                _KEYED_CACHE.move_to_end(cache_key)
-                # an external spark.catalog.clearCache() (bench does
-                # this between queries) unpersists entries behind the
-                # LRU's back; a "hit" on an evicted frame would
-                # silently recompute the upstream once per consumer
-                lvl = keyed.storageLevel
-                if not (lvl.useMemory or lvl.useDisk):
-                    keyed.persist()
-        except Exception:  # noqa: BLE001 — stopped context, connect mode
-            keyed = None
-        if keyed is None:
-            _KEYED_CACHE.pop(cache_key, None)
+    with _KEYED_CACHE_LOCK:
+        if _KEYED_CACHE_MAX <= 0 and cache_key in _KEYED_CACHE:
+            # reuse disabled (A/B forensics mode): never serve a hit —
+            # drop the entry so the insert path below replaces it (the
+            # entry is still STORED so the next call unpersists it;
+            # skipping the store would leak the persisted frame)
+            _, cand = _KEYED_CACHE.pop(cache_key)
             try:
                 cand.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already gone
                 pass
-    if keyed is None:
-        keyed = df.withColumn("_gk", _order_key(df, order_by)).persist()
-        while len(_KEYED_CACHE) >= _KEYED_CACHE_MAX:
-            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+        if cache_key in _KEYED_CACHE:
+            src, cand = _KEYED_CACHE[cache_key]
+            # hit-validation, in escalation order of what a stale/false
+            # hit would cost: (1) a frame from a STOPPED/replaced session
+            # crashes on first use — identity-check the session; (2) a
+            # 32-bit semanticHash COLLISION between genuinely different
+            # plans would silently rank the wrong rows — confirm with the
+            # full plan comparison (sameSemantics), which is exactly the
+            # check Spark's own CacheManager performs after a hash match.
             try:
-                old.unpersist(blocking=False)
-            except Exception:  # noqa: BLE001 — session already gone
-                pass
-        _KEYED_CACHE[cache_key] = (df, keyed)
+                if src.sparkSession is spark and df.sameSemantics(src):
+                    keyed = cand
+                    _KEYED_CACHE.move_to_end(cache_key)
+                    # an external spark.catalog.clearCache() (bench does
+                    # this between queries) unpersists entries behind the
+                    # LRU's back; a "hit" on an evicted frame would
+                    # silently recompute the upstream once per consumer
+                    lvl = keyed.storageLevel
+                    if not (lvl.useMemory or lvl.useDisk):
+                        keyed.persist()
+            except Exception:  # noqa: BLE001 — stopped context, connect mode
+                keyed = None
+            if keyed is None:
+                _KEYED_CACHE.pop(cache_key, None)
+                try:
+                    cand.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — session already gone
+                    pass
+        if keyed is None:
+            keyed = df.withColumn("_gk", _order_key(df, order_by)).persist()
+            while len(_KEYED_CACHE) >= max(_KEYED_CACHE_MAX, 1):
+                _, (_, old) = _KEYED_CACHE.popitem(last=False)
+                try:
+                    old.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — session already gone
+                    pass
+            _KEYED_CACHE[cache_key] = (df, keyed)
     gk_schema = keyed.schema["_gk"].dataType
-    if memo_key is not None and memo_key in _BOUNDS_MEMO:
-        bounds = _BOUNDS_MEMO[memo_key]
-    else:
+    with _KEYED_CACHE_LOCK:
+        bounds = _BOUNDS_MEMO.get(memo_key) if memo_key is not None else None
+    if bounds is None:
         k = n_buckets * _SAMPLE_PER_BUCKET
         flat_cols = [
             c
@@ -484,9 +516,10 @@ def _bucketed(
                 seen.add(pos)
                 bounds.append(samp[pos])
         if memo_key is not None:
-            if len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_MAX:
-                _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)))
-            _BOUNDS_MEMO[memo_key] = bounds
+            with _KEYED_CACHE_LOCK:
+                if len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_MAX:
+                    _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)), None)
+                _BOUNDS_MEMO[memo_key] = bounds
     if bounds:
         pid = F.expr(
             f"size(filter({_bounds_array_sql(bounds, gk_schema)}, b -> b < _gk))"

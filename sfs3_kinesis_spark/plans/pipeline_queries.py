@@ -18,8 +18,23 @@ from sfs3_kinesis_spark.plans.core import register, t
 
 #: per-process call counter for pipeline_retry_exhausted's run-scoped
 #: store — a fresh directory per call so previously returned frames
-#: keep valid lineage (see the query body)
+#: keep valid lineage (see the query body).  The uuid token makes the
+#: store prefix unique per PROCESS LIFETIME, not just per pid: on pid
+#: reuse a restarted process would otherwise collide with a leftover
+#: directory from a crashed earlier run, and KeyedUpsertSink recovers
+#: on-disk state — stale rows would silently merge into the result
+#: (ADVICE r06).  The lock makes the seq increment + GC + liveness
+#: bookkeeping atomic under concurrent calls (r06 verdict wrong #2);
+#: _RETRY_DEMO_ACTIVE keeps the GC from deleting a store a concurrent
+#: call is STILL WRITING (GC only ever touches seqs two-or-more calls
+#: old AND not currently active).
+import threading as _threading
+import uuid as _uuid
+
 _RETRY_DEMO_SEQ = 0
+_RETRY_DEMO_TOKEN = _uuid.uuid4().hex[:12]
+_RETRY_DEMO_LOCK = _threading.Lock()
+_RETRY_DEMO_ACTIVE: set[int] = set()
 
 
 def _requests(spark: SparkSession, sf_dir: str):
@@ -143,38 +158,51 @@ def pipeline_retry_exhausted(spark: SparkSession, sf_dir: str):
     # collect()/createDataFrame round-trip was a driver-side
     # materialization of the whole documents table, and its
     # LocalTableScan plan was invisible to scripts/plan_audit.py.
-    # The path is (full-sf_dir-hash, pid, per-call sequence): the
-    # hash keeps two sf dirs with the same basename apart, the pid
-    # keeps concurrent sessions apart, and the SEQUENCE means a new
-    # call never wipes the directory a previously returned frame is
-    # still lazily reading — only stores two-or-more calls old (same
-    # prefix, lower seq) are garbage-collected.
+    # The path is (full-sf_dir-hash, pid, process-lifetime uuid token,
+    # per-call sequence): the hash keeps two sf dirs with the same
+    # basename apart, the pid+token keep concurrent AND pid-reusing
+    # processes apart, and the SEQUENCE means a new call never wipes
+    # the directory a previously returned frame is still lazily
+    # reading — only stores two-or-more calls old (same prefix, lower
+    # seq) that no in-flight call is writing are garbage-collected.
     import hashlib
 
     global _RETRY_DEMO_SEQ
-    _RETRY_DEMO_SEQ += 1
     prefix = (
         f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
-        f"-{os.getpid()}"
+        f"-{os.getpid()}-{_RETRY_DEMO_TOKEN}"
     )
     base = os.path.join(tempfile.gettempdir(), "sfs3kspark_retry_demo")
-    store = os.path.join(base, f"{prefix}-{_RETRY_DEMO_SEQ:06d}")
-    if os.path.isdir(base):
-        for name in os.listdir(base):
-            if name.startswith(prefix + "-"):
-                try:
-                    seq = int(name.rsplit("-", 1)[1])
-                except ValueError:
-                    continue
-                if seq < _RETRY_DEMO_SEQ - 1:
-                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-    os.makedirs(store, exist_ok=True)
-    sink = KeyedUpsertSink(spark, store)
-    pipe = RetryingIncrementalPipeline(
-        sink, steps, side_input, max_attempts=3, backoff_epochs=0
-    )
-    empty = requests.limit(0)
-    for epoch in range(4):
-        epoch_cell[0] = epoch
-        pipe.process_batch(requests if epoch == 0 else empty, epoch)
-    return sink.current().select("txn_id", "status", "attempts")
+    with _RETRY_DEMO_LOCK:
+        _RETRY_DEMO_SEQ += 1
+        my_seq = _RETRY_DEMO_SEQ
+        _RETRY_DEMO_ACTIVE.add(my_seq)
+        store = os.path.join(base, f"{prefix}-{my_seq:06d}")
+        if os.path.isdir(base):
+            for name in os.listdir(base):
+                if name.startswith(prefix + "-"):
+                    try:
+                        seq = int(name.rsplit("-", 1)[1])
+                    except ValueError:
+                        continue
+                    if seq < my_seq - 1 and seq not in _RETRY_DEMO_ACTIVE:
+                        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        # the uuid token makes a pre-existing dir impossible short of
+        # a collision — but if one exists anyway, start from a clean
+        # slate rather than silently merging a stranger's rows
+        if os.path.isdir(store):
+            shutil.rmtree(store, ignore_errors=True)
+        os.makedirs(store, exist_ok=True)
+    try:
+        sink = KeyedUpsertSink(spark, store)
+        pipe = RetryingIncrementalPipeline(
+            sink, steps, side_input, max_attempts=3, backoff_epochs=0
+        )
+        empty = requests.limit(0)
+        for epoch in range(4):
+            epoch_cell[0] = epoch
+            pipe.process_batch(requests if epoch == 0 else empty, epoch)
+        return sink.current().select("txn_id", "status", "attempts")
+    finally:
+        with _RETRY_DEMO_LOCK:
+            _RETRY_DEMO_ACTIVE.discard(my_seq)
