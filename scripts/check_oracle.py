@@ -7,10 +7,20 @@ of the given prefixes; a ``-prefix`` argument EXCLUDES matching
 names — used at sf0.1 to skip the handful of O(n^2)-by-design
 DuckDB oracles documented in SCALE.md, whose ORACLE side takes tens
 of minutes at 5000 docs while the engine's pruned plan is seconds)
+
+``--times-out=PATH`` additionally writes a per-query timing ledger
+(build/collect/oracle wall seconds + row counts + host context) —
+the full-registry visibility artifact of r06 verdict next-round #4:
+270 of the 308 registry queries are never bench-timed, so a
+regression in one of them was previously invisible until it hit an
+oracle timeout.  Compare ledgers round-over-round and chase >1.5x
+moves (after reading the noise-band notes in BASELINE.md).
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -22,9 +32,15 @@ from tests.oracle import compare, duck_connection  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    includes = tuple(a for a in sys.argv[2:] if not a.startswith("-"))
-    excludes = tuple(a[1:] for a in sys.argv[2:] if a.startswith("-"))
+    args = list(sys.argv[1:])
+    times_out = None
+    for a in list(args):
+        if a.startswith("--times-out="):
+            times_out = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    includes = tuple(a for a in args[1:] if not a.startswith("-"))
+    excludes = tuple(a[1:] for a in args[1:] if a.startswith("-"))
     names = sorted(
         n
         for n in REGISTRY
@@ -34,22 +50,52 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failures = 0
+    ledger: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
+        timings: dict = {}
         t0 = time.time()
         try:
+            tb = time.time()
             df = spec.spark(spark, sf_dir)
+            timings["build_s"] = round(time.time() - tb, 3)
             if spec.oracle is None:
+                tc = time.time()
                 n = df.count()
+                timings["spark_s"] = round(time.time() - tc, 3)
+                timings["rows"] = n
+                timings["total_s"] = round(time.time() - t0, 3)
+                ledger[name] = timings
                 print(f"  {name:40s} rows-only ({n} rows) [{time.time()-t0:.1f}s]")
                 continue
-            ok, detail = compare(df, con, spec.oracle)
+            ok, detail = compare(df, con, spec.oracle, timings=timings)
         except Exception as exc:  # noqa: BLE001
             ok, detail = False, f"exception: {exc}"
+        timings["total_s"] = round(time.time() - t0, 3)
+        ledger[name] = timings
         status = "OK " if ok else "FAIL"
         if not ok:
             failures += 1
         print(f"  {name:40s} {status} {detail} [{time.time()-t0:.1f}s]")
+    if times_out:
+        try:
+            load_1m = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_1m = None
+        with open(times_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "failures": failures,
+                    "load_1m": load_1m,
+                    "queries": ledger,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"timing ledger -> {times_out}")
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(names) - failures}/{len(names)}")
     return 1 if failures else 0
 

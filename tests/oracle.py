@@ -38,13 +38,25 @@ def _canon_rows(cols, rows):
     return sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
 
 
-def compare(spark_df, con, sql: str):
-    """Return (ok, detail) comparing a Spark result with the oracle."""
+def compare(spark_df, con, sql: str, timings: dict | None = None):
+    """Return (ok, detail) comparing a Spark result with the oracle.
+    When ``timings`` is given, record the Spark-collect and
+    DuckDB-execute wall seconds into it (the per-query sweep ledger,
+    r06 verdict next-round #4)."""
+    import time as _time
+
     s_cols = [c.lower() for c in spark_df.columns]
+    t0 = _time.time()
     s_rows = [tuple(r) for r in spark_df.collect()]
+    if timings is not None:
+        timings["spark_s"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
     res = con.execute(sql)
     d_cols = [c[0].lower() for c in res.description]
     d_rows = res.fetchall()
+    if timings is not None:
+        timings["oracle_s"] = round(_time.time() - t0, 3)
+        timings["rows"] = len(s_rows)
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
