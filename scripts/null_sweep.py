@@ -7,10 +7,13 @@ intact), then runs the full Spark-vs-DuckDB oracle compare on it.
 Both engines read the SAME nulled parquet, so a mismatch means the
 Spark query and its oracle SQL disagree about null semantics — not
 that either is "wrong" on the driver's fixture (whose value columns
-are non-null).  Measured at round 4 close: 252/295 agree; all 18
-round-4 wave-3-5 additions agree; the 43 divergent queries trace to
+are non-null).  Measured at round 7 over the FULL registry at sf0.01:
+266/308 agree; 12 of the 13 round-5/6 additions agree (the one
+divergence, mine_gini_best_split, is null-price bin arithmetic — the
+documented family (b) below); the 42 divergent queries trace to
 cross-engine null-behavior families the corpus conventions
-deliberately do not paper over:
+deliberately do not paper over (round-4 figure was 252/295 at
+sf0.001 — same families, none new at 10x):
 
 * string concatenation (DuckDB ``concat`` skips NULLs; Spark's
   propagates),
@@ -19,7 +22,10 @@ deliberately do not paper over:
   NULLS FIRST conventions),
 * aggregates of all-NULL groups feeding integer division.
 
-Usage: python scripts/null_sweep.py [out_dir]
+Usage: python scripts/null_sweep.py [out_dir] [src_sf_dir]
+(src defaults to sf0.001; r06 verdict next-round #5 re-ran the sweep
+at sf0.01 over the full 308-query registry — see FIXTURES.md for the
+recorded figure and divergence families)
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-SRC = "/root/testdata/sf0.001"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
 KEEP = {
     "region": {"r_regionkey"},
     "nation": {"n_nationkey", "n_regionkey"},
