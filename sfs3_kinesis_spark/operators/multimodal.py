@@ -390,6 +390,52 @@ def decode_and_featurize(
     return df.select("media_id", "payload").mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("r", T.IntegerType()),
+        T.StructField("g", T.IntegerType()),
+        T.StructField("b", T.IntegerType()),
+    ]
+)
+
+
+def media_pixels(
+    df: DataFrame,
+    decode: Callable[[bytes], tuple[int, int, list]],
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Explode decoded pixels: one output row per (media, x, y) with
+    its (r, g, b) — the pixel-level access path audits and
+    per-channel statistics need, via the same Arrow-batched
+    ``mapInPandas`` plumbing as the other codec operators (one row
+    in, w*h rows out; no driver collect).  ``decode`` is any
+    picklable ``bytes -> (w, h, rows)`` codec —
+    :func:`decode_bmp24`, :func:`decode_png`, or a PIL closure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, xs, ys, rs, gs, bs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                w, h, rows = decode(bytes(payload))
+                for y in range(h):
+                    for x in range(w):
+                        pr, pg, pb = rows[y][x]
+                        mids.append(mid)
+                        xs.append(x)
+                        ys.append(y)
+                        rs.append(pr)
+                        gs.append(pg)
+                        bs.append(pb)
+            yield pd.DataFrame(
+                {"media_id": mids, "x": xs, "y": ys, "r": rs, "g": gs, "b": bs}
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, schema=_PIXELS_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 16) -> DataFrame:
     """Frame sampling for video-like payloads, as pure built-ins:
     slice the payload at a fixed stride into ≤ ``max_frames`` chunks

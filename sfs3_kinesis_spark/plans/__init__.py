@@ -28,3 +28,4 @@ from sfs3_kinesis_spark.plans import projection_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import timeseries_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import population_queries  # noqa: F401,E402
 from sfs3_kinesis_spark.plans import curation_queries  # noqa: F401,E402
+from sfs3_kinesis_spark.plans import media_queries  # noqa: F401,E402
