@@ -362,23 +362,74 @@ def _sql_literal(v, type_sql: str) -> str:
     raise TypeError(f"unsupported boundary literal {v!r} for {type_sql}")
 
 
-def _bounds_array_sql(bounds: list, schema) -> str:
-    """The whole boundary array as ONE SQL expression.  Building it
-    via per-literal Column calls costs thousands of py4j round trips
-    (~2 s of plan-construction wall for a 2-rank query, measured);
-    one ``F.expr`` parse is a single round trip."""
-    items = []
-    for flat in bounds:
-        fields = []
-        for i, fld in enumerate(schema.fields):
-            vtype = fld.dataType["v"].dataType.simpleString()
-            n, v = flat[2 * i], flat[2 * i + 1]
-            fields.append(
-                f"'{fld.name}', named_struct('n', CAST({int(n)} AS INT), "
-                f"'v', {_sql_literal(v, vtype)})"
-            )
-        items.append(f"named_struct({', '.join(fields)})")
-    return f"array({', '.join(items)})"
+def _bound_gt_sql(flat: list, schema) -> str:
+    """SQL predicate ``_gk > <boundary>`` as PURE SCALAR comparisons.
+
+    The obvious encoding — ``filter(<boundary array>, b -> b < _gk)``
+    over struct literals — costs ~35 µs/row: higher-order functions
+    never enter whole-stage codegen, the analyzer inserts a cast per
+    array element per row, and nested-struct ordering is interpreted
+    with per-comparison allocation.  Measured on the 150k-row sf0.1
+    orders table that made ONE ``_pid`` evaluation ~5-6 s, and the
+    rank plan evaluates ``_pid`` twice (count branch + rank branch) —
+    12 s for a single global_rank (the r7 timing-ledger finding on
+    ``feature_equidepth_bins``).
+
+    Lexicographic expansion instead: per field,
+    ``gt = GT_0 OR (EQ_0 AND (GT_1 OR (EQ_1 AND ...)))`` over the
+    flat ``(n, v)`` pairs — plain int/bigint/double comparisons the
+    codegen engine compiles into branch-predictable straight-line
+    code.  NULL ``v`` values only occur in the null TIER (``n``
+    encodes null placement, so two keys with equal ``n`` are either
+    both-null or both-valued in ``v``); the predicate still spells
+    the general null-safe form so a mixed comparison degrades to the
+    struct ordering's null-first answer rather than a wrong one."""
+    terms = []
+    for i, fld in enumerate(schema.fields):
+        vtype = fld.dataType["v"].dataType.simpleString()
+        n, v = flat[2 * i], flat[2 * i + 1]
+        nf, vf = f"_gk.{fld.name}.n", f"_gk.{fld.name}.v"
+        vlit = _sql_literal(v, vtype)
+        if v is None:
+            # boundary v is NULL (null tier): any non-null row v with
+            # the same n would be greater (null-first struct order)
+            gt = f"({nf} > {int(n)} OR ({nf} = {int(n)} AND {vf} IS NOT NULL))"
+            eq = f"({nf} = {int(n)} AND {vf} IS NULL)"
+        else:
+            gt = f"({nf} > {int(n)} OR ({nf} = {int(n)} AND {vf} > {vlit}))"
+            eq = f"({nf} = {int(n)} AND {vf} <=> {vlit})"
+        terms.append((gt, eq))
+    expr = terms[-1][0]
+    for gt, eq in reversed(terms[:-1]):
+        expr = f"({gt} OR ({eq} AND {expr}))"
+    return expr
+
+
+def _pid_sum_sql(bounds: list, schema) -> str:
+    """Bucket id = number of boundaries strictly below the row's key,
+    as ONE unrolled BINARY-SEARCH CASE tree over the sorted boundary
+    list.  ``key > bounds[j]`` is monotone non-increasing in j (the
+    boundaries are sorted ascending), so the count equals the first
+    index whose predicate fails — findable by bisection: each node
+    tests ONE boundary (``CASE WHEN gt(mid) THEN <search upper half>
+    ELSE <search lower half> END``), every boundary appears exactly
+    once in the tree, and a row evaluates only its ceil(log2(n+1))
+    root-to-leaf path (~5 scalar predicates for 31 boundaries) —
+    versus all 31 under the previous linear sum, and versus the
+    original interpreted ``size(filter(...))`` HOF at ~35 µs/row (the
+    r7 ledger finding; measured 5-6 s per ``_pid`` pass over 150k
+    rows, evaluated twice per rank).  Rendered as a single ``F.expr``
+    parse: one py4j round trip."""
+
+    def render(lo: int, hi: int) -> str:
+        # count of true predicates is known to lie in [lo, hi]
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2  # test boundary index mid: gt -> count > mid
+        gt = _bound_gt_sql(bounds[mid], schema)
+        return f"(CASE WHEN {gt} THEN {render(mid + 1, hi)} ELSE {render(lo, mid)} END)"
+
+    return render(0, len(bounds))
 
 
 def _bucketed(
@@ -395,11 +446,14 @@ def _bucketed(
     partition layout or shuffle fetch order, which can differ between
     a task and its retry), so every recomputation — including after
     executor loss — buckets identically.  The sorted sample's
-    every-128th key becomes a boundary, baked into the plan as a
-    literal array (≤ n_buckets structs — the same bounded
+    every-128th key becomes a boundary, baked into the plan as
+    literals (≤ n_buckets of them — the same bounded
     plan-construction collect as the k-means seeds); bucket id =
-    ``size(filter(bounds, b -> b < key))`` — one codegen'd projection,
-    no join.
+    a sum of scalar ``key > boundary`` predicates
+    (:func:`_pid_sum_sql`) — one genuinely whole-stage-codegen'd
+    projection, no join, no interpreted higher-order function (the
+    r7 ledger found the old ``size(filter(...))`` form cost ~35
+    µs/row, ~100x the codegen path).
 
     Tie-heavy leading keys (e.g. rank on ``tf DESC`` where most rows
     share tf=1) still spread across buckets because the key includes
@@ -521,9 +575,7 @@ def _bucketed(
                     _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)), None)
                 _BOUNDS_MEMO[memo_key] = bounds
     if bounds:
-        pid = F.expr(
-            f"size(filter({_bounds_array_sql(bounds, gk_schema)}, b -> b < _gk))"
-        )
+        pid = F.expr(_pid_sum_sql(bounds, gk_schema))
     else:
         # empty boundary set <=> the sample saw <= 1 input row, so one
         # bucket is correct — but a LITERAL 0 would constant-fold the
