@@ -79,6 +79,11 @@ HEADLINE = [
     # round 3: BM25 ranking, substring-window dedup
     "retrieval_bm25",
     "dedup_substring_windows",
+    # round 7: the real-PNG-codec gate path and ranking-quality eval —
+    # identical-set comparisons against pre-r7 BASELINE tables must
+    # exclude these two (see BASELINE.md round-7 headline note)
+    "multimodal_png_features",
+    "eval_ndcg_at_k",
 ]
 
 
