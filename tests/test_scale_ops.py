@@ -834,3 +834,70 @@ def test_png_decode_rejects_corrupt_payloads():
     struct.pack_into(">I", pal, 8 + 8 + 13, _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="color type 3"):
         decode_png(bytes(pal))
+
+
+def test_global_rank_property_random_keys_match_window(spark):
+    """Property pin for the r7 binary-search bucket-id rewrite: over
+    RANDOM key data — nulls, NaNs, infinities, duplicate-heavy ints,
+    extreme longs — and random direction specs, global_rank must equal
+    the single-window row_number exactly (the tie-broken total order
+    makes the answer unique).  Hypothesis drives the data; every
+    example is a real Spark job, so examples are few and rows small —
+    the aim is adversarial VALUES (boundary literals rendered into the
+    CASE tree, null/NaN tiers, equal-key runs spanning bucket
+    boundaries), not volume."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sfs3_kinesis_spark.operators import scale
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache, global_rank
+
+    num = st.one_of(
+        st.none(),
+        st.just(float("nan")),
+        st.just(float("inf")),
+        st.just(float("-inf")),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.integers(-3, 3).map(float),  # duplicate-heavy
+    )
+    big = st.one_of(
+        st.none(),
+        st.just(-(2**63)),
+        st.just(2**63 - 1),
+        st.integers(-5, 5),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        data=st.lists(st.tuples(num, big), min_size=1, max_size=120),
+        spec=st.sampled_from(
+            [["x", "n", "id"], ["-x", "id"], ["-n", "x", "id"], ["x", "-n", "id"]]
+        ),
+        n_buckets=st.sampled_from([2, 5, 32]),
+    )
+    def check(data, spec, n_buckets):
+        rows = [(i, x, n) for i, (x, n) in enumerate(data)]
+        df = spark.createDataFrame(rows, "id long, x double, n long")
+        order = [
+            F.desc(s[1:]) if s.startswith("-") else F.asc(s) for s in spec
+        ]
+        exp = {
+            r.id: r.rnk
+            for r in df.withColumn(
+                "rnk", F.row_number().over(W.orderBy(*order)).cast("long")
+            ).collect()
+        }
+        got = {
+            r.id: r.rnk
+            for r in global_rank(df, spec, n_buckets=n_buckets).collect()
+        }
+        assert got == exp, (spec, n_buckets, data[:8])
+        clear_keyed_cache()
+
+    check()
+    assert scale._BOUNDS_MEMO is not None
