@@ -404,3 +404,128 @@ def text_entropy_by_lang(spark: SparkSession, sf_dir: str):
             6,
         ).alias("entropy_bits"),
     )
+
+
+@register(
+    "text_js_divergence_langs",
+    """
+    WITH tc AS (
+        SELECT lang, term, count(*) AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS n FROM tc GROUP BY lang),
+    shared AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               sum(CAST(a.c AS DOUBLE) / ta.n) AS shared_p,
+               sum(CAST(b.c AS DOUBLE) / tb.n) AS shared_q,
+               sum(CAST(a.c AS DOUBLE) / ta.n
+                   * log2(2.0 * (a.c / CAST(ta.n AS DOUBLE))
+                          / (a.c / CAST(ta.n AS DOUBLE)
+                             + b.c / CAST(tb.n AS DOUBLE)))) AS p_term,
+               sum(CAST(b.c AS DOUBLE) / tb.n
+                   * log2(2.0 * (b.c / CAST(tb.n AS DOUBLE))
+                          / (a.c / CAST(ta.n AS DOUBLE)
+                             + b.c / CAST(tb.n AS DOUBLE)))) AS q_term
+        FROM tc a
+        JOIN tc b ON a.term = b.term AND a.lang < b.lang
+        JOIN tot ta ON ta.lang = a.lang
+        JOIN tot tb ON tb.lang = b.lang
+        GROUP BY 1, 2)
+    SELECT lang_a, lang_b,
+           round(0.5 * (p_term + (1 - shared_p))
+                 + 0.5 * (q_term + (1 - shared_q)), 6) AS jsd_bits
+    FROM shared
+    """,
+    tags=("text", "divergence", "jsd", "distribution", "curation"),
+    description=(
+        "Jensen-Shannon divergence (bits) between every pair of "
+        "language token distributions — the bounded symmetric "
+        "distribution-shift measure curation pipelines use to compare "
+        "domain mixes and detect drift (0 = identical, 1 = disjoint).  "
+        "Closed over the SHARED-vocabulary inner join only: a term "
+        "present in one language alone contributes exactly p*log2(2) "
+        "= p bits (its mixture weight is p/2), so the disjoint mass "
+        "folds in as (1 - shared_p)/2 + (1 - shared_q)/2 without ever "
+        "materializing the full outer vocabulary union.  The join is "
+        "rollup-sized ((lang, term) counts, never token-level) and "
+        "equi-keyed on term; 5 languages = 10 pairs out"
+    ),
+)
+def text_js_divergence_langs(spark, sf_dir):
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("lang").agg(F.sum("c").alias("n"))
+    a = tc.alias("a").join(tot.alias("ta"), F.col("a.lang") == F.col("ta.lang"))
+    b = tc.alias("b").join(tot.alias("tb"), F.col("b.lang") == F.col("tb.lang"))
+    p = F.col("a.c").cast("double") / F.col("ta.n")
+    q = F.col("b.c").cast("double") / F.col("tb.n")
+    shared = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(
+            F.sum(p).alias("shared_p"),
+            F.sum(q).alias("shared_q"),
+            F.sum(p * F.log2(F.lit(2.0) * p / (p + q))).alias("p_term"),
+            F.sum(q * F.log2(F.lit(2.0) * q / (p + q))).alias("q_term"),
+        )
+    )
+    return shared.select(
+        "lang_a",
+        "lang_b",
+        F.round(
+            0.5 * (F.col("p_term") + (1 - F.col("shared_p")))
+            + 0.5 * (F.col("q_term") + (1 - F.col("shared_q"))),
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM c)
+    SELECT user_id,
+           event_type            AS mode_event,
+           CAST(n AS BIGINT)     AS mode_n
+    FROM r WHERE rk = 1
+    """,
+    tags=("agg", "mode", "window", "exact_arithmetic"),
+    description=(
+        "exact per-group MODE (most frequent event_type per user, "
+        "deterministic lexicographic tie-break) — the categorical "
+        "summary statistic SQL lacks a builtin for: one map-side-"
+        "combined count rollup, then a keyed window over the "
+        "|users| x |event types| rollup (never over facts).  The "
+        "tie-break makes the answer total, so it hash-matches across "
+        "engines"
+    ),
+)
+def agg_mode_per_group(spark, sf_dir):
+    c = t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+        ),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("event_type").alias("mode_event"),
+        F.col("n").cast("long").alias("mode_n"),
+    )
