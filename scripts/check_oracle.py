@@ -11,10 +11,22 @@ of minutes at 5000 docs while the engine's pruned plan is seconds)
 ``--times-out=PATH`` additionally writes a per-query timing ledger
 (build/collect/oracle wall seconds + row counts + host context) —
 the full-registry visibility artifact of r06 verdict next-round #4:
-270 of the 308 registry queries are never bench-timed, so a
-regression in one of them was previously invisible until it hit an
-oracle timeout.  Compare ledgers round-over-round and chase >1.5x
-moves (after reading the noise-band notes in BASELINE.md).
+most registry queries are never bench-timed, so a regression in one
+of them was previously invisible until it hit an oracle timeout.
+Compare ledgers round-over-round and chase >1.5x moves (after
+reading the noise-band notes in BASELINE.md).
+
+``--threads=N`` runs N queries concurrently (default 1 = the
+driver's serial behavior).  Each worker gets its OWN DuckDB
+connection (a connection is not safe for concurrent cursors); Spark
+job submission is thread-safe and local[32] interleaves the jobs.
+Concurrency also doubles as a standing soak of the engine's
+process-global state (the keyed-frame LRU, the retry-demo store
+bookkeeping — the r06-verdict races locked down in round 7): a
+thread-safety regression shows up here as a FAIL long before a
+driver runs two streaming queries at once.  Per-query wall times
+under --threads overlap, so don't feed a threaded run's ledger into
+round-over-round timing comparisons — use --threads=1 for ledgers.
 """
 
 from __future__ import annotations
@@ -31,12 +43,40 @@ from sfs3_kinesis_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare, duck_connection  # noqa: E402
 
 
+def run_one(spark, sf_dir: str, name: str, con) -> tuple[str, bool | None, str, dict]:
+    """Build + compare one query; returns (name, ok, detail, timings).
+    ok=None marks a rows-only entry (no oracle)."""
+    spec = REGISTRY[name]
+    timings: dict = {}
+    t0 = time.time()
+    try:
+        tb = time.time()
+        df = spec.spark(spark, sf_dir)
+        timings["build_s"] = round(time.time() - tb, 3)
+        if spec.oracle is None:
+            tc = time.time()
+            n = df.count()
+            timings["spark_s"] = round(time.time() - tc, 3)
+            timings["rows"] = n
+            timings["total_s"] = round(time.time() - t0, 3)
+            return name, None, f"rows-only ({n} rows)", timings
+        ok, detail = compare(df, con, spec.oracle, timings=timings)
+    except Exception as exc:  # noqa: BLE001
+        ok, detail = False, f"exception: {exc}"
+    timings["total_s"] = round(time.time() - t0, 3)
+    return name, ok, detail, timings
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     times_out = None
+    threads = 1
     for a in list(args):
         if a.startswith("--times-out="):
             times_out = a.split("=", 1)[1]
+            args.remove(a)
+        elif a.startswith("--threads="):
+            threads = max(1, int(a.split("=", 1)[1]))
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     includes = tuple(a for a in args[1:] if not a.startswith("-"))
@@ -48,35 +88,39 @@ def main() -> int:
         and not (excludes and n.startswith(excludes))
     )
     spark = get_spark("oracle-check")
-    con = duck_connection(sf_dir)
     failures = 0
     ledger: dict[str, dict] = {}
-    for name in names:
-        spec = REGISTRY[name]
-        timings: dict = {}
-        t0 = time.time()
-        try:
-            tb = time.time()
-            df = spec.spark(spark, sf_dir)
-            timings["build_s"] = round(time.time() - tb, 3)
-            if spec.oracle is None:
-                tc = time.time()
-                n = df.count()
-                timings["spark_s"] = round(time.time() - tc, 3)
-                timings["rows"] = n
-                timings["total_s"] = round(time.time() - t0, 3)
-                ledger[name] = timings
-                print(f"  {name:40s} rows-only ({n} rows) [{time.time()-t0:.1f}s]")
-                continue
-            ok, detail = compare(df, con, spec.oracle, timings=timings)
-        except Exception as exc:  # noqa: BLE001
-            ok, detail = False, f"exception: {exc}"
-        timings["total_s"] = round(time.time() - t0, 3)
+
+    if threads == 1:
+        con = duck_connection(sf_dir)
+        results = (run_one(spark, sf_dir, n, con) for n in names)
+    else:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+
+        def worker(name: str):
+            con = getattr(tls, "con", None)
+            if con is None:
+                con = tls.con = duck_connection(sf_dir)
+            return run_one(spark, sf_dir, name, con)
+
+        pool = ThreadPoolExecutor(max_workers=threads)
+        results = pool.map(worker, names)
+
+    for name, ok, detail, timings in results:
         ledger[name] = timings
-        status = "OK " if ok else "FAIL"
+        if ok is None:
+            print(f"  {name:40s} {detail} [{timings['total_s']:.1f}s]")
+            continue
         if not ok:
             failures += 1
-        print(f"  {name:40s} {status} {detail} [{time.time()-t0:.1f}s]")
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:40s} {status} {detail} [{timings['total_s']:.1f}s]")
+    if threads > 1:
+        pool.shutdown()
+
     if times_out:
         try:
             load_1m = round(os.getloadavg()[0], 2)
@@ -88,6 +132,7 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "n_queries": len(names),
                     "failures": failures,
+                    "threads": threads,
                     "load_1m": load_1m,
                     "queries": ledger,
                 },
