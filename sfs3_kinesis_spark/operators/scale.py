@@ -419,7 +419,17 @@ def _pid_sum_sql(bounds: list, schema) -> str:
     original interpreted ``size(filter(...))`` HOF at ~35 µs/row (the
     r7 ledger finding; measured 5-6 s per ``_pid`` pass over 150k
     rows, evaluated twice per rank).  Rendered as a single ``F.expr``
-    parse: one py4j round trip."""
+    parse: one py4j round trip.
+
+    Rank-safety note: correctness needs only that the bucket id is
+    MONOTONE in the key, and the tree keeps that even if some node
+    predicates degrade to constants (e.g. a literal an engine failed
+    to parse evaluating NULL->false): two keys' paths first diverge
+    at a node where their predicates differ — impossible at a
+    constant node — and the left/right subtrees return values from
+    disjoint ranges [lo, mid] / [mid+1, hi].  Degradation can only
+    cost bucket BALANCE, the same guarantee the boundary memo relies
+    on."""
 
     def render(lo: int, hi: int) -> str:
         # count of true predicates is known to lie in [lo, hi]
