@@ -3,9 +3,13 @@
 Brute-force cosine top-k is the correctness baseline; the LSH
 (random-hyperplane) bucketed variant is the 100 TB scale path — it
 turns the candidate set from |corpus| × |queries| into per-bucket
-joins.  All linear algebra is built-in higher-order functions
-(``zip_with`` / ``aggregate``), JVM-side and codegen'd — no Python
-in the scoring loop.
+joins.  All linear algebra is built-in SQL expressions, JVM-side, no
+Python in the scoring loop: when the embedding dimension is known
+(one bounded probe) the dot product is an UNROLLED element_at sum
+that participates in whole-stage codegen; the higher-order
+``zip_with``/``aggregate`` fold — which Spark only interprets — is
+kept as the bit-identical fallback for unknown or ragged dims (see
+:func:`dot_sql`).
 """
 
 from __future__ import annotations
@@ -18,12 +22,49 @@ DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 NORM = "sqrt(aggregate(transform({a}, x -> x * x), 0D, (acc, x) -> acc + x))"
 
 
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Dot-product SQL expression.
+
+    Higher-order ``aggregate``/``zip_with`` lambdas are INTERPRETED —
+    Spark never whole-stage-codegens them, so a pair join scoring
+    n_pairs × dim lambda invocations dominates wall time (measured:
+    the 2M-pair sf0.1 cosine join spends ~20 s in the fold).  With a
+    known dimension the unrolled ``element_at`` sum compiles into the
+    codegen'd projection and is BIT-IDENTICAL to the fold: both
+    evaluate the left-associated IEEE sum p1 + p2 + ... + p_dim
+    (the fold's leading ``0D + p1`` is exact).  A size guard falls
+    back to the fold for ragged rows, so unknown/mixed dims stay
+    correct — and out-of-range ``element_at`` (an error under ANSI)
+    is never evaluated.
+    """
+    fold = DOT.format(a=a, b=b)
+    if dim is None:
+        return fold
+    terms = " + ".join(
+        f"(element_at({a}, {i}) * element_at({b}, {i}))" for i in range(1, dim + 1)
+    )
+    return (
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {terms} ELSE {fold} END"
+    )
+
+
+def sampled_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Peek the embedding dimension from one row (bounded driver-side
+    probe, same budget class as guard_all_pairs' limit-count).  None
+    on an empty input — callers then keep the interpreted fold."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] and row["d"] > 0 else None
+
+
 def with_norm(df: DataFrame, vec_col: str = "v", out_col: str = "norm") -> DataFrame:
     return df.withColumn(out_col, F.expr(NORM.format(a=vec_col)))
 
 
-def cosine(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
-    return F.expr(DOT.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
+def cosine(
+    a: str, b: str, norm_a: str, norm_b: str, dim: int | None = None
+) -> F.Column:
+    return F.expr(dot_sql(a, b, dim)) / (F.col(norm_a) * F.col(norm_b))
 
 
 def brute_force_topk(
@@ -51,7 +92,9 @@ def brute_force_topk(
         "qv",
         "nq",
     )
-    scored = cand.crossJoin(F.broadcast(q)).withColumn("cos", cosine("v", "qv", "nv", "nq"))
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "cos", cosine("v", "qv", "nv", "nq", sampled_dim(embeddings, vec_col))
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -85,11 +128,21 @@ def cosine_pairs_above(
         "v",
         "n",
     )
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    # The pair loop is a broadcast nested-loop join; its stream side
+    # inherits the input's partitioning — a validation slice read from
+    # one parquet file is ONE partition, so without this repartition a
+    # single task evaluates every pair (measured: 13 s single-task vs
+    # ~1 s across 32 at sf0.1).  One tiny shuffle of the slice buys
+    # full-core scoring.
+    shuffle_n = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    ).repartition(shuffle_n)
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dim = sampled_dim(embeddings, vec_col)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .withColumn("cos", cosine("va", "vb", "na", "nb", dim))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
@@ -160,7 +213,8 @@ def ivf_topk(
             [], "query_id bigint, cand_id bigint, rnk bigint, cosine double"
         )
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    dot_c = DOT.format(a="c", b="v")
+    dim = len(cents[0]) if cents and cents[0] else None
+    dot_c = dot_sql("c", "v", dim)
     # cell = argmax over centroid dot products (normalized corpus side
     # is unnecessary for argmax per vector: norms cancel per-row)
     assign_expr = (
@@ -178,7 +232,7 @@ def ivf_topk(
         "qv",
         "nq",
     )
-    dot_q = DOT.format(a="c", b="qv")
+    dot_q = dot_sql("c", "qv", dim)
     probe_expr = (
         f"slice(array_sort(transform(cents, (c, i) -> struct(-({dot_q}) AS negdot, i AS idx))), 1, {n_probe})"
     )
@@ -189,7 +243,7 @@ def ivf_topk(
         .select("query_id", "qv", "nq", F.col("probe").cast("int").alias("cell"))
     )
     scored = cells.join(F.broadcast(probes), "cell").withColumn(
-        "cos", cosine("v", "qv", "nv", "nq")
+        "cos", cosine("v", "qv", "nv", "nq", dim)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -410,7 +464,7 @@ def lsh_bucketed_pairs(
             "sig",
             F.expr(
                 "aggregate(transform(planes, p -> CASE WHEN "
-                + DOT.format(a="p", b="v")
+                + dot_sql("p", "v", dim)
                 + " > 0D THEN 1L ELSE 0L END), "
                 "named_struct('acc', 0L, 'i', 0), "
                 "(s, bit) -> named_struct('acc', s.acc * 2 + bit, 'i', s.i + 1), s -> s.acc)"
@@ -423,7 +477,7 @@ def lsh_bucketed_pairs(
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), F.col("sig").alias("sb"))
     return (
         a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .withColumn("cos", cosine("va", "vb", "na", "nb", dim))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
@@ -459,6 +513,7 @@ def semantic_dedup_pairs(
     dfv = _quantized(embeddings, vec_col, id_col, scale)
     seed = dfv.orderBy("id").limit(k).collect()
     cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
+    dim = len(cents[0][1]) if cents and cents[0][1] else None
     spark = embeddings.sparkSession
     if not cents:
         return spark.createDataFrame(
@@ -480,7 +535,7 @@ def semantic_dedup_pairs(
     )
     return (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
+        .withColumn("cos", cosine("va", "vb", "na", "nb", dim))
         .filter(F.col("cos") > threshold)
         .select(
             F.col("cell").cast("int").alias("cell"),

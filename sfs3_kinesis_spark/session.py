@@ -40,6 +40,13 @@ def get_spark(app_name: str = "sfs3_kinesis_spark", *, shuffle_partitions: int |
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is 1 MB per partition: any shuffle
+        # under ~32 MB collapses to a few partitions and the following
+        # stage (a window over users, a pair join) runs on 1-4 of the
+        # 32 cores.  Lower the floor so CPU-heavy small-shuffle stages
+        # still fan out; at real scale the adaptively computed target
+        # (bytes / parallelism) is far above this and nothing changes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
