@@ -2442,7 +2442,12 @@ SEG_THRESHOLD = 57500
 def multimodal_energy_segments(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
-    d = t(spark, sf_dir, "documents")
+    # The per-frame energy fold is the query's CPU (interpreted HOF
+    # over frames×samples per doc) and would otherwise run inside the
+    # single-partition scan task of the one-row-group fixture file —
+    # one tiny shuffle of the raw docs buys full-core frame scoring.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = t(spark, sf_dir, "documents").repartition(shuffle_n)
     sq = (
         f"ascii(substring(text, j, 1)) - 96"
     )
