@@ -734,10 +734,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str):
         "part B on a later one, counted once per customer — the "
         "temporal-order signal behind next-purchase recommendation, "
         "which the unordered market-basket pair query cannot see.  "
-        "Purchases dedup to (customer, part, date) FIRST (bounding "
-        "the quadratic), then the self-join shuffles once on the "
-        "customer key with pairs generated customer-locally; "
-        "TakeOrdered top-20 with a total (count, a, b) order"
+        "Purchases roll up to one (customer, part, min_date, "
+        "max_date) span row FIRST — a pair (A then B) exists for a "
+        "customer iff min_date(A) < max_date(B), so the self-join "
+        "emits each qualifying (customer, A, B) exactly once and the "
+        "13M-row post-join DISTINCT of the naive form disappears; "
+        "one shuffle on the customer key, pairs generated "
+        "customer-locally; TakeOrdered top-20 with a total "
+        "(count, a, b) order.  The oracle keeps the naive "
+        "dedup-the-pairs form, proving the span rewrite equivalent "
+        "cross-engine"
     ),
 )
 def mine_sequential_pairs(spark: SparkSession, sf_dir: str):
@@ -747,19 +753,25 @@ def mine_sequential_pairs(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     )
-    # cp feeds both sides of the temporal self-join — persist it once
-    # instead of running scan+join+distinct twice.
-    cp = o.join(li, "okey").select("cust", "part", "d").distinct().persist()
+    # One span row per (customer, part): ∃ dates dA < dB between two
+    # parts ⟺ min_date(A) < max_date(B), so pair generation needs no
+    # post-join DISTINCT.  The span table feeds both self-join sides —
+    # persist it once instead of running scan+join+agg twice.
+    g = (
+        o.join(li, "okey")
+        .groupBy("cust", "part")
+        .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+        .persist()
+    )
     sp = (
-        cp.alias("a")
+        g.alias("a")
         .join(
-            cp.alias("b"),
+            g.alias("b"),
             (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.d") < F.col("b.d"))
+            & (F.col("a.mind") < F.col("b.maxd"))
             & (F.col("a.part") != F.col("b.part")),
         )
-        .select("a.cust", F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
-        .distinct()
+        .select(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
     )
     return (
         sp.groupBy("part_a", "part_b")
