@@ -457,3 +457,163 @@ def eval_calibration_deciles(spark: SparkSession, sf_dir: str):
             "CAST((10000 * sum(pos)) DIV count(1) AS BIGINT)"
         ).alias("obs_pos_rate_bp"),
     )
+
+
+# component-2 stand-in classifier for the paired McNemar test (the
+# binary-score stand-in uses component 1 / index 0)
+_SCORE2_SPARK = (
+    f"CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE)"
+    f" * {EVAL_SCALE}D + 0.5D) AS BIGINT)"
+)
+_SCORE2_DUCK = (
+    f"CAST(floor(CAST(embedding[2] AS DOUBLE)"
+    f" * {EVAL_SCALE} + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "eval_mcnemar",
+    f"""
+    WITH d AS (
+        SELECT CASE WHEN label >= {POS_MIN_LABEL} THEN 1 ELSE 0 END AS pos,
+               CASE WHEN {_SCORE_DUCK} >= 0 THEN 1 ELSE 0 END AS pa,
+               CASE WHEN {_SCORE2_DUCK} >= 0 THEN 1 ELSE 0 END AS pb
+        FROM embeddings),
+    c AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE pa = pos AND pb <> pos) AS b,
+               count(*) FILTER (WHERE pa <> pos AND pb = pos) AS c
+        FROM d)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(b AS BIGINT) AS n_a_only,
+           CAST(c AS BIGINT) AS n_b_only,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                ELSE (10000 * (b - c) * (b - c)) // (b + c) END AS BIGINT)
+               AS chi2_x10000
+    FROM c
+    """,
+    tags=("eval", "mcnemar", "paired_test", "exact_arithmetic"),
+    description=(
+        "McNemar's paired test between two classifiers scored on the "
+        "SAME items (the statistically sound way to compare models — "
+        "unpaired accuracy deltas ignore per-item correlation): "
+        "discordant counts b (A right, B wrong) and c (A wrong, B "
+        "right) and the test statistic (b-c)^2/(b+c) in exact x10000 "
+        "fixed point (non-negative, so floor division is "
+        "cross-engine stable; b+c=0 reads as 0).  The two models are "
+        "deterministic stand-ins (sign of embedding components 1 and "
+        "2 vs the binary label) — the machinery is one map + one "
+        "3-counter aggregate, corpus-scale by construction"
+    ),
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.when(F.col("label") >= POS_MIN_LABEL, 1).otherwise(0).alias("pos"),
+        F.when(F.expr(_SCORE_SPARK) >= 0, 1).otherwise(0).alias("pa"),
+        F.when(F.expr(_SCORE2_SPARK) >= 0, 1).otherwise(0).alias("pb"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("pa") == F.col("pos")) & (F.col("pb") != F.col("pos")), 1)).alias("b"),
+        F.count(F.when((F.col("pa") != F.col("pos")) & (F.col("pb") == F.col("pos")), 1)).alias("c"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("b").cast("long").alias("n_a_only"),
+        F.col("c").cast("long").alias("n_b_only"),
+        F.expr(
+            "CAST(CASE WHEN b + c = 0 THEN 0 "
+            "ELSE (10000 * (b - c) * (b - c)) DIV (b + c) END AS BIGINT)"
+        ).alias("chi2_x10000"),
+    )
+
+
+# the three heuristic "raters" for Fleiss' kappa: deterministic
+# quality votes (token count / lexical diversity / repetition — the
+# same rule family as quality_gopher_rules), identical in both
+# engines because they are pure integer predicates on the token list.
+_RATERS_DUCK = """
+        SELECT len(toks) >= 30 AS r1,
+               2 * len(list_distinct(toks)) >= len(toks) AS r2,
+               5 * list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) <= len(toks) AS r3
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+"""
+_RATERS_SPARK = (
+    "size(toks) >= 30 AS r1",
+    "2 * size(array_distinct(toks)) >= size(toks) AS r2",
+    "5 * array_max(transform(array_distinct(toks), "
+    "x -> size(filter(toks, y -> y = x)))) <= size(toks) AS r3",
+)
+
+
+@register(
+    "eval_fleiss_kappa",
+    f"""
+    WITH r AS ({_RATERS_DUCK}),
+    v AS (
+        SELECT CAST(r1 AS BIGINT) + CAST(r2 AS BIGINT) + CAST(r3 AS BIGINT)
+            AS n1
+        FROM r),
+    s AS (
+        SELECT count(*) AS n,
+               sum(n1 * n1 + (3 - n1) * (3 - n1)) AS ssq,
+               sum(n1) AS t1
+        FROM v)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(ssq AS BIGINT) AS sum_sq,
+           CAST(t1 AS BIGINT) AS n_yes_votes,
+           CAST(3 * n * (ssq - 3 * n)
+                - 2 * (t1 * t1 + (3 * n - t1) * (3 * n - t1)) AS BIGINT)
+               AS kappa_num,
+           CAST(2 * (9 * n * n - t1 * t1 - (3 * n - t1) * (3 * n - t1))
+                AS BIGINT) AS kappa_den
+    FROM s
+    """,
+    tags=("eval", "fleiss_kappa", "agreement", "annotation", "exact_arithmetic"),
+    description=(
+        "Fleiss' kappa across THREE raters per item (the multi-rater "
+        "generalization of Cohen's kappa — the agreement statistic "
+        "for annotation/labeling pipelines with more than two "
+        "annotators): raters are deterministic quality heuristics "
+        "(token count, lexical diversity, repetition) voting a "
+        "binary label per document.  With n raters=3 and 2 "
+        "categories, kappa = (P_bar - P_e)/(1 - P_e) reduces to the "
+        "EXACT integer ratio [3N(S-3N) - 2(T1^2+T0^2)] / "
+        "[2(9N^2 - T1^2 - T0^2)] where S = sum of per-item squared "
+        "category counts and T1 = total yes votes — emitted as split "
+        "numerator/denominator because kappa can be negative and "
+        "negative floor/truncating division is not cross-engine "
+        "stable (the Cohen's-kappa convention).  Everything reduces "
+        "map-side to one 3-counter row; corpus-scale by construction"
+    ),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    r = d.selectExpr(*_RATERS_SPARK)
+    v = r.select(
+        (
+            F.col("r1").cast("long") + F.col("r2").cast("long") + F.col("r3").cast("long")
+        ).alias("n1")
+    )
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("n1 * n1 + (3 - n1) * (3 - n1)")).alias("ssq"),
+        F.sum("n1").alias("t1"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("ssq").cast("long").alias("sum_sq"),
+        F.col("t1").cast("long").alias("n_yes_votes"),
+        F.expr(
+            "CAST(3 * n * (ssq - 3 * n) "
+            "- 2 * (t1 * t1 + (3 * n - t1) * (3 * n - t1)) AS BIGINT)"
+        ).alias("kappa_num"),
+        F.expr(
+            "CAST(2 * (9 * n * n - t1 * t1 - (3 * n - t1) * (3 * n - t1)) "
+            "AS BIGINT)"
+        ).alias("kappa_den"),
+    )

@@ -2168,3 +2168,95 @@ def recsys_item_item_topk(spark: SparkSession, sf_dir: str):
         F.col("co").cast("long").alias("n_co"),
         F.col("cosine2_bp").cast("long").alias("cosine2_bp"),
     )
+
+
+@register(
+    "mine_cramers_v",
+    """
+    WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS HUGEINT) AS o
+        FROM documents GROUP BY lang, source),
+    rm AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS r FROM cell GROUP BY lang),
+    cm AS (SELECT source, CAST(sum(o) AS HUGEINT) AS c FROM cell GROUP BY source),
+    tot AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+                   count(DISTINCT lang) AS nl,
+                   count(DISTINCT source) AS ns
+            FROM cell),
+    terms AS (
+        SELECT (10000 * n * o * o) // (r * c) AS term
+        FROM cell JOIN rm USING (lang) JOIN cm USING (source), tot),
+    chi AS (
+        SELECT CAST(greatest(sum(term) - 10000 * (SELECT n FROM tot), 0)
+                    AS BIGINT) AS chi2_bp
+        FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(nl AS BIGINT) AS n_langs,
+           CAST(ns AS BIGINT) AS n_sources,
+           chi2_bp,
+           CAST(CASE WHEN least(nl - 1, ns - 1) <= 0 THEN 0
+                ELSE chi2_bp // (n * least(nl - 1, ns - 1)) END AS BIGINT)
+               AS v2_bp
+    FROM chi, tot
+    """,
+    tags=("mining", "association", "chi2", "cramers_v", "exact_arithmetic"),
+    description=(
+        "Cramér's V (squared, basis points) between the lang and "
+        "source dimensions — the bounded [0,1] association strength "
+        "data auditors use to detect leaky correlations between "
+        "corpus dimensions (a language that only comes from one "
+        "crawl source is a sampling hazard).  chi2 uses the "
+        "n*(sum o^2/(r*c) - 1) form so only NON-EMPTY cells "
+        "contribute (no dense cell enumeration at scale); each cell "
+        "term floors in x10000 fixed point with DECIMAL(38,0)/"
+        "HUGEINT partials (10000*n*o^2 wraps int64 beyond ~100k "
+        "docs), making the statistic a defined deterministic integer "
+        "variant both engines compute bit-identically; per-cell "
+        "flooring can push an independence-level chi2 a hair below "
+        "zero, so it clamps at 0 before the non-negative V^2 "
+        "division.  Work reduces to the (lang x source) contingency "
+        "rollup immediately — map-side combine, then cell-count-"
+        "sized joins"
+    ),
+)
+def mine_cramers_v(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o")
+    )
+    rm = cell.groupBy("lang").agg(F.sum("o").cast("decimal(38,0)").alias("r"))
+    cm = cell.groupBy("source").agg(F.sum("o").cast("decimal(38,0)").alias("c"))
+    tot = cell.agg(
+        F.sum("o").cast("decimal(38,0)").alias("n"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    terms = (
+        cell.join(rm, "lang")
+        .join(cm, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(10000 AS DECIMAL(38,0)) * n * o * o div (r * c)"
+            ).alias("term"),
+            "n",
+            "nl",
+            "ns",
+        )
+    )
+    chi = terms.groupBy("n", "nl", "ns").agg(
+        F.expr(
+            "CAST(greatest(sum(term) - CAST(10000 AS DECIMAL(38,0)) * n, 0) "
+            "AS BIGINT)"
+        ).alias("chi2_bp")
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("nl").cast("long").alias("n_langs"),
+        F.col("ns").cast("long").alias("n_sources"),
+        "chi2_bp",
+        F.expr(
+            "CAST(CASE WHEN least(nl - 1, ns - 1) <= 0 THEN 0 "
+            "ELSE chi2_bp DIV (CAST(n AS BIGINT) * least(nl - 1, ns - 1)) "
+            "END AS BIGINT)"
+        ).alias("v2_bp"),
+    )
