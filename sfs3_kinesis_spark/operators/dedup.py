@@ -359,21 +359,39 @@ def containment_pairs_exact(
 
 
 def simhash(docs: DataFrame, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over token hashes, as pure SQL expressions:
-    for each bit, sum(+1/-1 by token-hash bit) > 0 → bit set.
-    One projection, no shuffle."""
-    bit_cols = []
-    for bit in range(64):
-        bit_cols.append(
-            f"(CASE WHEN aggregate(toks, 0, (acc, x) -> acc + "
-            f"CASE WHEN (xxhash64(x) & shiftleft(1L, {bit})) != 0 THEN 1 ELSE -1 END) > 0 "
-            f"THEN shiftleft(1L, {bit}) ELSE 0L END)"
-        )
-    expr = " + ".join(bit_cols)
-    return (
-        docs.withColumn("toks", F.expr("array_distinct(split(text, ' '))"))
-        .withColumn(out_col, F.expr(expr))
-        .drop("toks")
+    """64-bit SimHash over token hashes.  Requires a unique ``doc_id``.
+
+    Bit-parallel aggregate formulation: distinct tokens explode to
+    (doc_id, xxhash64(token)) rows — each token hashed ONCE in a
+    codegen'd projection — then one hash aggregate computes the 64
+    per-bit set-counts s_b; bit b of the fingerprint is set iff
+    2*s_b > n (exactly the classic +1/-1 sign rule: s_b - (n - s_b)
+    > 0).  The previous per-row form folded an INTERPRETED
+    higher-order aggregate per bit, re-hashing every token 64 times
+    (64 x |tokens| lambda steps + xxhash calls per document); this
+    form is entirely whole-stage-codegen'd and costs one narrow
+    token-level shuffle with map-side partial aggregation — the same
+    shape at 100 TB.  Values are bit-identical to the old form
+    (docs with NULL text keep fingerprint 0, matching the old
+    CASE-over-NULL collapse)."""
+    th = docs.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok"),
+    ).select("doc_id", F.expr("xxhash64(tok)").alias("h"))
+    sums = th.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"int(shiftrightunsigned(h, {b}) & 1)")).alias(f"_s{b}")
+            for b in range(64)
+        ],
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * _s{b} > _n THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(64)
+    )
+    fp = sums.select("doc_id", F.expr(bits).alias(out_col))
+    return docs.join(fp, "doc_id", "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
     )
 
 
@@ -460,6 +478,14 @@ def simhash_multiprobe_pairs(
             )
         ).alias("tb"),
     ).select("doc_id", "simhash", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+    # Explicit hash partitioning on the composite bucket key: the key
+    # table is tiny and highly compressible, so AQE's small-shuffle
+    # coalescing would run the whole candidate join (n_tables x the
+    # bucket fan-out, >1M rows at sf0.1) in ONE task.  A
+    # user-specified partition count is exempt from coalescing and
+    # both self-join sides reuse the layout with no extra shuffle.
+    shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tabs = tabs.repartition(shuffle_n, "table_id", "bucket")
     a, b = tabs.alias("a"), tabs.alias("b")
     cand = (
         a.join(

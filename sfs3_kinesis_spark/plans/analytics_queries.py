@@ -184,9 +184,15 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str):
     ),
 )
 def fuzzy_join_blocked_names(spark: SparkSession, sf_dir: str):
+    # Explicit hash repartition on the block key: the key table is a
+    # few hundred (highly compressible) KB, so AQE's coalescing would
+    # fold the block join into ONE task that evaluates every in-block
+    # levenshtein serially (~5 s at sf0.1); a user-specified partition
+    # count is exempt from coalescing and both join sides reuse it.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
-    )
+    ).repartition(shuffle_n, "blk")
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
