@@ -58,6 +58,17 @@ QUERIES = [
     "window_topk_orders_per_customer",
     "agg_bitmap_distinct",
     "retrieval_bm25",
+    # round-7 session-2 scale-proof rewrites: the exact prefix-filtered
+    # set-similarity joins replaced the all-pairs theta joins (a naive
+    # sf1 run would be 1.25e9 array intersections), the multiprobe
+    # candidate join got an explicit bucket-key layout, and the
+    # co-occurrence precompute persists its shared user-item table —
+    # each must hold e ~ 1 at 10x or the rewrite is fixture-tuned.
+    "dedup_ngram_jaccard",         # exact Jaccard via prefix filter
+    "dedup_containment",           # asymmetric containment prefix filter
+    "dedup_simhash_multiprobe",    # rotation-table candidate join
+    "mine_sequential_pairs",       # span-table temporal pair join
+    "recsys_item_item_topk",       # persisted co-occurrence + salted topk
 ]
 
 

@@ -214,7 +214,13 @@ def ivf_topk(
         )
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     dim = len(cents[0]) if cents and cents[0] else None
-    dot_c = dot_sql("c", "v", dim)
+    # Inside a transform() lambda the expression is interpreted no
+    # matter what, and the unrolled element_at form is SLOWER there
+    # (per-call bounds checks, no codegen to win) — measured 0.56 ->
+    # 1.8 s on similarity_ivf_topk.  Keep the fold in lambda context;
+    # the unrolled form pays off only in top-level row expressions
+    # (the verify join below).
+    dot_c = DOT.format(a="c", b="v")
     # cell = argmax over centroid dot products (normalized corpus side
     # is unnecessary for argmax per vector: norms cancel per-row)
     assign_expr = (
@@ -232,7 +238,7 @@ def ivf_topk(
         "qv",
         "nq",
     )
-    dot_q = dot_sql("c", "qv", dim)
+    dot_q = DOT.format(a="c", b="qv")  # lambda context: fold (see dot_c)
     probe_expr = (
         f"slice(array_sort(transform(cents, (c, i) -> struct(-({dot_q}) AS negdot, i AS idx))), 1, {n_probe})"
     )
@@ -464,7 +470,7 @@ def lsh_bucketed_pairs(
             "sig",
             F.expr(
                 "aggregate(transform(planes, p -> CASE WHEN "
-                + dot_sql("p", "v", dim)
+                + DOT.format(a="p", b="v")  # lambda context: fold
                 + " > 0D THEN 1L ELSE 0L END), "
                 "named_struct('acc', 0L, 'i', 0), "
                 "(s, bit) -> named_struct('acc', s.acc * 2 + bit, 'i', s.i + 1), s -> s.acc)"
