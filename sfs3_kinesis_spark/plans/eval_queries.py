@@ -617,3 +617,81 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str):
             "AS BIGINT)"
         ).alias("kappa_den"),
     )
+
+
+@register(
+    "eval_ab_test_chi2",
+    """
+    WITH u AS (
+        SELECT user_id % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id),
+    c AS (
+        SELECT CAST(count(*) FILTER (WHERE arm = 0 AND conv = 1) AS HUGEINT) AS a,
+               CAST(count(*) FILTER (WHERE arm = 0 AND conv = 0) AS HUGEINT) AS b,
+               CAST(count(*) FILTER (WHERE arm = 1 AND conv = 1) AS HUGEINT) AS c,
+               CAST(count(*) FILTER (WHERE arm = 1 AND conv = 0) AS HUGEINT) AS d
+        FROM u)
+    SELECT CAST(a + b AS BIGINT) AS n_arm_a,
+           CAST(c + d AS BIGINT) AS n_arm_b,
+           CAST(a AS BIGINT) AS conv_a,
+           CAST(c AS BIGINT) AS conv_b,
+           CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+                ELSE (10000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c))
+                     // ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT)
+               AS chi2_x10000
+    FROM c
+    """,
+    tags=("eval", "ab_test", "chi2", "experiment", "exact_arithmetic"),
+    description=(
+        "two-proportion A/B experiment readout: users hash-split into "
+        "two arms (user_id parity — the deterministic assignment an "
+        "experimentation platform would persist), conversion = any "
+        "'purchase' event, and the 2x2 chi-square statistic "
+        "n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) in exact x10000 fixed "
+        "point (numerator is a square, so the floor division is "
+        "non-negative and cross-engine stable; degenerate margins "
+        "read 0).  DECIMAL(38,0)/HUGEINT partials — the numerator "
+        "reaches ~1e24 at fixture scale, far past int64.  One "
+        "per-user rollup (map-side combine on user_id) then a "
+        "4-counter reduction; corpus-scale by construction"
+    ),
+)
+def eval_ab_test_chi2(spark: SparkSession, sf_dir: str):
+    # per-user conversion first (a user with many purchases counts once)
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    c = u.agg(
+        F.count(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.count(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1))
+        .cast("decimal(38,0)")
+        .alias("b"),
+        F.count(F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1))
+        .cast("decimal(38,0)")
+        .alias("c"),
+        F.count(F.when((F.col("arm") == 1) & (F.col("conv") == 0), 1))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    return c.select(
+        F.expr("CAST(a + b AS BIGINT)").alias("n_arm_a"),
+        F.expr("CAST(c + d AS BIGINT)").alias("n_arm_b"),
+        F.expr("CAST(a AS BIGINT)").alias("conv_a"),
+        F.expr("CAST(c AS BIGINT)").alias("conv_b"),
+        F.expr(
+            "CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0 "
+            "ELSE (10000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)) "
+            "div ((a + b) * (c + d) * (a + c) * (b + d)) END AS BIGINT)"
+        ).alias("chi2_x10000"),
+    )

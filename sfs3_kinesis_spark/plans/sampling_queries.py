@@ -686,3 +686,65 @@ def sample_priority_pps(spark: SparkSession, sf_dir: str):
     return est.join(totals, "source").select(
         "source", "sampled_ids", "est_total_chars", "true_total_chars"
     )
+
+
+@register(
+    "pack_padding_waste",
+    """
+    WITH d AS (
+        SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+    l AS (SELECT unnest([256, 512, 1024]) AS ctx_len),
+    w AS (
+        SELECT ctx_len,
+               n_tokens,
+               ((n_tokens + ctx_len - 1) // ctx_len) AS n_seqs
+        FROM d, l)
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_seqs) AS BIGINT) AS n_sequences,
+           CAST(sum(n_seqs * ctx_len - n_tokens) AS BIGINT) AS padding_tokens,
+           CAST((10000 * sum(n_seqs * ctx_len - n_tokens))
+                // (sum(n_seqs) * ctx_len) AS BIGINT) AS waste_bp
+    FROM w GROUP BY ctx_len
+    """,
+    tags=("sampling", "packing", "padding", "llm", "exact_arithmetic"),
+    description=(
+        "sequence-packing efficiency audit: for candidate context "
+        "lengths 256/512/1024, the padding a naive one-doc-per-"
+        "sequence loader wastes (each doc occupies ceil(n/L) "
+        "sequences; waste = seqs*L - n), in exact integer tokens and "
+        "floor basis points of the token budget — the number that "
+        "decides whether example packing (pack_token_shards) is worth "
+        "turning on and at which context length.  One row-local "
+        "projection cross-joined with a 3-row literal, one map-side-"
+        "combined aggregate; corpus-scale by construction"
+    ),
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str):
+    # NULL-text guard: under non-ANSI Spark size(NULL array) is -1
+    # (legacy sizeOfNull) while DuckDB's len() is NULL — the explicit
+    # CASE keeps both engines skipping NULL docs identically (verified
+    # on the nulled null_sweep fixture).
+    d = t(spark, sf_dir, "documents").select(
+        F.expr(
+            "CASE WHEN text IS NULL THEN NULL "
+            "ELSE size(split(text, ' ')) END"
+        ).cast("long").alias("n_tokens")
+    )
+    l = spark.createDataFrame([(256,), (512,), (1024,)], "ctx_len long")
+    w = d.crossJoin(F.broadcast(l)).withColumn(
+        "n_seqs", F.expr("(n_tokens + ctx_len - 1) DIV ctx_len")
+    )
+    return w.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_seqs").cast("long").alias("n_sequences"),
+        F.sum(F.expr("n_seqs * ctx_len - n_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.expr(
+            "CAST((10000 * sum(n_seqs * ctx_len - n_tokens)) "
+            "DIV (sum(n_seqs) * ctx_len) AS BIGINT)"
+        ).alias("waste_bp"),
+    )
