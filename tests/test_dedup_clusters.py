@@ -122,3 +122,91 @@ def test_simhash_multiprobe_rejects_bad_table_counts(spark):
     for bad in (0, 10, 128):
         with _pytest.raises(ValueError):
             simhash_multiprobe_pairs(docs, n_tables=bad)
+
+
+def _brute_jaccard(docs_rows, threshold_bp):
+    """Driver-side brute-force oracle for the prefix-filtered exact
+    Jaccard join: floor-bp arithmetic identical to the SQL."""
+    out = set()
+    sh = {}
+    for doc_id, text in docs_rows:
+        toks = text.split(" ")
+        if len(toks) < 3:
+            sh[doc_id] = {text}
+        else:
+            sh[doc_id] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            uni = len(sh[a]) + len(sh[b]) - inter
+            if uni and (inter * 10000) // uni >= threshold_bp:
+                out.add((a, b, (inter * 10000) // uni))
+    return out
+
+
+def _brute_containment(docs_rows, threshold_bp):
+    out = set()
+    sh = {}
+    for doc_id, text in docs_rows:
+        toks = text.split(" ")
+        sh[doc_id] = (
+            {text}
+            if len(toks) < 3
+            else {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        )
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            c = (len(sh[a] & sh[b]) * 10000) // len(sh[a])
+            if c >= threshold_bp:
+                out.add((a, b, c))
+    return out
+
+
+def test_prefix_filtered_jaccard_is_lossless_on_adversarial_corpora(spark):
+    """The prefix-filter lemma (smallest common element) must hold on
+    corpora the fixtures don't exercise: heavy shingle-frequency
+    skew (a boilerplate shingle in EVERY doc, so it always sorts
+    last and out of prefixes), duplicate docs, subset/superset
+    chains, short (<3-token) docs, and borderline thresholds.  A
+    deterministic LCG builds the corpus so failures replay."""
+    state = 20260816
+    words = [f"w{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(60):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n = 1 + (state >> 12) % 14
+        toks = []
+        for k in range(n):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            toks.append(words[(state >> 17) % len(words)])
+        # boilerplate tail shared by all docs (hot shingles)
+        rows.append((doc_id, " ".join(toks + ["end", "of", "doc"])))
+    # exact duplicates and a subset/superset pair
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " " + rows[2][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (2500, 4000, 8000):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard_bp)
+            for r in dedup.jaccard_pairs_exact(
+                dedup.shingles(docs, n=3).select("doc_id", "shingles"),
+                threshold_bp=thr,
+            ).collect()
+        }
+        assert got == _brute_jaccard(rows, thr), f"thr={thr}"
+
+    for thr in (5000, 8000):
+        got = {
+            (r.doc_contained, r.doc_container, r.containment_bp)
+            for r in dedup.containment_pairs_exact(
+                dedup.shingles(docs, n=3).select("doc_id", "shingles"),
+                threshold_bp=thr,
+            ).collect()
+        }
+        assert got == _brute_containment(rows, thr), f"thr={thr}"
