@@ -322,3 +322,98 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("node").cast("long").alias("part_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+@register(
+    "graph_modularity_brand",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    prs AS (
+        SELECT a.p AS u, b.p AS v
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT u, v FROM prs GROUP BY u, v HAVING count(*) >= 2),
+    lab AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+    el AS (
+        SELECT cu.c AS cu, cv.c AS cv
+        FROM e JOIN lab cu ON e.u = cu.p JOIN lab cv ON e.v = cv.p),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(count(*) FILTER (WHERE cu = cv) AS BIGINT) AS intra
+          FROM el),
+    deg AS (
+        SELECT c, CAST(sum(d) AS BIGINT) AS dc FROM (
+            SELECT cu AS c, count(*) AS d FROM el GROUP BY cu
+            UNION ALL
+            SELECT cv AS c, count(*) AS d FROM el GROUP BY cv
+        ) GROUP BY c),
+    s AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_deg_sq,
+                 CAST(count(*) AS BIGINT) AS n_comms
+          FROM deg)
+    SELECT m AS n_edges,
+           intra AS n_intra_edges,
+           n_comms AS n_communities,
+           sum_deg_sq,
+           CAST(4 * m * intra - sum_deg_sq AS BIGINT) AS q_num,
+           CAST(4 * m * m AS BIGINT) AS q_den
+    FROM m, s
+    """,
+    tags=("graph", "modularity", "community", "exact_arithmetic"),
+    description=(
+        "Newman modularity of the BRAND partition over the support>=2 "
+        "co-purchase graph — does an existing attribute explain the "
+        "graph's community structure?  (The attribute-partition form "
+        "needs no iterative community detection, so the oracle is "
+        "closed-form.)  Q = sum_c (e_c/m - (d_c/2m)^2) emitted as the "
+        "EXACT integer ratio q_num/q_den = (4m*intra - sum_c d_c^2) / "
+        "(4m^2): Q is signed, and negative floor vs truncating "
+        "division is not cross-engine stable, so the split readout is "
+        "the whole answer (the Cohen's-kappa convention).  Safe in "
+        "BIGINT to m ~ 1.5e9 edges (4m^2 < 9.2e18); everything "
+        "reduces to the edge-label join, one 2-counter total and a "
+        "|communities|-row degree rollup"
+    ),
+)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    prs = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    )
+    e = prs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w")).filter("w >= 2").select("u", "v")
+    lab = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("p"), F.col("p_brand").alias("c")
+    )
+    el = (
+        e.join(lab.select(F.col("p").alias("u"), F.col("c").alias("cu")), "u")
+        .join(lab.select(F.col("p").alias("v"), F.col("c").alias("cv")), "v")
+        .select("cu", "cv")
+        .persist()  # feeds the edge totals AND both degree rollups
+    )
+    m = el.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.count(F.when(F.col("cu") == F.col("cv"), 1)).cast("long").alias("intra"),
+    )
+    deg = (
+        el.groupBy(F.col("cu").alias("c")).agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            el.groupBy(F.col("cv").alias("c")).agg(F.count(F.lit(1)).alias("d"))
+        )
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+    )
+    s = deg.agg(
+        F.sum(F.expr("dc * dc")).cast("long").alias("sum_deg_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_comms"),
+    )
+    return m.crossJoin(F.broadcast(s)).select(
+        F.col("m").alias("n_edges"),
+        F.col("intra").alias("n_intra_edges"),
+        F.col("n_comms").alias("n_communities"),
+        "sum_deg_sq",
+        F.expr("CAST(4 * m * intra - sum_deg_sq AS BIGINT)").alias("q_num"),
+        F.expr("CAST(4 * m * m AS BIGINT)").alias("q_den"),
+    )
