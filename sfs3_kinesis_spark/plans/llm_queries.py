@@ -2474,3 +2474,66 @@ def multimodal_energy_segments(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("energy").cast("long").alias("total_energy"),
     ).drop("island")
+
+
+@register(
+    "quality_cross_source_neardup",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             END AS s
+      FROM tok),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 10000
+              // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 4000)
+    SELECT least(sa, sb) AS source_a,
+           greatest(sa, sb) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE sa = sb) AS BIGINT) AS n_within
+    FROM pairs GROUP BY 1, 2
+    """,
+    tags=("quality", "dedup", "provenance", "prefix_filter", "exact_arithmetic"),
+    description=(
+        "cross-source duplicate-flow matrix: near-dup document pairs "
+        "(exact 3-gram Jaccard >= 0.4) counted per unordered source "
+        "pair — the provenance readout that tells a crawl curator "
+        "which sources mirror or scrape which (off-diagonal mass) vs "
+        "merely re-post internally (n_within).  The Spark side rides "
+        "the prefix-filtered EXACT Jaccard join (never all-pairs; the "
+        "brute-force oracle re-proves losslessness through this "
+        "consumer), then one |sources|^2-bounded rollup"
+    ),
+)
+def quality_cross_source_neardup(spark: SparkSession, sf_dir: str):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_exact(
+        dedup.shingles(docs, n=3).select("doc_id", "shingles"),
+        threshold_bp=4000,
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return lab.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("sa") == F.col("sb"), 1)).cast("long").alias("n_within"),
+    )
