@@ -57,8 +57,31 @@ def main() -> int:
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
 
+    # r07 ADVICE: a null/absent spark_s means the query ERRORED in
+    # that ledger — coercing it to 0.0 would read as a large
+    # improvement and let the regression gate exit 0 on breakage.
+    # Hard-flag instead: print loudly, drop from the comparable set,
+    # and force exit 1.
+    broken = sorted(
+        k
+        for k in common
+        if not isinstance(old[k].get("spark_s"), (int, float))
+        or not isinstance(new[k].get("spark_s"), (int, float))
+    )
+    if broken:
+        print(
+            f"BROKEN ({len(broken)} queries with null/absent spark_s — "
+            f"errored in one ledger; excluded from totals, exit 1):"
+        )
+        for k in broken:
+            print(
+                f"  {k:42s} old={old[k].get('spark_s')!r} "
+                f"new={new[k].get('spark_s')!r}"
+            )
+        common = [k for k in common if k not in set(broken)]
+
     def spark(d, k):
-        return d[k].get("spark_s") or 0.0
+        return d[k]["spark_s"]
 
     to = sum(spark(old, k) for k in common)
     tn = sum(spark(new, k) for k in common)
@@ -91,7 +114,7 @@ def main() -> int:
             print(f"  {k:42s} {o:7.2f} -> {n:7.2f}  ({n / o:.2f}x)")
     if not flagged:
         print("  none")
-    return 1 if flagged else 0
+    return 1 if (flagged or broken) else 0
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.operators.scale import lineage_pin
+from sfs3_kinesis_spark.operators.scale import lineage_pin, pin_shared
 
 FINGERPRINT_MOD = 1_000_000_007
 
@@ -162,7 +162,9 @@ def minhash_lsh_pairs(
     # cluster scale this is the "signature table" you would write to
     # storage once and reuse; recomputing it per consumer would scan
     # the corpus five times.
-    sh = shingles(docs, n=shingle_n).select("doc_id", "shingles").persist()
+    sh = pin_shared(
+        shingles(docs, n=shingle_n).select("doc_id", "shingles"), tag="lsh_shingles"
+    )
     banded = banded_keys(sh, num_hashes=num_hashes, bands=bands)
     # Candidate generation stays NARROW: only (doc_id, band_id,
     # band_hash) ever enters the self-join shuffle.  Shipping the
@@ -203,8 +205,12 @@ def _ranked_shingle_sets(docs_with_shingles: DataFrame) -> DataFrame:
 
     The (df, shingle) struct IS the global total order — no
     vocabulary-sized rank window.  This is the shared front half of
-    the exact prefix-filtered similarity joins below; the df table is
-    vocabulary-sized, so AQE broadcasts it at any realistic scale.
+    the exact prefix-filtered similarity joins below.  The df table
+    is vocabulary-sized: AQE broadcasts it at fixture/test scales,
+    but at corpus scale (100 TB of text, a 3-gram vocabulary that is
+    itself corpus-sized) the join degrades to a shuffle equi-join on
+    the shingle key — still scale-safe (narrow rows, no all-pairs),
+    just not broadcast; plan capacity for a shuffle here.
     """
     d = docs_with_shingles.select("doc_id", "shingles")
     df_tbl = (
@@ -256,7 +262,8 @@ def jaccard_pairs_exact(
         F.expr(
             f"slice(toks_sorted, 1, n - (({threshold_bp} * n + 9999) DIV 10000) + 1)"
         ),
-    ).persist()
+    )
+    pref = pin_shared(pref, tag="jaccard_prefix")
     pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
     cand = (
         pe.alias("a")
@@ -308,7 +315,7 @@ def containment_pairs_exact(
     count, never n².  Returns (doc_contained, doc_container,
     containment_bp) over distinct doc pairs.
     """
-    ranked = _ranked_shingle_sets(docs_with_shingles).persist()
+    ranked = pin_shared(_ranked_shingle_sets(docs_with_shingles), tag="containment_ranked")
     pe_a = ranked.select(
         "doc_id",
         F.explode(

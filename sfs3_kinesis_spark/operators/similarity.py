@@ -31,16 +31,20 @@ def dot_sql(a: str, b: str, dim: int | None = None) -> str:
     the 2M-pair sf0.1 cosine join spends ~20 s in the fold).  With a
     known dimension the unrolled ``element_at`` sum compiles into the
     codegen'd projection and is BIT-IDENTICAL to the fold: both
-    evaluate the left-associated IEEE sum p1 + p2 + ... + p_dim
-    (the fold's leading ``0D + p1`` is exact).  A size guard falls
-    back to the fold for ragged rows, so unknown/mixed dims stay
-    correct — and out-of-range ``element_at`` (an error under ANSI)
-    is never evaluated.
+    evaluate the left-associated IEEE sum 0 + p1 + p2 + ... + p_dim.
+    The unrolled chain leads with the same ``0D +`` the fold's seed
+    contributes — exact for every input INCLUDING the zero-sign edge
+    (r07 ADVICE: without it, an all-negative-zero product chain
+    yields -0.0 from the terms but +0.0 from the fold; harmless for
+    threshold filters, visible through round()/display).  A size
+    guard falls back to the fold for ragged rows, so unknown/mixed
+    dims stay correct — and out-of-range ``element_at`` (an error
+    under ANSI) is never evaluated.
     """
     fold = DOT.format(a=a, b=b)
     if dim is None:
         return fold
-    terms = " + ".join(
+    terms = "0D + " + " + ".join(
         f"(element_at({a}, {i}) * element_at({b}, {i}))" for i in range(1, dim + 1)
     )
     return (

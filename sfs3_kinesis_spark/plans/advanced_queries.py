@@ -41,6 +41,7 @@ from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.operators.scale import pin_shared
 
 
 @register(
@@ -579,7 +580,7 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     pref = ranked.withColumn(
         "prefix", F.expr("slice(toks_sorted, 1, n - ((9 * n + 9) DIV 10) + 1)")
     )
-    pref = pref.persist()  # shared by the candidate join AND the array join-back
+    pref = pin_shared(pref, tag="simjoin_prefix")  # shared by the candidate join AND the array join-back
     # Candidate generation shuffles ONLY (prefix, doc_id, n) — never the
     # shingle arrays: at corpus scale the candidate join's shuffle payload
     # is what dominates, and an array-carrying row is ~100x a key row.

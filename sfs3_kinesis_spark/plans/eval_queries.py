@@ -702,25 +702,23 @@ def eval_ab_test_chi2(spark: SparkSession, sf_dir: str):
     """
     WITH x AS (
         SELECT o_orderpriority AS grp,
-               CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS cents
+               CAST(floor(o_totalprice + 0.5) AS HUGEINT) AS units
         FROM orders),
     g AS (
         SELECT grp, CAST(count(*) AS HUGEINT) AS ng,
-               CAST(sum(cents) AS HUGEINT) AS sg
+               CAST(sum(units) AS HUGEINT) AS sg
         FROM x GROUP BY grp),
     tot AS (
         SELECT CAST(count(*) AS HUGEINT) AS n,
-               CAST(sum(cents) AS HUGEINT) AS s,
-               CAST(sum(cents * cents) AS HUGEINT) AS sx2
+               CAST(sum(units) AS HUGEINT) AS s,
+               CAST(sum(units * units) AS HUGEINT) AS sx2
         FROM x),
     btw AS (
-        SELECT sum((10000 * n * sg * sg) // ng) AS num_part,
-               count(*) AS k
-        FROM g, tot)
+        SELECT sum(sg * sg // ng) AS w, count(*) AS k FROM g)
     SELECT CAST(n AS BIGINT) AS n_orders,
            CAST(k AS BIGINT) AS n_groups,
            CAST(CASE WHEN n * sx2 - s * s = 0 THEN 0
-                ELSE greatest(num_part - 10000 * s * s, 0)
+                ELSE greatest(10000 * (n * w - s * s), 0)
                      // (n * sx2 - s * s) END AS BIGINT) AS eta2_bp
     FROM btw, tot
     """,
@@ -730,57 +728,61 @@ def eval_ab_test_chi2(spark: SparkSession, sf_dir: str):
         "of order value across the five order priorities — the "
         "variance-decomposition readout that tells a data auditor how "
         "much of a metric a segmentation actually explains.  Exact "
-        "integer form: eta2_bp = (sum_g floor(1e4*n*S_g^2/n_g) "
-        "- 1e4*S^2) // (n*sum(x^2) - S^2), all on the cents grid with "
-        "HUGEINT/DECIMAL(38,0) partials (S^2 ~ 1e26 at sf0.1); the "
-        "per-group flooring makes it a defined deterministic integer "
-        "variant, clamped at 0 because flooring can push an "
-        "identical-means decomposition a hair negative (the "
-        "mine_cramers_v convention).  Work reduces to one 5-row group "
-        "rollup and a 3-counter total — corpus-scale by construction"
+        "integer form on the WHOLE-CURRENCY-UNIT grid: "
+        "eta2_bp = 1e4*(n*sum_g floor(S_g^2/n_g) - S^2) "
+        "// (n*sum(x^2) - S^2), HUGEINT/DECIMAL(38,0) partials.  "
+        "r07 ADVICE headroom fix: the old cents-grid form multiplied "
+        "1e4*n INSIDE the per-group partial (1e4*n*S_g^2 ~ 3e38 by "
+        "sf10 — silent NULL under non-ANSI Spark, error in DuckDB); "
+        "the per-group partial is now just S_g^2//n_g and the 1e4*n "
+        "factors apply AFTER the 5-row rollup, so the largest "
+        "intermediate is 1e4*(n*w - S^2) — safe to ~sf3e6 (~3 PB, "
+        "n~5e12 orders) before approaching the 38-digit ceiling "
+        "(scale bound documented per the graph_modularity_brand "
+        "convention).  Per-group flooring makes it a defined "
+        "deterministic integer variant, clamped at 0 because flooring "
+        "can push an identical-means decomposition a hair negative "
+        "(the mine_cramers_v convention).  Work reduces to one 5-row "
+        "group rollup and a 3-counter total — corpus-scale by "
+        "construction"
     ),
 )
 def eval_anova_eta_sq(spark: SparkSession, sf_dir: str):
     x = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.expr(
-            "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "CAST(CAST(floor(o_totalprice + 0.5) AS BIGINT) "
             "AS DECIMAL(38,0))"
-        ).alias("cents"),
+        ).alias("units"),
     )
     g = x.groupBy("grp").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
-        F.sum("cents").cast("decimal(38,0)").alias("sg"),
+        F.sum("units").cast("decimal(38,0)").alias("sg"),
     )
     tot = x.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("s"),
-        F.sum(F.expr("cents * cents")).cast("decimal(38,0)").alias("sx2"),
+        F.sum("units").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("units * units")).cast("decimal(38,0)").alias("sx2"),
     )
-    # Spark's `div` returns BIGINT, and this quotient is ~1e26 — it
-    # silently NULLs under non-ANSI.  Floor-divide decimals exactly
-    # via (a - a % b) / b: the subtraction makes the quotient an
-    # exact integer, which decimal division then represents exactly
-    # (identical to DuckDB's HUGEINT // for non-negative operands).
-    btw = g.crossJoin(F.broadcast(tot)).agg(
+    # Spark's `div` returns BIGINT, and these quotients overflow it —
+    # floor-divide decimals exactly via (a - a % b) / b: the
+    # subtraction makes the quotient an exact integer, which decimal
+    # division then represents exactly (identical to DuckDB's
+    # HUGEINT // for non-negative operands).
+    btw = g.agg(
         F.sum(
             F.expr(
-                "CAST(((CAST(10000 AS DECIMAL(38,0)) * n * sg * sg) "
-                "- ((CAST(10000 AS DECIMAL(38,0)) * n * sg * sg) % ng)) / ng "
-                "AS DECIMAL(38,0))"
+                "CAST(((sg * sg) - ((sg * sg) % ng)) / ng AS DECIMAL(38,0))"
             )
-        ).alias("num_part"),
+        ).alias("w"),
         F.count(F.lit(1)).alias("k"),
-        F.first("n").alias("n"),
-        F.first("s").alias("s"),
-        F.first("sx2").alias("sx2"),
     )
-    return btw.select(
+    return btw.crossJoin(F.broadcast(tot)).select(
         F.col("n").cast("long").alias("n_orders"),
         F.col("k").cast("long").alias("n_groups"),
         F.expr(
             "CAST(CASE WHEN n * sx2 - s * s = 0 THEN 0 "
-            "ELSE greatest(num_part - CAST(10000 AS DECIMAL(38,0)) * s * s, "
+            "ELSE greatest(CAST(10000 AS DECIMAL(38,0)) * (n * w - s * s), "
             "CAST(0 AS DECIMAL(38,0))) div (n * sx2 - s * s) END AS BIGINT)"
         ).alias("eta2_bp"),
     )

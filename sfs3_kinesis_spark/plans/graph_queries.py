@@ -29,7 +29,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.operators.scale import lineage_pin
+from sfs3_kinesis_spark.operators.scale import lineage_pin, pin_shared
 from sfs3_kinesis_spark.plans.core import register, t
 
 #: shared constants — one source of truth for the Spark callable AND
@@ -100,8 +100,8 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .persist()
     )
+    li = pin_shared(li, tag="pagerank_li")
     # the 60-row node table feeds the member build, the initial rank
     # vector AND every iteration's left join — pin it so the top-N
     # aggregation over lineitem runs once, not once per consumer
@@ -111,16 +111,16 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n"), F.asc("pk"))
         .limit(PR_TOP_N)
         .select("pk")
-        .persist()
     )
+    nodes = pin_shared(nodes, tag="pagerank_nodes")
     member = li.join(F.broadcast(nodes), "pk").select("okey", "pk")
     edges = (
         member.alias("a")
         .join(member.alias("b"), (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") != F.col("b.pk")))
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
-        .persist()
     )
+    edges = pin_shared(edges, tag="pagerank_edges")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.select("pk", F.lit(PR_INIT).cast("long").alias("r"))
     for _ in range(PR_ITERATIONS):
@@ -192,7 +192,9 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str):
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
     )
     e = pairs.groupBy("u", "v").agg(F.count("*").alias("w")).filter("w >= 2").select("u", "v")
-    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    und = pin_shared(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), tag="reach_und"
+    )
     two = (
         und.alias("e1")
         .join(und.alias("e2"), (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") != F.col("e2.v")))
@@ -391,8 +393,9 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str):
         e.join(lab.select(F.col("p").alias("u"), F.col("c").alias("cu")), "u")
         .join(lab.select(F.col("p").alias("v"), F.col("c").alias("cv")), "v")
         .select("cu", "cv")
-        .persist()  # feeds the edge totals AND both degree rollups
     )
+    # feeds the edge totals AND both degree rollups
+    el = pin_shared(el, tag="modularity_el")
     m = el.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.count(F.when(F.col("cu") == F.col("cv"), 1)).cast("long").alias("intra"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.operators import dedup, similarity
 from sfs3_kinesis_spark.operators.text import with_lang_id, with_token_stats
+from sfs3_kinesis_spark.operators.scale import pin_shared
 from sfs3_kinesis_spark.plans.core import register, t
 
 # ----------------------------------------------------------------- #
@@ -1231,7 +1232,8 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
             ).alias(f"m{h}")
             for h in range(_MHX_HASHES)
         ],
-    ).persist()
+    )
+    sig = pin_shared(sig, tag="mhx_sig")
 
     def band_df(bnd: int):
         mins = ", ".join(
@@ -1485,7 +1487,7 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str):
             "s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
         ).alias("hs"),
     )
-    sig = d.select("doc_id", F.expr(_shx_sig("spark")).alias("sig")).persist()
+    sig = pin_shared(d.select("doc_id", F.expr(_shx_sig("spark")).alias("sig")), tag="shx_sig")
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
     shift = _SHX_BITS - _SHX_PREFIX
@@ -2264,7 +2266,8 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str):
             ).alias(f"m{h}")
             for h in range(_MHX_HASHES)
         ],
-    ).persist()
+    )
+    sig = pin_shared(sig, tag="mhx_sig")
 
     def band_df(bnd: int):
         mins = ", ".join(

@@ -32,6 +32,7 @@ from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.operators.scale import pin_shared
 
 
 @register(
@@ -566,8 +567,8 @@ def mine_association_lift(spark: SparkSession, sf_dir: str):
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .persist()
     )
+    li = pin_shared(li, tag="assoc_li")
     n = li.agg(F.countDistinct("okey").alias("n_orders"))
     item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
     pair = (
@@ -761,8 +762,8 @@ def mine_sequential_pairs(spark: SparkSession, sf_dir: str):
         o.join(li, "okey")
         .groupBy("cust", "part")
         .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
-        .persist()
     )
+    g = pin_shared(g, tag="seq_span")
     sp = (
         g.alias("a")
         .join(
@@ -1148,7 +1149,7 @@ def recsys_item_cosine(spark: SparkSession, sf_dir: str):
     # persist Spark recomputes scan+join+distinct three times (~9 of
     # the query's 12.7 s at sf0.1).  At cluster scale this is the
     # user-item table you materialize once and reuse.
-    ui = o.join(li, "okey").select("u", "i").distinct().persist()
+    ui = pin_shared(o.join(li, "okey").select("u", "i").distinct(), tag="recsys_ui")
     deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     co = (
         ui.alias("a")
@@ -2125,7 +2126,7 @@ def recsys_item_item_topk(spark: SparkSession, sf_dir: str):
     # ui is read three times (both self-join sides + degrees) and co
     # twice (the bidirectional union) — persist both or the whole
     # pair pipeline runs twice end-to-end.
-    ui = o.join(li, "okey").select("u", "i").distinct().persist()
+    ui = pin_shared(o.join(li, "okey").select("u", "i").distinct(), tag="recsys_ui")
     deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     a, b = ui.alias("a"), ui.alias("b")
     co = (
@@ -2133,8 +2134,8 @@ def recsys_item_item_topk(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("a.i").alias("i_a"), F.col("b.i").alias("i_b"))
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 3)
-        .persist()
     )
+    co = pin_shared(co, tag="recsys_co")
     bi = co.select(
         F.col("i_a").alias("item"), F.col("i_b").alias("partner"), "co"
     ).unionAll(

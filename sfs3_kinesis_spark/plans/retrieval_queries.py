@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank
+from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank, pin_shared
 from sfs3_kinesis_spark.plans.core import register, t
 
 # Conjunctive-query / phrase / fusion constants shared by the Spark
@@ -813,16 +813,19 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
             (F.col("user_id") % 1000).alias("y"),
         )
     )
-    pairs = grid_radius_pairs(
-        p, id_col="id", x="x", y="y", radius=DBSCAN_EPS, directed=True
-    ).persist()
+    pairs = pin_shared(
+        grid_radius_pairs(
+            p, id_col="id", x="x", y="y", radius=DBSCAN_EPS, directed=True
+        ),
+        tag="dbscan_pairs",
+    )
     core = (
         pairs.groupBy("a_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= DBSCAN_MINPTS)
         .select(F.col("a_id").alias("id"), "n")
-        .persist()
     )
+    core = pin_shared(core, tag="dbscan_core")
     core_ids = core.select("id")
     ce = (
         pairs.filter(F.col("a_id") < F.col("b_id"))

