@@ -7,13 +7,13 @@ intact), then runs the full Spark-vs-DuckDB oracle compare on it.
 Both engines read the SAME nulled parquet, so a mismatch means the
 Spark query and its oracle SQL disagree about null semantics — not
 that either is "wrong" on the driver's fixture (whose value columns
-are non-null).  Measured at round 7 over the FULL registry at sf0.01:
-266/308 agree; 12 of the 13 round-5/6 additions agree (the one
-divergence, mine_gini_best_split, is null-price bin arithmetic — the
-documented family (b) below); the 42 divergent queries trace to
-cross-engine null-behavior families the corpus conventions
-deliberately do not paper over (round-4 figure was 252/295 at
-sf0.001 — same families, none new at 10x):
+are non-null).  Measured at round 8 over the FULL registry at sf0.01:
+298/323 agree (r07: 266/308).  Round 8 closed family (a) — NULL text
+entering token/shingle/chunk arithmetic — with an explicit contract
+on both sides (t_nonnull in plans/core.py + WHERE text IS NOT NULL
+in the oracles): 15 queries moved to agree.  The 25 remaining
+divergences trace to the other cross-engine null-behavior families
+the corpus conventions deliberately do not paper over:
 
 * string concatenation (DuckDB ``concat`` skips NULLs; Spark's
   propagates),

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 from sfs3_kinesis_spark.operators.scale import pin_shared
 
 
@@ -611,7 +611,8 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     "quality_gopher_rules",
     """
     WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
     m AS (
         SELECT doc_id, toks,
                len(toks) AS n_words,
@@ -651,7 +652,7 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     ),
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    d = t_nonnull(spark, sf_dir, "documents", "text").select("doc_id", F.split("text", " ").alias("toks"))
     m = d.select(
         "doc_id",
         F.size("toks").alias("n_words"),

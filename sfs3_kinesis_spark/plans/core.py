@@ -60,3 +60,26 @@ def register(name: str, oracle: Optional[str], tags: tuple[str, ...] = (), descr
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand fixture loader used by query callables."""
     return load_table(spark, sf_dir, name)
+
+
+def t_nonnull(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Fixture loader with an EXPLICIT null-exclusion contract on
+    ``cols`` (round-8 null-robustness, r07 verdict next-round #5).
+
+    Queries whose arithmetic runs over free-text columns (token /
+    shingle / chunk math) diverge cross-engine on NULL text: DuckDB's
+    ``string_split``/list ops and Spark's ``split``/higher-order
+    functions propagate NULLs differently (skip vs poison), so the
+    same query computes DIFFERENT rows on a null-bearing corpus.
+    The corpus convention is therefore a visible contract, applied
+    identically on BOTH sides: a NULL text value is NOT a document —
+    the Spark side filters here, and the oracle SQL carries the
+    matching ``WHERE <col> IS NOT NULL``.  On the driver fixture
+    (whose value columns are non-null) the filter matches everything,
+    so gate results are unchanged; on null-bearing data both engines
+    now agree instead of diverging engine-internally.
+    """
+    df = load_table(spark, sf_dir, name)
+    for c in cols:
+        df = df.filter(df[c].isNotNull())
+    return df

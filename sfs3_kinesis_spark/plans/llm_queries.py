@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from sfs3_kinesis_spark.operators import dedup, similarity
 from sfs3_kinesis_spark.operators.text import with_lang_id, with_token_stats
 from sfs3_kinesis_spark.operators.scale import pin_shared
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 # ----------------------------------------------------------------- #
 # dedup                                                             #
@@ -50,14 +50,14 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str):
     SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key,
            CAST(min(doc_id) AS BIGINT)                        AS keeper_doc_id,
            count(*)                                           AS n_copies
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
     tags=("dedup",),
     description="normalized-key dedup (first-3-token canonical key)",
 )
 def dedup_prefix_key(spark: SparkSession, sf_dir: str):
     key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
-    return dedup.exact_dedup(t(spark, sf_dir, "documents"), key_expr=key)
+    return dedup.exact_dedup(t_nonnull(spark, sf_dir, "documents", "text"), key_expr=key)
 
 
 @register(
@@ -69,13 +69,13 @@ def dedup_prefix_key(spark: SparkSession, sf_dir: str):
                list_transform(string_split(text, ' '),
                               x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
              (acc, x) -> (acc * 131 + x) % {dedup.FINGERPRINT_MOD}) AS fingerprint
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("dedup", "fingerprint"),
     description="deterministic rolling-hash document fingerprint (SQL-exact fold)",
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str):
-    return dedup.fingerprint(t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    return dedup.fingerprint(t_nonnull(spark, sf_dir, "documents", "text")).select("doc_id", "fingerprint")
 
 
 @register(
@@ -274,7 +274,8 @@ _STOP_EN_SQL = "['the','a','of','and','to','in']"
 @register(
     "text_token_stats",
     f"""
-    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL)
     SELECT CAST(doc_id AS BIGINT)                       AS doc_id,
            CAST(len(toks) AS BIGINT)                    AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT)     AS n_distinct,
@@ -288,7 +289,7 @@ _STOP_EN_SQL = "['the','a','of','and','to','in']"
     description="token counting + lexical stats (quality-filter features)",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str):
-    return with_token_stats(t(spark, sf_dir, "documents")).select(
+    return with_token_stats(t_nonnull(spark, sf_dir, "documents", "text")).select(
         "doc_id", "n_tokens", "n_distinct", "distinct_ratio", "avg_token_len", "stopword_ratio"
     )
 
@@ -296,7 +297,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 @register(
     "text_quality_score",
     f"""
-    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL),
     s AS (
       SELECT doc_id,
              len(toks)                                      AS n_tokens,
@@ -317,7 +319,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 def text_quality_score(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.text import with_quality_score
 
-    return with_quality_score(t(spark, sf_dir, "documents")).select(
+    return with_quality_score(t_nonnull(spark, sf_dir, "documents", "text")).select(
         "doc_id", "n_tokens", "quality_score"
     )
 
@@ -680,7 +682,7 @@ def scalar_lambda_arrays(spark: SparkSession, sf_dir: str):
     SELECT doc_id,
            unnest(CASE WHEN len(ms) = 0 THEN [NULL] ELSE ms END) AS mention
     FROM (SELECT doc_id, regexp_extract_all(text, '\bspark\w*') AS ms
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
     """,
     tags=("generator", "outer", "text"),
     description=(
@@ -692,7 +694,7 @@ def scalar_lambda_arrays(spark: SparkSession, sf_dir: str):
     ),
 )
 def generator_outer_mentions(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = t_nonnull(spark, sf_dir, "documents", "text")
     return d.select(
         "doc_id",
         F.explode_outer(F.expr(r"regexp_extract_all(text, '\\bspark\\w*', 0)")).alias("mention"),
@@ -930,7 +932,7 @@ BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
       SELECT lang,
              len(string_split(text, ' '))                    AS ws_tokens,
              len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS bpe_tokens
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
     SELECT lang,
            count(*)                                     AS n_docs,
            sum(ws_tokens)                               AS ws_tokens,
@@ -950,7 +952,7 @@ BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     ),
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents").select(
+    d = t_nonnull(spark, sf_dir, "documents", "text").select(
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE)).cast("long").alias("bpe_tokens"),
@@ -1156,7 +1158,8 @@ def _mhx_ctes() -> str:
         )
     bands = " UNION ALL ".join(band_selects)
     return f"""tok AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1220,7 +1223,7 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str):
 
     base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
     rpb = _MHX_HASHES // _MHX_BANDS
-    sh = shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    sh = shingles(t_nonnull(spark, sf_dir, "documents", "text"), n=3).select("doc_id", "shingles")
     # ONE md5 pass per shingle; the 16 minhash fns re-hash ints only
     sig = sh.select(
         "doc_id",
@@ -2255,7 +2258,7 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str):
     base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
     rpb = _MHX_HASHES // _MHX_BANDS
     n = _MHX_HASHES
-    sh = shingles(t(spark, sf_dir, "documents"), n=3).select("doc_id", "shingles")
+    sh = shingles(t_nonnull(spark, sf_dir, "documents", "text"), n=3).select("doc_id", "shingles")
     sig = sh.select(
         "doc_id",
         "shingles",

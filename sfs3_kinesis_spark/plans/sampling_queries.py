@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.operators import sampling
 from sfs3_kinesis_spark.operators.sampling import hash_sql
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 _H = hash_sql("doc_id")  # ((doc_id * 2654435761 + 104729) % 1000000007)
 
@@ -127,7 +127,7 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str):
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              {_H}                         AS h
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     p AS (
       SELECT (h % 8) AS bucket, n_tokens,
              sum(n_tokens) OVER (PARTITION BY (h % 8) ORDER BY h, doc_id
@@ -148,7 +148,7 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str):
     ),
 )
 def pack_token_shards(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = t_nonnull(spark, sf_dir, "documents", "text").withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
     )
     packed = sampling.pack_shards(d, F.col("doc_id"), "n_tokens", n_buckets=8, capacity=2048)
@@ -164,7 +164,8 @@ def pack_token_shards(spark: SparkSession, sf_dir: str):
     "text_chunking",
     """
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
     ex AS (
       SELECT doc_id, toks,
              unnest(generate_series(0, CAST(ceil(len(toks) / 32.0) AS BIGINT) - 1)) AS chunk_idx
@@ -183,7 +184,7 @@ def pack_token_shards(spark: SparkSession, sf_dir: str):
     ),
 )
 def text_chunking(spark: SparkSession, sf_dir: str):
-    return sampling.chunk_text(t(spark, sf_dir, "documents"), "doc_id", "text", 32)
+    return sampling.chunk_text(t_nonnull(spark, sf_dir, "documents", "text"), "doc_id", "text", 32)
 
 
 _STOP_EN_SQL = "['the','a','of','and','to','in']"
@@ -192,7 +193,8 @@ _STOP_EN_SQL = "['the','a','of','and','to','in']"
 @register(
     "dedup_keep_best_quality",
     f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL),
     s AS (
       SELECT doc_id,
              array_to_string(toks[1:3], ' ')                AS dedup_key,
@@ -229,7 +231,7 @@ _STOP_EN_SQL = "['the','a','of','and','to','in']"
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.text import with_quality_score
 
-    d = with_quality_score(t(spark, sf_dir, "documents"))
+    d = with_quality_score(t_nonnull(spark, sf_dir, "documents", "text"))
     d = d.withColumn("dedup_key", F.concat_ws(" ", F.slice(F.col("toks"), 1, 3)))
     w = Window.partitionBy("dedup_key").orderBy(F.col("quality_score").desc(), F.col("doc_id"))
     return (
@@ -404,7 +406,7 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str):
     """
     WITH lt AS (
         SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
-        FROM documents GROUP BY lang),
+        FROM documents WHERE text IS NOT NULL GROUP BY lang),
     sq AS (
         SELECT lang, n_tokens,
                CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
@@ -448,7 +450,7 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str):
     ),
 )
 def sample_mixture_budget(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = t_nonnull(spark, sf_dir, "documents", "text")
     lt = d.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
     )
