@@ -200,6 +200,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "join_range_hot_hours": (2, "hourly rollup (calendar-bounded)"),
     "mine_change_point": (2, "daily rollup (calendar-bounded)"),
     "mine_spearman_daily_rho": (2, "daily rollup (calendar-bounded)"),
+    "eval_bootstrap_ci": (1, "fixed 200-row resample-accuracy table"),
 }
 
 

@@ -248,6 +248,23 @@ def clear_keyed_cache() -> None:
                 pass
 
 
+#: pin_shared size guard (round-8 second-decade stress finding): at
+#: ~500k documents the pinned prefix/signature tables are multi-GB
+#: deserialized and CACHE REUSE becomes slower than recomputation —
+#: measured on dedup_ngram_jaccard at sf10: pinned cold 138 s /
+#: warm 218 s (426 s at 128 shuffle partitions — storage thrash
+#: scales with parallelism), unpinned cold 130 s / warm 120 s.
+#: Catalyst's optimizedPlan sizeInBytes estimate is monotone in
+#: source size (measured: 52 KB sf0.01, 478 KB sf0.1, 5.5 MB sf1 —
+#: pinning proven good through sf1 — 67 MB sf10, where it hurts), so
+#: frames estimated above this cap are returned UNPINNED and each
+#: consumer recomputes — the scale-safe default.  Env-tunable;
+#: set 0 to disable the guard (always pin, the pre-r8 behavior).
+_PIN_MAX_EST_BYTES = int(
+    _os.environ.get("SFS3K_PIN_MAX_EST_BYTES", str(32 * 1024 * 1024))
+)
+
+
 def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     """Persist a shared intermediate through the bounded keyed-frame
     LRU instead of a bare ``.persist()`` (r07 verdict What's-wrong #1:
@@ -261,7 +278,12 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     unpersists the oldest entry and Spark silently falls back to
     recomputing it, which must yield the same values.  Every corpus
     consumer qualifies: shingle/prefix/signature tables, distinct
-    user-item projections, edge lists.
+    user-item projections, edge lists.  That contract is also what
+    makes the size guard safe: a frame judged too big to pin
+    (estimate > ``SFS3K_PIN_MAX_EST_BYTES``) is returned unpinned and
+    simply recomputes per consumer — linear extra scans instead of
+    cache-eviction thrash, the right trade at corpus scale (see the
+    ``_PIN_MAX_EST_BYTES`` note for the measured sf10 inversion).
 
     Returns the live persisted frame: the same object on a miss, the
     cached twin on a semantic hit (validated with the full
@@ -274,6 +296,15 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     pin semantically different stages of one plan.
     """
     spark = df.sparkSession
+    if _PIN_MAX_EST_BYTES > 0:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — connect mode / stats failure
+            est = -1
+        if est > _PIN_MAX_EST_BYTES:
+            return df
     try:
         cache_key = (id(spark), df.semanticHash(), "pin", tag)
     except Exception:  # noqa: BLE001 — connect mode / exotic plans

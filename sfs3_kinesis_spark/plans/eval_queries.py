@@ -786,3 +786,116 @@ def eval_anova_eta_sq(spark: SparkSession, sf_dir: str):
             "CAST(0 AS DECIMAL(38,0))) div (n * sx2 - s * s) END AS BIGINT)"
         ).alias("eta2_bp"),
     )
+
+
+#: bootstrap resamples for eval_bootstrap_ci — fixed so the CI rank
+#: picks (5 and 196 of 200) are exact cross-engine constants
+_BOOT_B = 200
+
+
+@register(
+    "eval_bootstrap_ci",
+    f"""
+    WITH q AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(label AS BIGINT) AS label, {_H_DUCK} AS h
+        FROM embeddings),
+    p AS (
+        SELECT vec_id,
+               CASE WHEN label = {_PRED_DUCK} THEN 1 ELSE 0 END AS correct
+        FROM q),
+    pt AS (
+        SELECT count(*) AS n_rows, sum(correct) AS n_correct FROM p),
+    samp AS (
+        SELECT bs.b AS b, p.correct AS correct
+        FROM p CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) bs
+        WHERE CAST(('0x' || substr(md5(CAST(p.vec_id AS VARCHAR) || ':'
+                                       || CAST(bs.b AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0),
+    g AS (
+        SELECT b, count(*) AS n, sum(correct) AS c FROM samp GROUP BY b),
+    acc AS (
+        SELECT b, CASE WHEN n = 0 THEN 0 ELSE (10000 * c) // n END AS acc_bp
+        FROM g),
+    rk AS (
+        SELECT acc_bp, row_number() OVER (ORDER BY acc_bp, b) AS r FROM acc),
+    agg AS (
+        SELECT sum(acc_bp) AS s_acc,
+               max(CASE WHEN r = 5 THEN acc_bp END)   AS lo,
+               max(CASE WHEN r = 196 THEN acc_bp END) AS hi
+        FROM rk)
+    SELECT CAST(pt.n_rows AS BIGINT)                          AS n_rows,
+           CAST((10000 * pt.n_correct) // pt.n_rows AS BIGINT) AS point_acc_bp,
+           CAST({_BOOT_B} AS BIGINT)                          AS b_resamples,
+           CAST(agg.lo AS BIGINT)                             AS ci_lo_bp,
+           CAST(agg.hi AS BIGINT)                             AS ci_hi_bp,
+           CAST(agg.s_acc // {_BOOT_B} AS BIGINT)             AS boot_mean_acc_bp
+    FROM pt, agg
+    """,
+    tags=("eval", "bootstrap", "confidence_interval", "exact_arithmetic"),
+    description=(
+        "deterministic bootstrap confidence interval for classifier "
+        "accuracy — the error bars every eval table should carry "
+        "before anyone compares two checkpoints on it: 200 half-"
+        "sample resamples (row i in resample b iff the low bit of "
+        "md5(vec_id:b) is 0 — the subsampling/delete-d bootstrap, "
+        "hash-deterministic so both engines draw IDENTICAL resamples; "
+        "no rng state, replayable under retries), per-resample "
+        "accuracy in floor basis points, CI endpoints picked at "
+        "ascending ranks 5 and 196 of the 200 (the 2.5th/97.5th "
+        "percentile picks as exact order statistics, tie-broken by "
+        "resample id).  Work: the fact scan fans out x200 but "
+        "collapses map-side to 200 (b, count, sum) partials — ONE "
+        "shuffle of 200 rows per partition; the rank window runs "
+        "over exactly 200 rows (bounded by construction).  At corpus "
+        "scale the x200 scan cost is the honest price of a bootstrap "
+        "— no resample materializes"
+    ),
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window as W
+
+    p = _labeled_pred(spark, sf_dir).select(
+        "vec_id",
+        F.when(F.col("label") == F.col("pred"), 1).otherwise(0).alias("correct"),
+    )
+    pt = p.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("correct").alias("n_correct")
+    )
+    samp = (
+        p.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+        )
+        .filter(
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), ':', "
+                "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+            )
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("correct").alias("c"))
+        .select(
+            "b",
+            F.expr(
+                "CASE WHEN n = 0 THEN 0L ELSE (10000 * c) DIV n END"
+            ).alias("acc_bp"),
+        )
+    )
+    rk = samp.withColumn(
+        "r", F.row_number().over(W.orderBy(F.asc("acc_bp"), F.asc("b")))
+    )
+    agg = rk.agg(
+        F.sum("acc_bp").alias("s_acc"),
+        F.max(F.when(F.col("r") == 5, F.col("acc_bp"))).alias("lo"),
+        F.max(F.when(F.col("r") == 196, F.col("acc_bp"))).alias("hi"),
+    )
+    return pt.crossJoin(agg).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("CAST((10000 * n_correct) DIV n_rows AS BIGINT)").alias(
+            "point_acc_bp"
+        ),
+        F.lit(_BOOT_B).cast("long").alias("b_resamples"),
+        F.col("lo").cast("long").alias("ci_lo_bp"),
+        F.col("hi").cast("long").alias("ci_hi_bp"),
+        F.expr(f"CAST(s_acc DIV {_BOOT_B} AS BIGINT)").alias("boot_mean_acc_bp"),
+    )

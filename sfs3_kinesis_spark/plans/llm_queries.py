@@ -2543,3 +2543,143 @@ def quality_cross_source_neardup(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.count(F.when(F.col("sa") == F.col("sb"), 1)).cast("long").alias("n_within"),
     )
+
+
+def _scurve_theo_sql(decile: str, wide_cast: str, floordiv: str) -> str:
+    """Analytic banded-LSH collision probability on the EXACT integer
+    centi-grid, P(collide) = 1 - (1 - J^r)^b for r=4 rows/band,
+    b=4 bands (the _MHX grid), evaluated at the decile midpoint
+    J = (10*decile + 5)/100 in floor basis points:
+
+        jc   = 10*decile + 5                    (0..100 grid)
+        miss = 1e8 - jc^4                       (= (1-J^4) * 1e8)
+        theo = 10000 - miss^4 // 1e28           (= (1-miss^4/1e32)*1e4)
+
+    miss^4 <= 1e32 fits both DECIMAL(38,0) and HUGEINT exactly, so
+    the curve is bit-identical cross-engine — no pow(), whose last-ulp
+    rounding differs between libm builds."""
+    jc = f"({decile} * 10 + 5)"
+    m = f"({wide_cast.format(v='100000000')} - {wide_cast.format(v=f'{jc}*{jc}*{jc}*{jc}')})"
+    big = wide_cast.format(v="'10000000000000000000000000000'")
+    return f"CAST(10000 - CAST(({m}*{m}*{m}*{m}) {floordiv} {big} AS BIGINT) AS BIGINT)"
+
+
+@register(
+    "dedup_lsh_s_curve",
+    f"""
+    WITH {_mhx_ctes()},
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) * 10000
+               // (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) AS jbp
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 10000
+              // (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 3000),
+    hit AS (
+      SELECT t.jbp,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+      FROM truth t
+      LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+    g AS (
+      SELECT least(jbp // 1000, 9) AS decile,
+             count(*)    AS n_true,
+             sum(caught) AS n_caught
+      FROM hit GROUP BY 1)
+    SELECT CAST(decile AS BIGINT)                      AS decile,
+           CAST(decile * 1000 + 500 AS BIGINT)         AS jaccard_mid_bp,
+           CAST(n_true AS BIGINT)                      AS n_true,
+           CAST(n_caught AS BIGINT)                    AS n_caught,
+           CAST(n_caught * 10000 // n_true AS BIGINT)  AS recall_bp,
+           {_scurve_theo_sql('decile', 'CAST({v} AS HUGEINT)', '//')} AS theo_bp
+    FROM g ORDER BY decile
+    """,
+    tags=("dedup", "lsh", "minhash", "s_curve", "audit", "exact_arithmetic"),
+    description=(
+        "banded-LSH S-curve audit: measured band-collision recall per "
+        "Jaccard decile against the ANALYTIC collision probability "
+        "P = 1 - (1 - J^r)^b (r=4 rows/band, b=4 bands — the md5 "
+        "integer grid of dedup_minhash_exact), the readout an operator "
+        "tunes (b, r) from before running dedup at corpus scale: "
+        "deciles where measured recall undershoots the curve indicate "
+        "signature correlation (shingle sets too small for the "
+        "independence assumption), overshoot indicates banding is "
+        "wasting candidates.  Truth is the exact prefix-filtered "
+        "Jaccard join at >= 0.3 (lossless, corpus-safe); candidates "
+        "are the md5-grid band join; the theoretical curve is exact "
+        "integer arithmetic on the centi-grid (miss^4 <= 1e32 inside "
+        "DECIMAL(38,0)/HUGEINT — no cross-engine pow()).  Top decile "
+        "bucket folds jbp=10000 into [9000,10000].  Work: one "
+        "truth join + one candidate equi-join + an 8-row rollup"
+    ),
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from sfs3_kinesis_spark.operators.dedup import jaccard_pairs_exact, shingles
+
+    d = t_nonnull(spark, sf_dir, "documents", "text")
+    sh = shingles(d, n=3).select("doc_id", "shingles")
+    truth = jaccard_pairs_exact(sh, threshold_bp=3000).select(
+        "doc_a", "doc_b", "jaccard_bp"
+    )
+    # md5-grid band candidates — the same signature/band construction
+    # as dedup_minhash_exact, shared through the bounded LRU
+    base = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    rpb = _MHX_HASHES // _MHX_BANDS
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(transform(shingles, s -> {base}), "
+                f"x -> {_mhx_min(h)}))"
+            ).alias(f"m{h}")
+            for h in range(_MHX_HASHES)
+        ],
+    )
+    sig = pin_shared(sig, tag="scurve_sig")
+
+    def band_df(bnd: int):
+        mins = ", ".join(
+            f"CAST(m{h} AS STRING)" for h in range(bnd * rpb, (bnd + 1) * rpb)
+        )
+        return sig.select(
+            "doc_id",
+            F.lit(bnd).alias("band_id"),
+            F.expr(f"md5(concat_ws(',', {mins}))").alias("band_key"),
+        )
+
+    bands = reduce(DataFrame.unionByName, [band_df(b) for b in range(_MHX_BANDS)])
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("caught", F.lit(1))
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jaccard_bp", F.coalesce("caught", F.lit(0)).alias("caught")
+    )
+    g = hit.groupBy(
+        F.expr("least(jaccard_bp DIV 1000, 9L)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("caught").cast("long").alias("n_caught"),
+    )
+    theo = _scurve_theo_sql("decile", "CAST({v} AS DECIMAL(38,0))", "div")
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        (F.col("decile") * 1000 + 500).cast("long").alias("jaccard_mid_bp"),
+        "n_true",
+        "n_caught",
+        F.expr("CAST(n_caught * 10000 DIV n_true AS BIGINT)").alias("recall_bp"),
+        F.expr(theo).alias("theo_bp"),
+    ).orderBy("decile")

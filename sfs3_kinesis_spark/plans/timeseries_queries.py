@@ -385,3 +385,130 @@ def events_latency_quantiles_per_user(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.streaming.quantiles import latency_quantiles_batch
 
     return latency_quantiles_batch(t(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+    WITH r AS ({_ROLLUP_DUCK}),
+    st AS (
+        SELECT event_type,
+               count(*)     AS n_days,
+               sum(x)       AS s
+        FROM r GROUP BY event_type),
+    dev AS (
+        -- n*x_t - S == n * (x_t - mean): the mean-deviation on an
+        -- exact integer grid (scaled by n_days, no division)
+        SELECT r.event_type AS event_type, r.day AS day,
+               st.n_days AS n_days,
+               CAST(st.n_days AS BIGINT) * r.x - st.s AS d
+        FROM r JOIN st ON r.event_type = st.event_type),
+    pre AS (
+        SELECT event_type, day, n_days,
+               sum(d) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev),
+    cu AS (
+        SELECT event_type, day, n_days, p,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)) AS c_pos,
+               greatest(CAST(0 AS BIGINT),
+                        max(p) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)) - p AS c_neg
+        FROM pre),
+    rk AS (
+        SELECT event_type, day, n_days, c_pos, c_neg,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c_pos DESC, day) AS rp,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c_neg DESC, day) AS rn
+        FROM cu),
+    up AS (SELECT event_type, n_days, c_pos AS cusum_pos_max,
+                  day AS pos_shift_day FROM rk WHERE rp = 1),
+    dn AS (SELECT event_type, c_neg AS cusum_neg_max,
+                  day AS neg_shift_day FROM rk WHERE rn = 1)
+    SELECT up.event_type AS event_type,
+           CAST(up.n_days AS BIGINT)        AS n_days,
+           CAST(up.cusum_pos_max AS BIGINT) AS cusum_pos_max,
+           CAST(up.pos_shift_day AS BIGINT) AS pos_shift_day,
+           CAST(dn.cusum_neg_max AS BIGINT) AS cusum_neg_max,
+           CAST(dn.neg_shift_day AS BIGINT) AS neg_shift_day
+    FROM up JOIN dn ON up.event_type = dn.event_type
+    """,
+    tags=("ts", "cusum", "changepoint", "window", "exact_arithmetic"),
+    description=(
+        "CUSUM change-point detection per event-type daily-revenue "
+        "series (Page 1954, public): the recursive one-sided CUSUM "
+        "C+_t = max(0, C+_(t-1) + (x_t - mean)) unrolls to "
+        "P_t - min(0, min_k<=t P_k) over the deviation prefix sum — "
+        "so the sequential statistic becomes TWO stock window "
+        "functions (running sum + running min), no recursion, no "
+        "Python.  Deviations are scaled by n_days (n*x - S) so the "
+        "mean never needs division: everything stays on the exact "
+        "integer grid and cusum units are n_days*cents.  Reports, "
+        "per series, the max positive/negative excursion and its "
+        "argmax day (ties -> earliest) — the day a sustained "
+        "level-shift most likely began, the monitor that catches "
+        "slow drifts a MAD point-anomaly fence misses.  All windows "
+        "run over the bounded |types|x|days| rollup PARTITIONED by "
+        "series — no global window, corpus-scale by construction"
+    ),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str):
+    r = _rollup(spark, sf_dir)
+    st = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("s")
+    )
+    dev = r.join(st, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("n_days").cast("long") * F.col("x") - F.col("s")).alias("d"),
+    )
+    wseq = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cu = (
+        dev.withColumn("p", F.sum("d").over(wseq))
+        .withColumn(
+            "c_pos",
+            F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wseq)),
+        )
+        .withColumn(
+            "c_neg",
+            F.greatest(F.lit(0).cast("long"), F.max("p").over(wseq)) - F.col("p"),
+        )
+    )
+    rk = cu.withColumn(
+        "rp",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("c_pos"), F.asc("day"))
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("c_neg"), F.asc("day"))
+        ),
+    )
+    up = rk.filter(F.col("rp") == 1).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("c_pos").cast("long").alias("cusum_pos_max"),
+        F.col("day").cast("long").alias("pos_shift_day"),
+    )
+    dn = rk.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("c_neg").cast("long").alias("cusum_neg_max"),
+        F.col("day").cast("long").alias("neg_shift_day"),
+    )
+    return up.join(dn, "event_type").select(
+        "event_type",
+        "n_days",
+        "cusum_pos_max",
+        "pos_shift_day",
+        "cusum_neg_max",
+        "neg_shift_day",
+    )
