@@ -8,12 +8,15 @@ Both engines read the SAME nulled parquet, so a mismatch means the
 Spark query and its oracle SQL disagree about null semantics — not
 that either is "wrong" on the driver's fixture (whose value columns
 are non-null).  Measured at round 8 over the FULL registry at sf0.01:
-298/323 agree (r07: 266/308).  Round 8 closed family (a) — NULL text
-entering token/shingle/chunk arithmetic — with an explicit contract
-on both sides (t_nonnull in plans/core.py + WHERE text IS NOT NULL
-in the oracles): 15 queries moved to agree.  The 25 remaining
-divergences trace to the other cross-engine null-behavior families
-the corpus conventions deliberately do not paper over:
+320/326 agree (r07: 266/308).  Round 8 closed family (a) — NULL
+text entering token/shingle/chunk arithmetic — and family (b)'s
+measurement half — NULL values entering rank/percentile/grid
+arithmetic — with an explicit contract on both sides (t_nonnull in
+plans/core.py + the matching IS NOT NULL in the oracles): ~34
+queries moved to agree.  The 6 remaining divergences are deliberate
+(3 engine-native scalar-semantics pins, 2 loud codec exceptions,
+pipeline_fail_path's by-design FAILED routing); the historical
+family notes below describe the mechanisms:
 
 * string concatenation (DuckDB ``concat`` skips NULLs; Spark's
   propagates),

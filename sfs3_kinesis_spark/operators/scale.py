@@ -254,15 +254,42 @@ def clear_keyed_cache() -> None:
 #: measured on dedup_ngram_jaccard at sf10: pinned cold 138 s /
 #: warm 218 s (426 s at 128 shuffle partitions — storage thrash
 #: scales with parallelism), unpinned cold 130 s / warm 120 s.
-#: Catalyst's optimizedPlan sizeInBytes estimate is monotone in
-#: source size (measured: 52 KB sf0.01, 478 KB sf0.1, 5.5 MB sf1 —
-#: pinning proven good through sf1 — 67 MB sf10, where it hurts), so
-#: frames estimated above this cap are returned UNPINNED and each
-#: consumer recomputes — the scale-safe default.  Env-tunable;
-#: set 0 to disable the guard (always pin, the pre-r8 behavior).
+#: The size signal is the SUM OF LEAF SCAN SIZES of the frame's
+#: optimized plan, NOT the whole-plan sizeInBytes estimate: without
+#: column stats, Catalyst's join-output estimates are size products
+#: that explode through self-joins (measured: the DBSCAN grid pair
+#: table estimated 469 GB while its actual output is 19,810 rows —
+#: the whole-plan form wrongly unpinned it and cost the iterative
+#: clustering a 21 -> 28 s regression at sf0.1).  Leaf sums are
+#: join-blowup-immune and monotone in corpus size (measured:
+#: documents.parquet 0.6 MB sf0.1 / 6.9 MB sf1 — pinning proven good
+#: through sf1 — 84 MB sf10, where it hurts), so frames whose leaves
+#: read more than this cap are returned UNPINNED and each consumer
+#: recomputes — the scale-safe default.  Env-tunable; set 0 to
+#: disable the guard (always pin, the pre-r8 behavior).
 _PIN_MAX_EST_BYTES = int(
     _os.environ.get("SFS3K_PIN_MAX_EST_BYTES", str(32 * 1024 * 1024))
 )
+
+
+def _leaf_scan_bytes(df: DataFrame) -> int:
+    """Sum of the optimized plan's LEAF relation size estimates — how
+    much source data feeds the frame.  A self-join counts its shared
+    leaf twice (conservative, acceptable).  ``InMemoryRelation``
+    leaves (an upstream pin already substituted by the CacheManager)
+    count as ZERO: their data is already cached — reading it is the
+    cheap path pinning exists to create — and their
+    pre-materialization stats inherit the child plan's estimate,
+    which for a statless self-join is a garbage size product (the
+    DBSCAN pair table: estimated 469 GB, actual 19,810 rows)."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "InMemoryRelation" in leaf.getClass().getSimpleName():
+            continue
+        total += int(leaf.stats().sizeInBytes())
+    return total
 
 
 def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
@@ -298,9 +325,7 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     spark = df.sparkSession
     if _PIN_MAX_EST_BYTES > 0:
         try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            est = _leaf_scan_bytes(df)
         except Exception:  # noqa: BLE001 — connect mode / stats failure
             est = -1
         if est > _PIN_MAX_EST_BYTES:

@@ -51,7 +51,9 @@ from sfs3_kinesis_spark.operators.scale import pin_shared
         SELECT o_orderpriority,
                CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        FROM orders),
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL),
     f AS (
         SELECT o_orderpriority, day, cents,
                max(cents) OVER (PARTITION BY o_orderpriority ORDER BY day
@@ -76,7 +78,9 @@ from sfs3_kinesis_spark.operators.scale import pin_shared
     ),
 )
 def mine_pareto_frontier(spark: SparkSession, sf_dir: str):
-    o = t(spark, sf_dir, "orders").select(
+    o = t_nonnull(
+        spark, sf_dir, "orders", "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).select(
         "o_orderpriority",
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
         .cast("long")
@@ -273,7 +277,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                  || lpad(CAST(event_id AS VARCHAR), 12, '0') AS skey
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     s1 AS (
         SELECT user_id,
                arg_max(cents, skey) AS c1, arg_max(event_type, skey) AS t1
@@ -309,7 +313,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     ),
 )
 def events_snapshot_diff(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     k = e.select(
         "user_id",
         "ts",

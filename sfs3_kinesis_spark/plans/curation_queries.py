@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 #: Knuth's multiplicative hash constant — the deterministic fold
 #: assigner both engines compute identically on BIGINT (doc_id is
@@ -557,7 +557,9 @@ _GINI_BIN_CENTS = 50000
                CAST(floor(o_totalprice * 100) AS BIGINT) // {_GINI_BIN_CENTS}
                    AS bin,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders),
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderstatus IS NOT NULL),
     b AS (
         SELECT priority, bin, count(*) AS n, sum(y) AS pos
         FROM o GROUP BY priority, bin),
@@ -611,7 +613,9 @@ _GINI_BIN_CENTS = 50000
     ),
 )
 def mine_gini_best_split(spark: SparkSession, sf_dir: str):
-    o = t(spark, sf_dir, "orders").select(
+    o = t_nonnull(
+        spark, sf_dir, "orders", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    ).select(
         F.col("o_orderpriority").alias("priority"),
         F.expr(
             f"CAST(floor(o_totalprice * 100) AS BIGINT) DIV {_GINI_BIN_CENTS}"

@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 SESSION_GAP_S = 6 * 3600  # 6 h gap closes a session (fixture cadence)
 
@@ -1446,7 +1446,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT event_type,
                length(bin(CAST(floor(value * 100 + 0.5) AS BIGINT))) AS bucket
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     m AS (SELECT event_type, bucket, count(*) AS n FROM c GROUP BY event_type, bucket),
     r AS (
         SELECT event_type, bucket, n,
@@ -1479,7 +1479,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str):
     ),
 )
 def agg_mergeable_histogram_p99(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     daily = e.groupBy(
         "event_type",
         F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),

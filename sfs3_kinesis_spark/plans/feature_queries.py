@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 #: hashing-trick width and the OOV vocabulary size — shared by the
 #: Spark callables and the oracles (single source of truth).
@@ -133,7 +133,7 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT event_type,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     r AS (
         SELECT event_type, cents,
                row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
@@ -176,7 +176,7 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str):
     ),
 )
 def feature_robust_scale_params(spark: SparkSession, sf_dir: str):
-    c = t(spark, sf_dir, "events").select(
+    c = t_nonnull(spark, sf_dir, "events", "value").select(
         "event_type",
         F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )
@@ -488,7 +488,7 @@ def profile_completeness(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT o_orderkey,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        FROM orders),
+        FROM orders WHERE o_totalprice IS NOT NULL),
     r AS (
         SELECT cents,
                row_number() OVER (ORDER BY cents, o_orderkey) AS rnk,
@@ -517,7 +517,7 @@ def profile_completeness(spark: SparkSession, sf_dir: str):
 def feature_equidepth_bins(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_rank
 
-    o = t(spark, sf_dir, "orders").select(
+    o = t_nonnull(spark, sf_dir, "orders", "o_totalprice").select(
         "o_orderkey",
         F.expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
     )

@@ -473,6 +473,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str):
            CAST(least(256, octet_length(encode(text)) - i * 256) AS BIGINT) AS frame_len
     FROM documents,
          unnest(range(0, least(octet_length(encode(text)) // 256, 15) + 1)) AS u(i)
+    WHERE text IS NOT NULL
     """,
     tags=("multimodal", "frames"),
     description=(
@@ -483,7 +484,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str):
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.multimodal import documents_as_media, sample_frames
 
-    frames = sample_frames(documents_as_media(t(spark, sf_dir, "documents")))
+    frames = sample_frames(
+        documents_as_media(t_nonnull(spark, sf_dir, "documents", "text"))
+    )
     return frames.select("media_id", "frame_no", "frame_len")
 
 

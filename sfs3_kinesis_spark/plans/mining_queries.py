@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 from sfs3_kinesis_spark.operators.scale import pin_shared
 
 
@@ -131,7 +131,7 @@ def mine_activity_streaks(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT event_type,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     r AS (
         SELECT event_type, cents,
                row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
@@ -157,7 +157,7 @@ def mine_activity_streaks(spark: SparkSession, sf_dir: str):
     ),
 )
 def agg_median_exact(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
@@ -404,7 +404,7 @@ def mine_interval_coverage(spark: SparkSession, sf_dir: str):
     WITH c AS (
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     r AS (
       SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
@@ -452,7 +452,7 @@ def mine_interval_coverage(spark: SparkSession, sf_dir: str):
 def agg_mad_anomalies(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
@@ -600,7 +600,7 @@ def mine_association_lift(spark: SparkSession, sf_dir: str):
     WITH c AS (
       SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     r AS (
       SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
@@ -628,7 +628,7 @@ def mine_association_lift(spark: SparkSession, sf_dir: str):
 def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window as W
 
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.select(
         "event_type", F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents")
     )
@@ -659,7 +659,9 @@ def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
                CAST(l_quantity AS BIGINT) AS qty,
                l_orderkey, l_linenumber
-        FROM lineitem),
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_quantity IS NOT NULL),
     r AS (
         SELECT flag, cents, qty,
                sum(qty) OVER (PARTITION BY flag
@@ -687,7 +689,9 @@ def agg_percentile_bands_exact(spark: SparkSession, sf_dir: str):
     ),
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str):
-    li = t(spark, sf_dir, "lineitem")
+    li = t_nonnull(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
     c = li.select(
         F.col("l_returnflag").alias("flag"),
         F.expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)").alias("cents"),
@@ -1455,7 +1459,8 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events WHERE event_type IN ('purchase', 'view')),
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
     r AS (
         SELECT is_a, cents,
                rank() OVER (ORDER BY cents) AS min_rank,
@@ -1486,7 +1491,7 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str):
 def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.scale import global_cumsum
 
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
         F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),
@@ -1517,7 +1522,8 @@ def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
     WITH c AS (
         SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events WHERE event_type IN ('purchase', 'view')),
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
     g AS (
         SELECT cents, sum(is_a) AS a_cnt, count(*) - sum(is_a) AS b_cnt
         FROM c GROUP BY cents),
@@ -1549,7 +1555,7 @@ def mine_wilcoxon_rank_sum(spark: SparkSession, sf_dir: str):
     ),
 )
 def mine_ks_two_sample(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
         F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)").alias("cents"),

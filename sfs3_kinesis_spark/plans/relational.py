@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 # ----------------------------------------------------------------- #
 # aggregations (SURVEY §2.5)                                        #
@@ -759,6 +759,7 @@ def window_running_total(spark: SparkSession, sf_dir: str):
              PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS part_max_price
     FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
     tags=("window", "distribution"),
@@ -769,7 +770,7 @@ def window_running_total(spark: SparkSession, sf_dir: str):
     ),
 )
 def window_distribution_funcs(spark: SparkSession, sf_dir: str):
-    o = t(spark, sf_dir, "orders")
+    o = t_nonnull(spark, sf_dir, "orders", "o_orderpriority", "o_totalprice")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return o.select(

@@ -30,7 +30,7 @@ from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.operators.scale import global_cumsum, global_rank, pin_shared
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 # Conjunctive-query / phrase / fusion constants shared by the Spark
 # callables and their oracles (single source of truth — they must
@@ -379,7 +379,7 @@ def _spatial_oracle() -> str:
         SELECT event_id AS id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
                user_id % 1000 AS y
-        FROM events WHERE event_type = 'click')
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL)
     SELECT b.x // {r} AS cell_x, b.y // {r} AS cell_y,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(greatest(abs(a.x - b.x), abs(a.y - b.y))) AS BIGINT) AS sum_cheb
@@ -410,7 +410,7 @@ def _spatial_oracle() -> str:
 def spatial_grid_neighbors(spark: SparkSession, sf_dir: str):
     r = SPATIAL_RADIUS
     p = (
-        t(spark, sf_dir, "events")
+        t_nonnull(spark, sf_dir, "events", "value")
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("id"),
@@ -641,7 +641,7 @@ def _knn_oracle() -> str:
         SELECT event_id AS id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
                user_id % 1000 AS y
-        FROM events WHERE event_type = 'view'),
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL),
     d AS (
         SELECT a.id AS a_id, b.id AS b_id,
                greatest(abs(a.x - b.x), abs(a.y - b.y)) AS d
@@ -677,7 +677,7 @@ def spatial_knn_bounded(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.spatial import grid_knn
 
     p = (
-        t(spark, sf_dir, "events")
+        t_nonnull(spark, sf_dir, "events", "value")
         .filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("id"),
@@ -728,7 +728,7 @@ def _dbscan_oracle() -> str:
         SELECT event_id AS id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS x,
                user_id % 1000 AS y
-        FROM events WHERE event_type = 'error'),
+        FROM events WHERE event_type = 'error' AND value IS NOT NULL),
     nbr AS MATERIALIZED (
         SELECT a.id, count(*) AS n
         FROM p a JOIN p b
@@ -805,7 +805,7 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
     from sfs3_kinesis_spark.operators.spatial import grid_radius_pairs
 
     p = (
-        t(spark, sf_dir, "events")
+        t_nonnull(spark, sf_dir, "events", "value")
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("id"),

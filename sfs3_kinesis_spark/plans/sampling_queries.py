@@ -565,7 +565,7 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str):
       SELECT doc_id,
              row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
              count(*)     OVER ()                         AS n
-      FROM documents)
+      FROM documents WHERE n_chars IS NOT NULL)
     SELECT CAST(doc_id AS BIGINT)                   AS doc_id,
            CAST(((rnk - 1) * 4) // n + 1 AS BIGINT) AS stage
     FROM ranked
@@ -579,7 +579,7 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str):
     ),
 )
 def sample_curriculum_stages(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = t_nonnull(spark, sf_dir, "documents", "n_chars").select("doc_id", "n_chars")
     return sampling.curriculum_stages(
         d, ["n_chars", "doc_id"], n_stages=4
     ).select("doc_id", "stage")

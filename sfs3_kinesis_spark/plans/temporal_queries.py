@@ -14,7 +14,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from sfs3_kinesis_spark.operators.temporal import asof_join, interval_join_bucketed
-from sfs3_kinesis_spark.plans.core import register, t
+from sfs3_kinesis_spark.plans.core import register, t, t_nonnull
 
 
 @register(
@@ -239,7 +239,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str):
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#' ||
                  lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT event_type, hour_s,
            arg_min(cents, ord_key) AS open_cents,
            max(cents)              AS high_cents,
@@ -259,7 +259,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str):
     ),
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "events")
+    e = t_nonnull(spark, sf_dir, "events", "value")
     c = e.select(
         "event_type",
         F.expr("unix_micros(ts) div 3600000000 * 3600").alias("hour_s"),
