@@ -1,46 +1,59 @@
-"""Null-injection robustness sweep (diagnostic, non-gating).
+"""Null-injection robustness sweep — a STANDING ROUND-CLOSE GATE
+(r08 verdict next-round #6; diagnostic-only before round 9).
 
-Writes a copy of the sf0.001 fixture with ~1/3 of every nullable
+Writes a copy of the source fixture with ~1/3 of every nullable
 VALUE column deterministically nulled (keys and join columns stay
-intact), then runs the full Spark-vs-DuckDB oracle compare on it.
+intact), then runs the full Spark-vs-DuckDB oracle compare on it
+in-process and GATES on the divergence set: the run exits nonzero
+unless the set of disagreeing queries is EXACTLY the 6 documented
+deliberate divergences (SCALE.md "NULL contract"):
 
-Both engines read the SAME nulled parquet, so a mismatch means the
+* ``scalar_map_props``, ``scalar_string_customer``,
+  ``agg_collect_sorted_list`` — engine-native scalar-semantics pins
+  (DuckDB concat/list ops skip NULLs where Spark propagates; these
+  queries EXIST to pin that),
+* ``multimodal_features``, ``multimodal_resize`` — NULL payloads
+  raise LOUDLY inside mapInPandas (an exception, not a silent wrong
+  answer),
+* ``pipeline_fail_path`` — NULL-input rows route to FAILED by
+  design (the 3-way status branch under test).
+
+Both engines read the SAME nulled parquet, so a divergence means the
 Spark query and its oracle SQL disagree about null semantics — not
 that either is "wrong" on the driver's fixture (whose value columns
-are non-null).  Measured at round 8 over the FULL registry at sf0.01:
-320/326 agree (r07: 266/308).  Round 8 closed family (a) — NULL
-text entering token/shingle/chunk arithmetic — and family (b)'s
-measurement half — NULL values entering rank/percentile/grid
-arithmetic — with an explicit contract on both sides (t_nonnull in
-plans/core.py + the matching IS NOT NULL in the oracles): ~34
-queries moved to agree.  The 6 remaining divergences are deliberate
-(3 engine-native scalar-semantics pins, 2 loud codec exceptions,
-pipeline_fail_path's by-design FAILED routing); the historical
-family notes below describe the mechanisms:
+are non-null).  A NEW divergence = a null-semantics regression; a
+VANISHED one = the deliberate pin no longer exercises what it pins
+(fixture drift) — both fail the gate.  Measured at round 8 over the
+full registry at sf0.01: 320/326 agree, divergences exactly the 6
+above.  The gate contract is pinned at the sf0.01 fixture (the
+round-8 measurement scale); smaller fixtures may not populate every
+pinned code path.
 
-* string concatenation (DuckDB ``concat`` skips NULLs; Spark's
-  propagates),
-* map/array element access on NULL containers,
-* NULL keys entering rank/stride arithmetic (hash-ordering vs
-  NULLS FIRST conventions),
-* aggregates of all-NULL groups feeding integer division.
-
-Usage: python scripts/null_sweep.py [out_dir] [src_sf_dir]
-(src defaults to sf0.001; r06 verdict next-round #5 re-ran the sweep
-at sf0.01 over the full 308-query registry — see FIXTURES.md for the
-recorded figure and divergence families)
+Usage: python scripts/null_sweep.py [out_dir] [src_sf_dir] [--threads=N]
+(src defaults to sf0.01 — the gate's contract scale)
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import subprocess
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+# exactly the 6 deliberate divergences documented in SCALE.md
+ALLOWED_DIVERGENT = frozenset(
+    {
+        "scalar_map_props",
+        "scalar_string_customer",
+        "agg_collect_sorted_list",
+        "multimodal_features",
+        "multimodal_resize",
+        "pipeline_fail_path",
+    }
+)
+
 KEEP = {
     "region": {"r_regionkey"},
     "nation": {"n_nationkey", "n_regionkey"},
@@ -55,16 +68,12 @@ KEEP = {
 }
 
 
-def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nulldata/sf0.001"
+def write_nulled_fixture(spark, src: str, out: str) -> None:
     from pyspark.sql import functions as F
 
-    from sfs3_kinesis_spark.session import get_spark
-
-    spark = get_spark("null-sweep")
     os.makedirs(out, exist_ok=True)
     for t, keep in KEEP.items():
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df = spark.read.parquet(f"{src}/{t}.parquet")
         key = sorted(keep)[0]
         cols = [
             F.col(c)
@@ -76,19 +85,80 @@ def main() -> int:
         ]
         tmp = os.path.join(out, f"_{t}_dir")
         df.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         final = os.path.join(out, f"{t}.parquet")
         if os.path.exists(final):
             os.remove(final)
         os.rename(os.path.join(tmp, part), final)
         shutil.rmtree(tmp)
         print(f"wrote {final}")
-    spark.stop()
-    return subprocess.call(
-        [sys.executable, "scripts/check_oracle.py", out]
-    )
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    threads = 8
+    for a in list(args):
+        if a.startswith("--threads="):
+            threads = max(1, int(a.split("=", 1)[1]))
+            args.remove(a)
+    out = args[0] if args else "/tmp/nulldata/sf0.01"
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+
+    import check_oracle  # scripts/check_oracle.py — same run machinery
+
+    from sfs3_kinesis_spark.plans import REGISTRY
+    from sfs3_kinesis_spark.session import get_spark
+    from tests.oracle import duck_connection
+
+    spark = get_spark("null-sweep")
+    write_nulled_fixture(spark, src, out)
+
+    names = sorted(REGISTRY)
+    divergent: set[str] = set()
+    if threads == 1:
+        con = duck_connection(out)
+        results = (check_oracle.run_one(spark, out, n, con) for n in names)
+    else:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+
+        def worker(name: str):
+            con = getattr(tls, "con", None)
+            if con is None:
+                con = tls.con = duck_connection(out)
+            return check_oracle.run_one(spark, out, name, con)
+
+        pool = ThreadPoolExecutor(max_workers=threads)
+        results = pool.map(worker, names)
+
+    for name, ok, detail, _timings in results:
+        if ok is None:
+            continue  # rows-only entry — no cross-engine comparison
+        if not ok:
+            divergent.add(name)
+            mark = "pinned" if name in ALLOWED_DIVERGENT else "NEW"
+            print(f"  DIVERGE [{mark}] {name}: {detail[:120]}")
+    if threads > 1:
+        pool.shutdown()
+
+    new = sorted(divergent - ALLOWED_DIVERGENT)
+    vanished = sorted(ALLOWED_DIVERGENT - divergent)
+    n_cmp = sum(1 for n in names if REGISTRY[n].oracle is not None)
+    print(f"agree: {n_cmp - len(divergent)}/{n_cmp} "
+          f"(divergent: {len(divergent)}, allowed: {len(ALLOWED_DIVERGENT)})")
+    if new:
+        print(f"GATE FAIL — new null-semantics divergences: {new}")
+    if vanished:
+        print(
+            "GATE FAIL — documented deliberate divergences no longer "
+            f"diverge (pin not exercised / fixture drift): {vanished}"
+        )
+    if not new and not vanished:
+        print("GATE PASS — divergent set is exactly the 6 documented names")
+        return 0
+    return 1
 
 
 if __name__ == "__main__":

@@ -212,8 +212,20 @@ def main() -> None:
     # can only improve on what we pin here — coalesce, skew-split,
     # SMJ->BHJ promotion)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache
+
     rows, flags = [], []
     for name in sorted(REGISTRY):
+        # byte-reproducibility (r08 verdict What's-wrong #3): a
+        # pin_shared frame left cached by an EARLIER query in this
+        # session renders as InMemoryRelation and changes this query's
+        # exchange/scan counts depending on run order.  Clearing the
+        # keyed LRU and the catalog cache before every capture makes
+        # each audit independent of session history, so two fresh
+        # regenerations of PLANS.md are byte-identical (recorded check
+        # in SCALE.md round 9).
+        clear_keyed_cache()
+        spark.catalog.clearCache()
         try:
             df = REGISTRY[name].spark(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()

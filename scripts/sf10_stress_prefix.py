@@ -20,8 +20,12 @@ reporting the second-decade steady exponent
 e = log10(t_sf10 / t_sf1) (e ~ 1.0 = the fan-out still tracks the
 result size; >> 1 = a super-linear shape hiding behind the first
 decade) plus the same plan-shape (no global windows may appear) and
-persist-hygiene assertions as the one-decade harness.  Results merge
-into SF1_STRESS.json under ``"x100"`` so one artifact carries both
+persist-hygiene assertions as the one-decade harness.  Round 9 adds
+per-decade CANDIDATE and EMITTED pair counts (r08 verdict next-round
+#2): wall-time growth is now attributable — candidate exponent >>
+emitted exponent = filter fan-out (fix the filter), both high = true
+pair growth (the corpus's fact, not the plan's).  Results merge into
+SF1_STRESS.json under ``"x100"`` so one artifact carries both
 decades.
 
 Usage: python scripts/sf10_stress_prefix.py [out_json] [sf10_dir] [sf1_dir]
@@ -55,6 +59,45 @@ QUERIES = [
     "dedup_containment",
     "similarity_join_prefix_filter",
 ]
+
+
+def _candidate_frame(spark, name: str, sf_dir: str):
+    """The candidate stage of each prefix-filter consumer — the SAME
+    builders the production queries compose (operators/dedup.py,
+    plans/advanced_queries.py), so the counts attribute wall-time
+    growth to candidate fan-out vs true-pair growth (r08 verdict
+    next-round #2: the e=1.18 exponent was unattributable because
+    the stress recorded wall time and plan shape but no pair counts)."""
+    from sfs3_kinesis_spark.operators import dedup
+    from sfs3_kinesis_spark.plans.advanced_queries import (
+        similarity_join_prefix_candidates,
+    )
+    from sfs3_kinesis_spark.plans.core import t
+
+    if name == "dedup_ngram_jaccard":
+        return dedup.jaccard_candidates_exact(
+            dedup.shingles(t(spark, sf_dir, "documents"), n=3).select(
+                "doc_id", "shingles"
+            ),
+            threshold_bp=4000,
+        )
+    if name == "dedup_containment":
+        return dedup.containment_candidates_exact(
+            dedup.shingles(t(spark, sf_dir, "documents"), n=3).select(
+                "doc_id", "shingles"
+            ),
+            threshold_bp=8000,
+        )
+    if name == "similarity_join_prefix_filter":
+        return similarity_join_prefix_candidates(spark, sf_dir)
+    raise KeyError(name)
+
+
+def pair_counts(spark, name: str, sf_dir: str) -> dict:
+    """(candidate pairs, emitted pairs) for one consumer at one scale."""
+    n_cand = _candidate_frame(spark, name, sf_dir).count()
+    n_emit = REGISTRY[name].spark(spark, sf_dir).count()
+    return {"candidates": n_cand, "emitted": n_emit}
 
 
 def build(spark, out: str) -> None:
@@ -109,6 +152,22 @@ def main() -> int:
         clear_keyed_cache()
         r10 = time_query(spark, name, sf10_dir)
         clear_keyed_cache()
+        p1 = pair_counts(spark, name, sf1_dir)
+        clear_keyed_cache()
+        p10 = pair_counts(spark, name, sf10_dir)
+        clear_keyed_cache()
+        r1.update(p1)
+        r10.update(p10)
+        cand_exp = (
+            round(math.log10(max(p10["candidates"], 1) / max(p1["candidates"], 1)), 2)
+            if p1["candidates"] > 0
+            else None
+        )
+        emit_exp = (
+            round(math.log10(max(p10["emitted"], 1) / max(p1["emitted"], 1)), 2)
+            if p1["emitted"] > 0
+            else None
+        )
         gw1 = global_windows(
             REGISTRY[name].spark(spark, sf1_dir)._jdf.queryExecution().executedPlan().toString()
         )
@@ -128,12 +187,16 @@ def main() -> int:
             "sf1": r1,
             "sf10": r10,
             "exponent_steady_decade2": exp,
+            "exponent_candidates_decade2": cand_exp,
+            "exponent_emitted_decade2": emit_exp,
             "global_windows_sf1": gw1,
             "global_windows_sf10": gw10,
         }
         print(
             f"  {name:34s} sf1 {r1['steady']:8.3f}s  sf10 {r10['steady']:8.3f}s"
-            f"  e2={exp}  gw {gw1}->{gw10}"
+            f"  e2={exp}  cand {p1['candidates']}->{p10['candidates']}"
+            f" (e={cand_exp})  emit {p1['emitted']}->{p10['emitted']}"
+            f" (e={emit_exp})  gw {gw1}->{gw10}"
         )
 
     clear_keyed_cache()

@@ -231,6 +231,51 @@ def _ranked_shingle_sets(docs_with_shingles: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_prefix_frame(
+    docs_with_shingles: DataFrame, *, threshold_bp: int
+) -> DataFrame:
+    """Ranked shingle sets plus the t-prefix slice — the shared front
+    half of :func:`jaccard_pairs_exact`, pinned once per plan."""
+    ranked = _ranked_shingle_sets(docs_with_shingles)
+    # prefix length = n - ceil(t·n) + 1; ceil(t_bp·n/10000) in integers
+    pref = ranked.withColumn(
+        "prefix",
+        F.expr(
+            f"slice(toks_sorted, 1, n - (({threshold_bp} * n + 9999) DIV 10000) + 1)"
+        ),
+    )
+    return pin_shared(pref, tag="jaccard_prefix")
+
+
+def jaccard_candidates_exact(
+    docs_with_shingles: DataFrame, *, threshold_bp: int
+) -> DataFrame:
+    """Candidate stage of :func:`jaccard_pairs_exact` — distinct
+    (doc_a, doc_b, s) pairs surviving prefix + length filtering,
+    BEFORE exact verification.  Exposed so the decade stress
+    (scripts/sf10_stress_prefix.py) can attribute wall-time growth to
+    candidate fan-out vs true-pair growth (r08 verdict next-round #2)."""
+    pref = _jaccard_prefix_frame(docs_with_shingles, threshold_bp=threshold_bp)
+    pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
+    return (
+        pe.alias("a")
+        .join(
+            pe.alias("b"),
+            (F.col("a.pr") == F.col("b.pr"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ t forces t·na ≤ nb and t·nb ≤ na
+            & (F.col("b.n") * 10000 >= F.col("a.n") * threshold_bp)
+            & (F.col("a.n") * 10000 >= F.col("b.n") * threshold_bp),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.n") + F.col("b.n")).alias("s"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def jaccard_pairs_exact(
     docs_with_shingles: DataFrame, *, threshold_bp: int
 ) -> DataFrame:
@@ -255,32 +300,9 @@ def jaccard_pairs_exact(
     Returns (doc_a, doc_b, jaccard_bp) with doc_a < doc_b,
     jaccard_bp = floor(10000·|A∩B| / |A∪B|) ≥ threshold_bp.
     """
-    ranked = _ranked_shingle_sets(docs_with_shingles)
-    # prefix length = n - ceil(t·n) + 1; ceil(t_bp·n/10000) in integers
-    pref = ranked.withColumn(
-        "prefix",
-        F.expr(
-            f"slice(toks_sorted, 1, n - (({threshold_bp} * n + 9999) DIV 10000) + 1)"
-        ),
-    )
-    pref = pin_shared(pref, tag="jaccard_prefix")
-    pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
-    cand = (
-        pe.alias("a")
-        .join(
-            pe.alias("b"),
-            (F.col("a.pr") == F.col("b.pr"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J ≥ t forces t·na ≤ nb and t·nb ≤ na
-            & (F.col("b.n") * 10000 >= F.col("a.n") * threshold_bp)
-            & (F.col("a.n") * 10000 >= F.col("b.n") * threshold_bp),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (F.col("a.n") + F.col("b.n")).alias("s"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    pref = _jaccard_prefix_frame(docs_with_shingles, threshold_bp=threshold_bp)
+    cand = jaccard_candidates_exact(
+        docs_with_shingles, threshold_bp=threshold_bp
     )
     arrs = pref.select("doc_id", "toks_sorted")
     ver = (
@@ -300,6 +322,40 @@ def jaccard_pairs_exact(
     )
 
 
+def containment_candidates_exact(
+    docs_with_shingles: DataFrame, *, threshold_bp: int
+) -> DataFrame:
+    """Candidate stage of :func:`containment_pairs_exact` — distinct
+    (doc_contained, doc_container) pairs surviving the asymmetric
+    prefix probe, BEFORE exact verification.  Exposed for the decade
+    stress's fan-out attribution (r08 verdict next-round #2)."""
+    ranked = pin_shared(
+        _ranked_shingle_sets(docs_with_shingles), tag="containment_ranked"
+    )
+    pe_a = ranked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(toks_sorted, 1, n - (({threshold_bp} * n + 9999) DIV 10000) + 1)"
+            )
+        ).alias("pr"),
+    )
+    pe_b = ranked.select("doc_id", F.explode("toks_sorted").alias("pr"))
+    return (
+        pe_a.alias("a")
+        .join(
+            pe_b.alias("b"),
+            (F.col("a.pr") == F.col("b.pr"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("b.doc_id").alias("doc_container"),
+        )
+        .dropDuplicates(["doc_contained", "doc_container"])
+    )
+
+
 def containment_pairs_exact(
     docs_with_shingles: DataFrame, *, threshold_bp: int
 ) -> DataFrame:
@@ -316,27 +372,8 @@ def containment_pairs_exact(
     containment_bp) over distinct doc pairs.
     """
     ranked = pin_shared(_ranked_shingle_sets(docs_with_shingles), tag="containment_ranked")
-    pe_a = ranked.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"slice(toks_sorted, 1, n - (({threshold_bp} * n + 9999) DIV 10000) + 1)"
-            )
-        ).alias("pr"),
-    )
-    pe_b = ranked.select("doc_id", F.explode("toks_sorted").alias("pr"))
-    cand = (
-        pe_a.alias("a")
-        .join(
-            pe_b.alias("b"),
-            (F.col("a.pr") == F.col("b.pr"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_contained"),
-            F.col("b.doc_id").alias("doc_container"),
-        )
-        .dropDuplicates(["doc_contained", "doc_container"])
+    cand = containment_candidates_exact(
+        docs_with_shingles, threshold_bp=threshold_bp
     )
     arrs = ranked.select("doc_id", "toks_sorted", "n")
     ver = (

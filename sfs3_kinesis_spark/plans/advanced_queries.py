@@ -511,9 +511,7 @@ def attrib_u_shaped(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "similarity_join_prefix_filter",
-    """
+_SIMJOIN_ORACLE = """
     WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         WHERE len(string_split(text, ' ')) >= 3),
@@ -534,26 +532,14 @@ def attrib_u_shaped(spark: SparkSession, sf_dir: str):
     JOIN nn na ON na.doc_id = doc_a
     JOIN nn nb ON nb.doc_id = doc_b
     WHERE 10 * i >= 9 * (na.n + nb.n - i)
-    """,
-    tags=("similarity", "dedup", "prefix_filter", "ppjoin", "shingle"),
-    description=(
-        "set-similarity self-join at Jaccard >= 0.9 over distinct "
-        "3-word shingle sets, via PPJoin-style prefix filtering: "
-        "shingles globally ranked rarest-first by document frequency, "
-        "each document keeps only its first n - ceil(0.9n) + 1 ranks "
-        "as its prefix, candidate pairs come from an equi-join on "
-        "prefix ranks (any true pair MUST share a prefix element — "
-        "the standard prefix-filter guarantee, which the oracle's "
-        "filter-free all-pairs intersection join independently proves "
-        "lossless), then exact integer Jaccard verification in basis "
-        "points.  Shingles, not unigrams: the candidate join keys on "
-        "the universe of word trigrams, so prefix elements are "
-        "genuinely rare and candidate fan-out stays near the true "
-        "pair count — on this corpus the unigram variant generates "
-        "~1000x more candidates from a ~30-word vocabulary"
-    ),
-)
-def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
+    """
+
+
+def _simjoin_prefix_frame(spark: SparkSession, sf_dir: str):
+    """(doc_id, toks_sorted, n, prefix): each document's distinct
+    3-shingles rarest-first plus its t=0.9 prefix slice — the shared
+    front half of :func:`similarity_join_prefix_filter` and its
+    candidate-stage instrumentation twin."""
     from sfs3_kinesis_spark.operators.dedup import shingles
 
     docs = t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 3)
@@ -584,14 +570,49 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     pref = ranked.withColumn(
         "prefix", F.expr("slice(toks_sorted, 1, n - ((9 * n + 9) DIV 10) + 1)")
     )
-    pref = pin_shared(pref, tag="simjoin_prefix")  # shared by the candidate join AND the array join-back
-    # Candidate generation shuffles ONLY (prefix, doc_id, n) — never the
-    # shingle arrays: at corpus scale the candidate join's shuffle payload
-    # is what dominates, and an array-carrying row is ~100x a key row.
-    pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
-    cand = (
+    # shared by the candidate join AND the array join-back
+    return pin_shared(pref, tag="simjoin_prefix")
+
+
+def similarity_join_prefix_candidates(spark: SparkSession, sf_dir: str):
+    """Candidate stage of :func:`similarity_join_prefix_filter` —
+    distinct (doc_a, doc_b, s) pairs surviving prefix + length +
+    positional filtering, BEFORE exact verification.  Exposed so the
+    decade stress (scripts/sf10_stress_prefix.py) can attribute
+    wall-time growth to candidate fan-out vs true-pair growth (r08
+    verdict next-round #2)."""
+    pref = _simjoin_prefix_frame(spark, sf_dir)
+    # Candidate generation shuffles ONLY (prefix, position, doc_id, n)
+    # — never the shingle arrays: at corpus scale the candidate join's
+    # shuffle payload is what dominates, and an array-carrying row is
+    # ~100x a key row.
+    pe = pref.select("doc_id", "n", F.posexplode("prefix").alias("p", "pr"))
+    return (
         pe.alias("a")
-        .join(pe.alias("b"), (F.col("a.pr") == F.col("b.pr")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            pe.alias("b"),
+            (F.col("a.pr") == F.col("b.pr"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= 0.9 forces min(na,nb) >= 0.9*max —
+            # J <= min/max since i <= min and union >= max.  Without
+            # this, cross-size-class prefix collisions dominate the
+            # candidate set as the corpus grows (the r08 e=1.18
+            # second-decade exponent).
+            & (F.col("b.n") * 10 >= F.col("a.n") * 9)
+            & (F.col("a.n") * 10 >= F.col("b.n") * 9)
+            # PPJoin positional filter (Xiao/Wang/Lin/Yu 2008, public):
+            # a shared prefix element at 0-based positions (pa, pb)
+            # bounds the overlap by 1 + min(na-pa-1, nb-pb-1); a true
+            # pair needs i >= ceil(0.9*(na+nb)/1.9) = ceil(9(na+nb)/19)
+            # (from 10i >= 9(na+nb-i)).  Lossless: the pair's SMALLEST
+            # common element is in both prefixes (prefix guarantee)
+            # and every other common element sits after it on both
+            # sides, so that row's bound >= the true overlap.
+            & F.expr(
+                "1 + least(a.n - a.p - 1, b.n - b.p - 1)"
+                " >= (9 * (a.n + b.n) + 18) DIV 19"
+            ),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -599,6 +620,35 @@ def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@register(
+    "similarity_join_prefix_filter",
+    _SIMJOIN_ORACLE,
+    tags=("similarity", "dedup", "prefix_filter", "ppjoin", "shingle"),
+    description=(
+        "set-similarity self-join at Jaccard >= 0.9 over distinct "
+        "3-word shingle sets, via PPJoin prefix + length + positional "
+        "filtering: shingles globally ranked rarest-first by document "
+        "frequency, each document keeps only its first "
+        "n - ceil(0.9n) + 1 ranks as its prefix, candidate pairs come "
+        "from an equi-join on prefix ranks (any true pair MUST share "
+        "a prefix element — the standard prefix-filter guarantee, "
+        "which the oracle's filter-free all-pairs intersection join "
+        "independently proves lossless), pruned in-join by the length "
+        "bound (min(na,nb) >= 0.9*max — without it cross-size-class "
+        "prefix collisions dominate candidate growth at scale, the "
+        "r08 e=1.18 finding) and the Xiao et al. 2008 positional "
+        "bound (1 + min(remaining ranks) >= ceil(9(na+nb)/19)), then "
+        "exact integer Jaccard verification in basis points.  "
+        "Shingles, not unigrams: the candidate join keys on the "
+        "universe of word trigrams, so prefix elements are genuinely "
+        "rare and candidate fan-out stays near the true pair count"
+    ),
+)
+def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
+    pref = _simjoin_prefix_frame(spark, sf_dir)
+    cand = similarity_join_prefix_candidates(spark, sf_dir)
     # Arrays attach to the (rare) surviving candidates only.
     arrs = pref.select("doc_id", "toks_sorted")
     ver = (

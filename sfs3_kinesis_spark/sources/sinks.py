@@ -323,23 +323,24 @@ class KeyedUpsertSink:
         for d in dirs:
             df = self.spark.read.parquet(d)
             kept = df.join(F.broadcast(key_df), self.key_col, "left_anti").persist()
-            n_kept = kept.count()
-            n_all = df.count()
-            if n_kept == n_all:
+            try:
+                n_kept = kept.count()
+                n_all = df.count()
+                if n_kept == n_all:
+                    continue  # no forgotten key in this version: leave the files alone
+                # crash-safe swap: the version directory is never the only
+                # copy while absent.  rmtree(d)-then-rename left a window
+                # (the whole rewrite's I/O) in which a crash destroyed the
+                # ENTIRE version; here the window is two renames, and both
+                # sides of it are recoverable (_recover_partial_swaps):
+                # tmp holds the complete post-erasure copy (_SUCCESS
+                # marker), old holds the pre-erasure copy
+                tmp, old = d + ".tmp", d + ".old"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(old, ignore_errors=True)
+                kept.write.mode("overwrite").parquet(tmp)
+            finally:
                 kept.unpersist()
-                continue  # no forgotten key in this version: leave the files alone
-            # crash-safe swap: the version directory is never the only
-            # copy while absent.  rmtree(d)-then-rename left a window
-            # (the whole rewrite's I/O) in which a crash destroyed the
-            # ENTIRE version; here the window is two renames, and both
-            # sides of it are recoverable (_recover_partial_swaps):
-            # tmp holds the complete post-erasure copy (_SUCCESS
-            # marker), old holds the pre-erasure copy
-            tmp, old = d + ".tmp", d + ".old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-            kept.write.mode("overwrite").parquet(tmp)
-            kept.unpersist()
             os.rename(d, old)
             os.rename(tmp, d)
             shutil.rmtree(old)

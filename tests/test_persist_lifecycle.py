@@ -181,3 +181,42 @@ def test_pin_shared_size_guard_skips_corpus_sized_frames(spark, monkeypatch):
     assert lvl2.useMemory or lvl2.useDisk
     assert len(scale._KEYED_CACHE) == 1
     clear_keyed_cache()
+
+
+def test_forget_keys_unpersists_on_failure(spark, tmp_path, monkeypatch):
+    """r8 verdict What's-wrong #4: ``KeyedUpsertSink.forget_keys``
+    persisted the scrubbed frame without try/finally, so an exception
+    during the version-directory rewrite leaked one cached relation
+    per failed call.  Inject a failure mid-rewrite and assert the JVM
+    persistent-RDD count returns to baseline; then the retry (the
+    erasure never started, so the store is intact) succeeds and also
+    returns storage to baseline."""
+    import shutil
+
+    from sfs3_kinesis_spark.sources.sinks import KeyedUpsertSink
+
+    path = str(tmp_path / "store")
+    sink = KeyedUpsertSink(spark, path, key_col="txn_id", compact_every=100)
+    schema = "txn_id string, status string"
+    sink.apply_batch(
+        spark.createDataFrame([("a", "RUNNING"), ("b", "RUNNING")], schema), 0
+    )
+
+    spark.catalog.clearCache()
+    base = _jvm_persistent_count(spark)
+
+    real_rmtree = shutil.rmtree
+
+    def boom(*a, **k):
+        raise OSError("injected rmtree failure")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="injected"):
+        sink.forget_keys(["a"])
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert _jvm_persistent_count(spark) <= base
+
+    # the failed call touched nothing on disk; the retry erases
+    assert sink.forget_keys(["a"]) >= 1
+    assert _jvm_persistent_count(spark) <= base
+    assert {r.txn_id for r in sink.current().collect()} == {"b"}
