@@ -241,7 +241,7 @@ def clear_keyed_cache() -> None:
     executor storage memory; subsequent calls simply re-persist."""
     with _KEYED_CACHE_LOCK:
         while _KEYED_CACHE:
-            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+            _, (_, old, _lvl) = _KEYED_CACHE.popitem(last=False)
             try:
                 old.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already stopped
@@ -270,6 +270,33 @@ def clear_keyed_cache() -> None:
 _PIN_MAX_EST_BYTES = int(
     _os.environ.get("SFS3K_PIN_MAX_EST_BYTES", str(32 * 1024 * 1024))
 )
+
+#: what to do with a frame ABOVE the size cap (r08 verdict next-round
+#: #4): "none" = return it unpinned, each consumer recomputes (the
+#: round-8 behavior); "disk" = StorageLevel.DISK_ONLY through the
+#: same LRU; "memdiskser" = serialized MEMORY_AND_DISK.  The sf10 A/B
+#: (scripts/pin_tier_ab.py, recorded in SCALE.md round 9) measured
+#: disk-tier reuse vs per-consumer recomputation on the corpus-sized
+#: shingle-prefix table; the default here is the measured winner.
+_PIN_OVERSIZE_LEVEL = _os.environ.get("SFS3K_PIN_OVERSIZE_LEVEL", "none")
+
+#: last pin decision per tag — purely observational, read by the
+#: decade-stress harnesses to log which tables the size guard pinned
+#: vs guarded out at each scale (r08 verdict next-round #3).  Values:
+#: "pinned" | "pinned_hit" | f"pinned_oversize({level})" |
+#: f"guarded_out({est_mb}MB)".
+PIN_DECISIONS: dict[str, str] = {}
+
+
+def _oversize_storage_level():
+    """StorageLevel for above-cap frames, or None = don't pin."""
+    from pyspark import StorageLevel
+
+    if _PIN_OVERSIZE_LEVEL == "disk":
+        return StorageLevel.DISK_ONLY
+    if _PIN_OVERSIZE_LEVEL in ("memdiskser", "ser"):
+        return StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
+    return None
 
 
 def _leaf_scan_bytes(df: DataFrame) -> int:
@@ -307,10 +334,13 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     consumer qualifies: shingle/prefix/signature tables, distinct
     user-item projections, edge lists.  That contract is also what
     makes the size guard safe: a frame judged too big to pin
-    (estimate > ``SFS3K_PIN_MAX_EST_BYTES``) is returned unpinned and
-    simply recomputes per consumer — linear extra scans instead of
-    cache-eviction thrash, the right trade at corpus scale (see the
-    ``_PIN_MAX_EST_BYTES`` note for the measured sf10 inversion).
+    (estimate > ``SFS3K_PIN_MAX_EST_BYTES``) is either returned
+    unpinned (``SFS3K_PIN_OVERSIZE_LEVEL=none`` — each consumer
+    recomputes: linear extra scans instead of cache-eviction thrash)
+    or pinned at a spill-friendly storage tier (``disk`` /
+    ``memdiskser``) through the same LRU, per the sf10 A/B recorded
+    in SCALE.md round 9 (see ``_PIN_MAX_EST_BYTES`` for the measured
+    deserialized-cache inversion that motivates the cap).
 
     Returns the live persisted frame: the same object on a miss, the
     cached twin on a semantic hit (validated with the full
@@ -323,13 +353,26 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
     pin semantically different stages of one plan.
     """
     spark = df.sparkSession
+    level = None  # None = Spark's default deserialized MEMORY_AND_DISK
     if _PIN_MAX_EST_BYTES > 0:
         try:
             est = _leaf_scan_bytes(df)
         except Exception:  # noqa: BLE001 — connect mode / stats failure
             est = -1
         if est > _PIN_MAX_EST_BYTES:
-            return df
+            level = _oversize_storage_level()
+            if level is None:
+                PIN_DECISIONS[tag or "<untagged>"] = (
+                    f"guarded_out({est >> 20}MB)"
+                )
+                return df
+            PIN_DECISIONS[tag or "<untagged>"] = (
+                f"pinned_oversize({_PIN_OVERSIZE_LEVEL})"
+            )
+        else:
+            PIN_DECISIONS[tag or "<untagged>"] = "pinned"
+    else:
+        PIN_DECISIONS[tag or "<untagged>"] = "pinned"
     try:
         cache_key = (id(spark), df.semanticHash(), "pin", tag)
     except Exception:  # noqa: BLE001 — connect mode / exotic plans
@@ -338,13 +381,13 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
         if _KEYED_CACHE_MAX <= 0 and cache_key in _KEYED_CACHE:
             # reuse disabled (A/B forensics): never serve a hit, but
             # keep storing entries so each call unpersists the last
-            _, cand = _KEYED_CACHE.pop(cache_key)
+            _, cand, _lvl = _KEYED_CACHE.pop(cache_key)
             try:
                 cand.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already gone
                 pass
         if cache_key in _KEYED_CACHE:
-            src, cand = _KEYED_CACHE[cache_key]
+            src, cand, stored_level = _KEYED_CACHE[cache_key]
             try:
                 if src.sparkSession is spark and df.sameSemantics(src):
                     _KEYED_CACHE.move_to_end(cache_key)
@@ -354,7 +397,16 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
                     # upstream once per consumer
                     lvl = cand.storageLevel
                     if not (lvl.useMemory or lvl.useDisk):
-                        cand.persist()
+                        # re-persist at the level the entry was
+                        # CREATED with, not this call's recomputed
+                        # level: a frame analyzed while an upstream
+                        # cache existed reads InMemoryRelation leaves
+                        # (est 0) and would silently drop the tier
+                        if stored_level is not None:
+                            cand.persist(stored_level)
+                        else:
+                            cand.persist()
+                    PIN_DECISIONS[tag or "<untagged>"] = "pinned_hit"
                     return cand
             except Exception:  # noqa: BLE001 — stopped context
                 pass
@@ -363,14 +415,14 @@ def pin_shared(df: DataFrame, *, tag: str = "") -> DataFrame:
                 cand.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already gone
                 pass
-        pinned = df.persist()
+        pinned = df.persist(level) if level is not None else df.persist()
         while len(_KEYED_CACHE) >= max(_KEYED_CACHE_MAX, 1):
-            _, (_, old) = _KEYED_CACHE.popitem(last=False)
+            _, (_, old, _lvl) = _KEYED_CACHE.popitem(last=False)
             try:
                 old.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already gone
                 pass
-        _KEYED_CACHE[cache_key] = (df, pinned)
+        _KEYED_CACHE[cache_key] = (df, pinned, level)
         return pinned
 
 
@@ -632,13 +684,13 @@ def _bucketed(
             # drop the entry so the insert path below replaces it (the
             # entry is still STORED so the next call unpersists it;
             # skipping the store would leak the persisted frame)
-            _, cand = _KEYED_CACHE.pop(cache_key)
+            _, cand, _lvl = _KEYED_CACHE.pop(cache_key)
             try:
                 cand.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — session already gone
                 pass
         if cache_key in _KEYED_CACHE:
-            src, cand = _KEYED_CACHE[cache_key]
+            src, cand, stored_level = _KEYED_CACHE[cache_key]
             # hit-validation, in escalation order of what a stale/false
             # hit would cost: (1) a frame from a STOPPED/replaced session
             # crashes on first use — identity-check the session; (2) a
@@ -668,12 +720,12 @@ def _bucketed(
         if keyed is None:
             keyed = df.withColumn("_gk", _order_key(df, order_by)).persist()
             while len(_KEYED_CACHE) >= max(_KEYED_CACHE_MAX, 1):
-                _, (_, old) = _KEYED_CACHE.popitem(last=False)
+                _, (_, old, _lvl) = _KEYED_CACHE.popitem(last=False)
                 try:
                     old.unpersist(blocking=False)
                 except Exception:  # noqa: BLE001 — session already gone
                     pass
-            _KEYED_CACHE[cache_key] = (df, keyed)
+            _KEYED_CACHE[cache_key] = (df, keyed, None)
     gk_schema = keyed.schema["_gk"].dataType
     with _KEYED_CACHE_LOCK:
         bounds = _BOUNDS_MEMO.get(memo_key) if memo_key is not None else None

@@ -782,26 +782,14 @@ def _dbscan_oracle() -> str:
     return "".join(parts)
 
 
-@register(
-    "spatial_dbscan_core",
-    _dbscan_oracle(),
-    tags=("spatial", "dbscan", "clustering", "iterative", "grid_join"),
-    description=(
-        "DBSCAN core-point clustering (eps=%d Chebyshev, minPts=%d): "
-        "neighbor counts and core-core edges come from the grid "
-        "radius join (operators/spatial.py — sum-of-cell-products, "
-        "never n^2), clusters from the distributed pointer-jumping "
-        "connected components (operators/dedup.py); isolated core "
-        "points cluster as themselves.  The composition every "
-        "density-clustering pipeline needs at scale, value-verified "
-        "against a DuckDB brute-force + RECURSIVE transitive-closure "
-        "oracle.  Core points only: border assignment is visit-order-"
-        "dependent in classic DBSCAN and has no deterministic oracle"
-        % (DBSCAN_EPS, DBSCAN_MINPTS)
-    ),
-)
-def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
-    from sfs3_kinesis_spark.operators.dedup import connected_components
+def _dbscan_front(spark: SparkSession, sf_dir: str):
+    """(pairs, core) — the LAZY front half of
+    :func:`spatial_dbscan_core` (both pin_shared sites), stopping
+    BEFORE the eager connected-components checkpoint.  Shared with
+    the decade stress's pin-decision probe
+    (scripts/sf10_stress_heavies.py), which must observe the size
+    guard at corpus scales where EXECUTING the pair pipeline is
+    semantically quadratic and infeasible."""
     from sfs3_kinesis_spark.operators.spatial import grid_radius_pairs
 
     p = (
@@ -825,7 +813,31 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
         .filter(F.col("n") >= DBSCAN_MINPTS)
         .select(F.col("a_id").alias("id"), "n")
     )
-    core = pin_shared(core, tag="dbscan_core")
+    return pairs, pin_shared(core, tag="dbscan_core")
+
+
+@register(
+    "spatial_dbscan_core",
+    _dbscan_oracle(),
+    tags=("spatial", "dbscan", "clustering", "iterative", "grid_join"),
+    description=(
+        "DBSCAN core-point clustering (eps=%d Chebyshev, minPts=%d): "
+        "neighbor counts and core-core edges come from the grid "
+        "radius join (operators/spatial.py — sum-of-cell-products, "
+        "never n^2), clusters from the distributed pointer-jumping "
+        "connected components (operators/dedup.py); isolated core "
+        "points cluster as themselves.  The composition every "
+        "density-clustering pipeline needs at scale, value-verified "
+        "against a DuckDB brute-force + RECURSIVE transitive-closure "
+        "oracle.  Core points only: border assignment is visit-order-"
+        "dependent in classic DBSCAN and has no deterministic oracle"
+        % (DBSCAN_EPS, DBSCAN_MINPTS)
+    ),
+)
+def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.dedup import connected_components
+
+    pairs, core = _dbscan_front(spark, sf_dir)
     core_ids = core.select("id")
     ce = (
         pairs.filter(F.col("a_id") < F.col("b_id"))

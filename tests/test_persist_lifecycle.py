@@ -183,6 +183,61 @@ def test_pin_shared_size_guard_skips_corpus_sized_frames(spark, monkeypatch):
     clear_keyed_cache()
 
 
+def test_pin_shared_oversize_tier_and_decision_log(spark, monkeypatch):
+    """r08 verdict next-round #4: frames above the size cap can pin at
+    a spill-friendly tier (SFS3K_PIN_OVERSIZE_LEVEL=disk/memdiskser)
+    through the same bounded LRU instead of being returned unpinned;
+    and every pin_shared call logs its decision per tag (next-round
+    #3) so the decade stresses can record which tables the guard
+    pinned vs guarded out at each scale."""
+    from sfs3_kinesis_spark.operators import scale
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache, pin_shared
+
+    clear_keyed_cache()
+    scale.PIN_DECISIONS.clear()
+    src = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+
+    # oversize + level=none -> unpinned, decision logged
+    monkeypatch.setattr(scale, "_PIN_MAX_EST_BYTES", 1)
+    monkeypatch.setattr(scale, "_PIN_OVERSIZE_LEVEL", "none")
+    out = pin_shared(src, tag="tier")
+    lvl = out.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert scale.PIN_DECISIONS["tier"].startswith("guarded_out(")
+    assert not scale._KEYED_CACHE
+
+    # oversize + level=disk -> DISK_ONLY through the LRU
+    monkeypatch.setattr(scale, "_PIN_OVERSIZE_LEVEL", "disk")
+    out = pin_shared(src, tag="tier")
+    lvl = out.storageLevel
+    assert lvl.useDisk and not lvl.useMemory
+    assert len(scale._KEYED_CACHE) == 1
+    assert scale.PIN_DECISIONS["tier"] == "pinned_oversize(disk)"
+    assert out.count() == 1000
+
+    # a semantic repeat is a hit on the disk-tier entry
+    repeat = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    hit = pin_shared(repeat, tag="tier")
+    assert scale.PIN_DECISIONS["tier"] == "pinned_hit"
+    assert len(scale._KEYED_CACHE) == 1
+    assert hit.count() == 1000
+
+    # external clearCache: the next hit re-persists AT THE TIER LEVEL
+    spark.catalog.clearCache()
+    hit2 = pin_shared(repeat, tag="tier")
+    lvl2 = hit2.storageLevel
+    assert lvl2.useDisk and not lvl2.useMemory
+
+    # under-cap frames keep the default deserialized level + decision
+    monkeypatch.setattr(scale, "_PIN_MAX_EST_BYTES", 1 << 40)
+    out3 = pin_shared(src.withColumn("w", F.lit(1)), tag="small")
+    lvl3 = out3.storageLevel
+    assert lvl3.useMemory
+    assert scale.PIN_DECISIONS["small"] == "pinned"
+    clear_keyed_cache()
+    scale.PIN_DECISIONS.clear()
+
+
 def test_forget_keys_unpersists_on_failure(spark, tmp_path, monkeypatch):
     """r8 verdict What's-wrong #4: ``KeyedUpsertSink.forget_keys``
     persisted the scrubbed frame without try/finally, so an exception
