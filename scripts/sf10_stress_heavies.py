@@ -14,8 +14,10 @@ Corpus construction (organic growth, never verbatim duplication):
 * ``lineitem`` x10/x100 — key offsets per copy (disjoint orderkey
   domains, so the pagerank edge self-join stays copy-local);
 * ``events``  x10/x100 — key offsets, plus a per-copy TORUS
-  TRANSLATION of the DBSCAN coordinates (value += 7.77*copy shifts
-  x by ~777*copy mod 1000; user_id += 389*copy shifts y): within a
+  TRANSLATION of the DBSCAN coordinates (value re-encoded so the
+  derived x shifts by EXACTLY 777*copy mod 1000 — integer-space
+  shift after quantization, r09 ADVICE; user_id += 389*copy shifts
+  y): within a
   copy the point geometry is preserved exactly (translation is an
   isometry on the grid torus), across copies the clouds overlap like
   independent data.  NOTE the fixed 1000x1000 torus means per-cell
@@ -94,8 +96,22 @@ def build_scale(spark, out: str, copies: int) -> None:
                 "user_id",
                 F.col("user_id") + (F.lit(OFF) + F.lit(389)) * F.col("_copy"),
             )
-            # x residue shifts by ~777*copy mod 1000
-            .withColumn("value", F.col("value") + F.lit(7.77) * F.col("_copy"))
+            # x residue shifts by 777*copy mod 1000 — EXACTLY: shift in
+            # integer space AFTER quantization (r09 ADVICE: the old
+            # `value + 7.77*copy` form added a non-representable double,
+            # off by one grid cell near rounding boundaries).  The
+            # queries derive x = floor(value*100 + 0.5) % 1000, so
+            # re-encode value = (x_orig + 777*copy) / 100.0; the /100
+            # round-trip is exact for the derivation because the
+            # re-derived k - eps + 0.5 always floors back to k.
+            .withColumn(
+                "value",
+                (
+                    F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)")
+                    + F.lit(777) * F.col("_copy")
+                ).cast("double")
+                / 100.0,
+            )
         )
         df.drop("_copy").repartition(64).write.mode("overwrite").parquet(
             f"{out}/events.parquet"

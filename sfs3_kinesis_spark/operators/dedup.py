@@ -248,14 +248,21 @@ def _jaccard_prefix_frame(
 
 
 def jaccard_candidates_exact(
-    docs_with_shingles: DataFrame, *, threshold_bp: int
+    docs_with_shingles: DataFrame, *, threshold_bp: int, pref: DataFrame | None = None
 ) -> DataFrame:
     """Candidate stage of :func:`jaccard_pairs_exact` — distinct
     (doc_a, doc_b, s) pairs surviving prefix + length filtering,
     BEFORE exact verification.  Exposed so the decade stress
     (scripts/sf10_stress_prefix.py) can attribute wall-time growth to
-    candidate fan-out vs true-pair growth (r08 verdict next-round #2)."""
-    pref = _jaccard_prefix_frame(docs_with_shingles, threshold_bp=threshold_bp)
+    candidate fan-out vs true-pair growth (r08 verdict next-round #2).
+
+    ``pref`` lets :func:`jaccard_pairs_exact` pass its already-pinned
+    prefix frame through instead of re-entering the pin (r09 ADVICE:
+    in fallback modes — semanticHash failure, SFS3K_KEYED_CACHE_MAX=0
+    forensics — a second pin call persists the corpus-sized frame
+    twice or unpersists the copy the verify stage still references)."""
+    if pref is None:
+        pref = _jaccard_prefix_frame(docs_with_shingles, threshold_bp=threshold_bp)
     pe = pref.select("doc_id", "n", F.explode("prefix").alias("pr"))
     return (
         pe.alias("a")
@@ -302,7 +309,7 @@ def jaccard_pairs_exact(
     """
     pref = _jaccard_prefix_frame(docs_with_shingles, threshold_bp=threshold_bp)
     cand = jaccard_candidates_exact(
-        docs_with_shingles, threshold_bp=threshold_bp
+        docs_with_shingles, threshold_bp=threshold_bp, pref=pref
     )
     arrs = pref.select("doc_id", "toks_sorted")
     ver = (
@@ -323,15 +330,22 @@ def jaccard_pairs_exact(
 
 
 def containment_candidates_exact(
-    docs_with_shingles: DataFrame, *, threshold_bp: int
+    docs_with_shingles: DataFrame,
+    *,
+    threshold_bp: int,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate stage of :func:`containment_pairs_exact` — distinct
     (doc_contained, doc_container) pairs surviving the asymmetric
     prefix probe, BEFORE exact verification.  Exposed for the decade
-    stress's fan-out attribution (r08 verdict next-round #2)."""
-    ranked = pin_shared(
-        _ranked_shingle_sets(docs_with_shingles), tag="containment_ranked"
-    )
+    stress's fan-out attribution (r08 verdict next-round #2).
+    ``ranked`` = pass-through of the caller's already-pinned ranked
+    frame (same single-pin rationale as
+    :func:`jaccard_candidates_exact`)."""
+    if ranked is None:
+        ranked = pin_shared(
+            _ranked_shingle_sets(docs_with_shingles), tag="containment_ranked"
+        )
     pe_a = ranked.select(
         "doc_id",
         F.explode(
@@ -373,7 +387,7 @@ def containment_pairs_exact(
     """
     ranked = pin_shared(_ranked_shingle_sets(docs_with_shingles), tag="containment_ranked")
     cand = containment_candidates_exact(
-        docs_with_shingles, threshold_bp=threshold_bp
+        docs_with_shingles, threshold_bp=threshold_bp, ranked=ranked
     )
     arrs = ranked.select("doc_id", "toks_sorted", "n")
     ver = (

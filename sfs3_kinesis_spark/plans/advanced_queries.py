@@ -574,14 +574,17 @@ def _simjoin_prefix_frame(spark: SparkSession, sf_dir: str):
     return pin_shared(pref, tag="simjoin_prefix")
 
 
-def similarity_join_prefix_candidates(spark: SparkSession, sf_dir: str):
+def similarity_join_prefix_candidates(spark: SparkSession, sf_dir: str, pref=None):
     """Candidate stage of :func:`similarity_join_prefix_filter` —
     distinct (doc_a, doc_b, s) pairs surviving prefix + length +
     positional filtering, BEFORE exact verification.  Exposed so the
     decade stress (scripts/sf10_stress_prefix.py) can attribute
     wall-time growth to candidate fan-out vs true-pair growth (r08
-    verdict next-round #2)."""
-    pref = _simjoin_prefix_frame(spark, sf_dir)
+    verdict next-round #2).  ``pref`` = pass-through of the caller's
+    already-pinned prefix frame, so the full query pins exactly once
+    even in pin-fallback modes (r09 ADVICE)."""
+    if pref is None:
+        pref = _simjoin_prefix_frame(spark, sf_dir)
     # Candidate generation shuffles ONLY (prefix, position, doc_id, n)
     # — never the shingle arrays: at corpus scale the candidate join's
     # shuffle payload is what dominates, and an array-carrying row is
@@ -648,7 +651,7 @@ def similarity_join_prefix_candidates(spark: SparkSession, sf_dir: str):
 )
 def similarity_join_prefix_filter(spark: SparkSession, sf_dir: str):
     pref = _simjoin_prefix_frame(spark, sf_dir)
-    cand = similarity_join_prefix_candidates(spark, sf_dir)
+    cand = similarity_join_prefix_candidates(spark, sf_dir, pref=pref)
     # Arrays attach to the (rare) surviving candidates only.
     arrs = pref.select("doc_id", "toks_sorted")
     ver = (

@@ -112,7 +112,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
         .limit(PR_TOP_N)
         .select("pk")
     )
-    nodes = pin_shared(nodes, tag="pagerank_nodes")
+    # bounded=True: the node table is top-N-bounded (60 rows) BY THE
+    # ALGORITHM — the leaf-sum guard sees its lineitem leaf (1.4-5.8
+    # GB at sf1-10) and would wrongly unpin it at scale (r09 verdict
+    # What's-wrong #3)
+    nodes = pin_shared(nodes, tag="pagerank_nodes", bounded=True)
     member = li.join(F.broadcast(nodes), "pk").select("okey", "pk")
     edges = (
         member.alias("a")
@@ -120,7 +124,8 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str):
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
-    edges = pin_shared(edges, tag="pagerank_edges")
+    # bounded=True: at most N*(N-1) = 3540 rows regardless of corpus
+    edges = pin_shared(edges, tag="pagerank_edges", bounded=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.select("pk", F.lit(PR_INIT).cast("long").alias("r"))
     for _ in range(PR_ITERATIONS):

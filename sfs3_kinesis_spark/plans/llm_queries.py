@@ -1705,10 +1705,17 @@ def _semantic_dedup_oracle(
         "Assignment is a broadcast-argmin projection (no shuffle); "
         "the pair join shuffles once on cell; production swaps seeds "
         "for trained IVF centroids, which moves recall, never pair "
-        "correctness"
+        "correctness.  k=32 is PINNED here for oracle "
+        "reproducibility at fixture scale; the operator DEFAULT "
+        "(k=None) derives k from the corpus so pair volume stays "
+        "linear — the fixed-k form is quadratic by semantics "
+        "(r09 verdict next-round #1)"
     ),
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
+    # explicit k: the DuckDB oracle hard-codes the same 32 seeds, and
+    # fixture determinism requires the pinned value.  Scale deployments
+    # use the operator's adaptive default (k=None).
     return similarity.semantic_dedup_pairs(
         t(spark, sf_dir, "embeddings"),
         k=32,

@@ -710,7 +710,7 @@ DBSCAN_MINPTS = 4
 DBSCAN_CC_ROUNDS = 48
 
 
-def _dbscan_oracle() -> str:
+def _dbscan_oracle(with_counts: bool = True) -> str:
     """Fixed-round iterative min-label components instead of the old
     RECURSIVE transitive closure (r05 verdict missing #3): the closure
     enumerated every (node, reachable-label) pair — O(n x |component|)
@@ -720,7 +720,14 @@ def _dbscan_oracle() -> str:
     neighbors' labels, and its label's label).  Every round CTE is
     MATERIALIZED (the k-core precedent: chained re-reads would expand
     the base scan exponentially).  Measured: sf0.01 22.8 s -> 0.4 s
-    bit-identical; sf0.1 DNF -> ~15 s."""
+    bit-identical; sf0.1 DNF -> ~15 s.
+
+    ``with_counts=False`` emits (id, cluster_rep) only — the oracle
+    twin of the contraction operator ``spatial_dbscan_clusters``,
+    which deliberately omits exact per-point neighbor counts (their
+    exact computation IS the quadratic pair enumeration the scalable
+    operator avoids).  The convergence assert folds into cluster_rep
+    instead of n_neighbors."""
     r, m = DBSCAN_EPS, DBSCAN_MINPTS
     parts = [
         f"""
@@ -759,8 +766,9 @@ def _dbscan_oracle() -> str:
         FROM {prev} l LEFT JOIN n{i} n ON n.u = l.u
         LEFT JOIN j{i} j ON j.u = l.u)"""
         )
-    parts.append(
-        f""",
+    if with_counts:
+        parts.append(
+            f""",
     comp AS (SELECT u AS id, lbl AS cluster_rep FROM l{DBSCAN_CC_ROUNDS}),
     conv AS (
         SELECT count(*) AS ndiff
@@ -778,7 +786,25 @@ def _dbscan_oracle() -> str:
                      ELSE n END AS BIGINT) AS n_neighbors
     FROM labeled, conv
     """
-    )
+        )
+    else:
+        parts.append(
+            f""",
+    comp AS (SELECT u AS id, lbl AS cluster_rep FROM l{DBSCAN_CC_ROUNDS}),
+    conv AS (
+        SELECT count(*) AS ndiff
+        FROM l{DBSCAN_CC_ROUNDS} a JOIN l{DBSCAN_CC_ROUNDS - 1} b
+          ON a.u = b.u AND a.lbl <> b.lbl)
+    SELECT core.id,
+           CAST(CASE WHEN ndiff > 0
+                     THEN error('DBSCAN oracle: min-label unroll NOT '
+                                'converged after {DBSCAN_CC_ROUNDS} rounds '
+                                '- raise DBSCAN_CC_ROUNDS')
+                     ELSE coalesce(comp.cluster_rep, core.id)
+                END AS BIGINT) AS cluster_rep
+    FROM core LEFT JOIN comp ON comp.id = core.id, conv
+    """
+        )
     return "".join(parts)
 
 
@@ -850,6 +876,50 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str):
         "id",
         F.coalesce("component", "id").alias("cluster_rep"),
         F.col("n").cast("long").alias("n_neighbors"),
+    )
+
+
+@register(
+    "spatial_dbscan_clusters",
+    _dbscan_oracle(with_counts=False),
+    tags=("spatial", "dbscan", "clustering", "iterative", "grid_contraction", "scale"),
+    description=(
+        "DBSCAN core clustering via GRID CONTRACTION (Gunawan 2013 / "
+        "Gan & Tao 2015, public) — the scale path that never "
+        "enumerates eps-neighbor pairs: cell side (eps+1) DIV 2 makes "
+        "the 3x3 cell block fully eps-contained, so core-ness "
+        "resolves from cell-count sums (a cell-level aggregate, no "
+        "point comparisons) for every point in a dense neighborhood; "
+        "clustering contracts each core cell to its min-id hub, links "
+        "distance-1 core cells unconditionally (guaranteed eps-edges) "
+        "and point-checks distance-2 cell pairs ONLY when no "
+        "intermediate cell holds a core (a core intermediate already "
+        "connects them transitively).  Same clusters as "
+        "spatial_dbscan_core — same eps/minPts, same min-core-id "
+        "representative, verified by the same min-label-unroll oracle "
+        "— but point-level work tracks sparse-boundary geometry "
+        "instead of density^2: the fixed-torus decade stress measures "
+        "pair exponent ~2.0 for the naive radius join vs ~0 examined "
+        "pairs here (SF1_STRESS x100_heavies).  Omits exact "
+        "n_neighbors (its computation IS the avoided pair "
+        "enumeration); core membership itself is exact via the "
+        "ring-cell fallback count for sparse points"
+    ),
+)
+def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str):
+    from sfs3_kinesis_spark.operators.spatial import dbscan_core_clusters
+
+    p = (
+        t_nonnull(spark, sf_dir, "events", "value")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("id"),
+            (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
+            (F.col("user_id") % 1000).alias("y"),
+        )
+    )
+    return dbscan_core_clusters(
+        p, id_col="id", x="x", y="y", eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS
     )
 
 

@@ -238,6 +238,53 @@ def test_pin_shared_oversize_tier_and_decision_log(spark, monkeypatch):
     scale.PIN_DECISIONS.clear()
 
 
+def test_pin_shared_bounded_override_bypasses_size_guard(spark, monkeypatch):
+    """r09 verdict next-round #4: ``bounded=True`` asserts the frame's
+    row count is algorithm-bounded (pagerank's top-N rank table, k
+    centroids), so the leaf-sum size guard — which misclassifies a
+    60-row table derived from a multi-GB scan — is bypassed and the
+    frame pins at the default tier.  It still flows through the LRU:
+    semantic repeats hit, clear_keyed_cache releases it, and eviction
+    applies like any other entry."""
+    from sfs3_kinesis_spark.operators import scale
+    from sfs3_kinesis_spark.operators.scale import clear_keyed_cache, pin_shared
+
+    clear_keyed_cache()
+    scale.PIN_DECISIONS.clear()
+    src = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+
+    # cap 1 byte: the unbounded path guards this frame out...
+    monkeypatch.setattr(scale, "_PIN_MAX_EST_BYTES", 1)
+    out = pin_shared(src, tag="bnd")
+    assert not (out.storageLevel.useMemory or out.storageLevel.useDisk)
+    assert scale.PIN_DECISIONS["bnd"].startswith("guarded_out(")
+
+    # ...while bounded=True pins it despite the cap
+    out = pin_shared(src, tag="bnd", bounded=True)
+    lvl = out.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert scale.PIN_DECISIONS["bnd"] == "pinned_bounded"
+    assert len(scale._KEYED_CACHE) == 1
+    assert out.count() == 1000
+
+    # semantic repeat hits the bounded entry
+    repeat = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    hit = pin_shared(repeat, tag="bnd", bounded=True)
+    assert scale.PIN_DECISIONS["bnd"] == "pinned_hit"
+    assert len(scale._KEYED_CACHE) == 1
+    assert hit.count() == 1000
+
+    # LRU bound still applies to bounded entries (no leak path)
+    monkeypatch.setattr(scale, "_KEYED_CACHE_MAX", 1)
+    other = spark.range(50).select(F.col("id").alias("k"))
+    pin_shared(other, tag="bnd2", bounded=True)
+    assert len(scale._KEYED_CACHE) == 1  # evicted the first entry
+
+    clear_keyed_cache()
+    assert not scale._KEYED_CACHE
+    scale.PIN_DECISIONS.clear()
+
+
 def test_forget_keys_unpersists_on_failure(spark, tmp_path, monkeypatch):
     """r8 verdict What's-wrong #4: ``KeyedUpsertSink.forget_keys``
     persisted the scrubbed frame without try/finally, so an exception

@@ -305,3 +305,29 @@ def test_pca_power_scores_empty_input(spark):
     out = pca_power_scores(e)
     assert out.count() == 0
     assert out.columns == ["vec_id", "pc1_score"]
+
+
+def test_semantic_dedup_adaptive_k_matches_pinned_and_scales(spark):
+    """r09 verdict next-round #1: the semantic-dedup OPERATOR default
+    derives k from the corpus (k = max(floor, ceil(n/target))) so the
+    within-cell pair volume stays linear; an explicit k pins the old
+    fixed-cell behavior (the registry query does, for its oracle).
+    Adaptive k=None must equal the explicit-k call it resolves to."""
+    e = t(spark, SF, "embeddings")
+    n = e.count()
+    expect_k = max(
+        similarity.SEMANTIC_MIN_CELLS,
+        -(-n // similarity.SEMANTIC_TARGET_PER_CELL),
+    )
+    auto = similarity.semantic_dedup_pairs(e, threshold=0.3).collect()
+    pinned = similarity.semantic_dedup_pairs(e, k=expect_k, threshold=0.3).collect()
+    key = lambda r: (r["cell"], r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(auto, key=key) == sorted(pinned, key=key)
+    # a larger target -> fewer cells (but never below the floor)
+    few = similarity.semantic_dedup_pairs(
+        e, threshold=0.3, target_per_cell=10 ** 9
+    ).collect()
+    floor_pin = similarity.semantic_dedup_pairs(
+        e, k=similarity.SEMANTIC_MIN_CELLS, threshold=0.3
+    ).collect()
+    assert sorted(few, key=key) == sorted(floor_pin, key=key)
