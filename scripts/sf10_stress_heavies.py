@@ -34,6 +34,13 @@ Corpus construction (organic growth, never verbatim duplication):
 
 Results merge into SF1_STRESS.json under ``"x100_heavies"``.
 
+Round 10 adds the ``adaptive_scale_paths`` sub-section: the SAME
+decade corpora driven through the operators' scale-adaptive defaults
+(SemDeDup with corpus-derived k; the grid-contraction DBSCAN
+``spatial_dbscan_clusters``), recording pair/examined-pair exponents
+~<=1.0 where the fixture-pinned forms measure ~2.0 — the r09 verdict
+next-round #1 closure.
+
 Usage: python scripts/sf10_stress_heavies.py [out_json] [base_dir]
 (corpora are built once under base_dir/{x10,x100} and reused)
 """
@@ -161,21 +168,67 @@ def dbscan_pair_count(spark, sf_dir: str) -> int:
     ).count()
 
 
-def semantic_candidate_count(spark, sf_dir: str) -> int:
+def semantic_candidate_count(spark, sf_dir: str, k: int | None = 32) -> int:
     """sum(|cell| choose 2) over the SemDeDup cell assignment — the
     candidate-pair volume of ``dedup_semantic_cells``, computed from
     cell SIZES only (a groupBy count, never the join itself — at x100
     the join is the thing that fills the disk).  Same assignment
-    builders as the production operator."""
-    from sfs3_kinesis_spark.operators.similarity import _assign_cells, _quantized
+    builders as the production operator.  ``k=None`` = the operator's
+    ADAPTIVE default (k = max(floor, ceil(n/target)), r10): the
+    counter proving pair volume stays linear when cells scale with
+    the corpus, next to the fixed-k=32 registry pin that doesn't."""
+    from sfs3_kinesis_spark.operators.similarity import (
+        SEMANTIC_MIN_CELLS,
+        SEMANTIC_TARGET_PER_CELL,
+        _assign_cells,
+        _quantized,
+    )
     from sfs3_kinesis_spark.plans.core import t
     from sfs3_kinesis_spark.plans.llm_queries import KMEANS_SCALE
 
     dfv = _quantized(t(spark, sf_dir, "embeddings"), "embedding", "vec_id", KMEANS_SCALE)
-    seed = dfv.orderBy("id").limit(32).collect()
+    if k is None:
+        n = dfv.count()
+        k = max(SEMANTIC_MIN_CELLS, -(-n // SEMANTIC_TARGET_PER_CELL))
+    seed = dfv.orderBy("id").limit(k).collect()
     cents = [(i, list(r["vi"])) for i, r in enumerate(seed)]
     sizes = _assign_cells(dfv, cents).groupBy("cell").count().collect()
     return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+
+
+def dbscan_contraction_counters(spark, sf_dir: str) -> dict:
+    """Examined-pair counters for the grid-contraction DBSCAN
+    (operators/spatial.py dbscan_examined_pairs) on the same point
+    derivation as the registry queries — the r10 evidence that the
+    contraction's point-level comparison volume stays ~flat while the
+    naive radius join's pair count grows quadratically on the fixed
+    torus."""
+    from sfs3_kinesis_spark.operators.spatial import dbscan_examined_pairs
+    from sfs3_kinesis_spark.plans.core import t_nonnull
+    from sfs3_kinesis_spark.plans.retrieval_queries import DBSCAN_EPS, DBSCAN_MINPTS
+
+    p = (
+        t_nonnull(spark, sf_dir, "events", "value")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("id"),
+            (F.expr("CAST(floor(value * 100 + 0.5D) AS BIGINT)") % 1000).alias("x"),
+            (F.col("user_id") % 1000).alias("y"),
+        )
+    )
+    return dbscan_examined_pairs(
+        p, id_col="id", x="x", y="y", eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS
+    )
+
+
+def _exp(lo: int | float, hi: int | float):
+    """Decade exponent log10(hi/lo); 0.0 when both sides are zero
+    (flat), None when only the low side is zero (undefined)."""
+    if lo == 0 and hi == 0:
+        return 0.0
+    if lo <= 0:
+        return None
+    return round(math.log10(max(hi, 1e-9) / lo), 2)
 
 
 PAIR_COUNTERS = {
@@ -320,11 +373,75 @@ def main() -> int:
         )
         merge_out({"partial_results": results})
 
+    # ---- r10: ADAPTIVE scale paths (r09 verdict next-round #1) ----
+    # The registry queries above pin k=32 / enumerate eps-pairs for
+    # oracle reproducibility; the operator DEFAULTS now scale.  These
+    # rows are the evidence: pair exponents ~<=1.0 per decade.
+    adaptive: dict = {}
+    sem: dict = {"scales": {}}
+    for label, d in (("x1", SRC), ("x10", d10), ("x100", d100)):
+        try:
+            sem["scales"][label] = {
+                "pairs_adaptive_k": semantic_candidate_count(spark, d, k=None)
+            }
+        except Exception as exc:  # noqa: BLE001
+            crash_flags.append(f"semantic adaptive {label}: {str(exc)[:160]}")
+        clear_keyed_cache()
+    s = sem["scales"]
+    if "x1" in s and "x10" in s:
+        sem["exponent_pairs_x1_x10"] = _exp(
+            s["x1"]["pairs_adaptive_k"], s["x10"]["pairs_adaptive_k"]
+        )
+    if "x10" in s and "x100" in s:
+        sem["exponent_pairs_x10_x100"] = _exp(
+            s["x10"]["pairs_adaptive_k"], s["x100"]["pairs_adaptive_k"]
+        )
+    adaptive["dedup_semantic_cells_adaptive_k"] = sem
+    print(f"  semantic adaptive-k pairs: {sem}")
+
+    dbs: dict = {"scales": {}}
+    for label, d in (("x1", SRC), ("x10", d10), ("x100", d100)):
+        try:
+            scale.PIN_DECISIONS.clear()
+            r = time_query(spark, "spatial_dbscan_clusters", d)
+            clear_keyed_cache()
+            r.update(dbscan_contraction_counters(spark, d))
+            dbs["scales"][label] = r
+        except Exception as exc:  # noqa: BLE001
+            crash_flags.append(f"dbscan contraction {label}: {str(exc)[:160]}")
+        clear_keyed_cache()
+        spark.catalog.clearCache()
+    ds = dbs["scales"]
+    for lo, hi, tag in (("x1", "x10", "x1_x10"), ("x10", "x100", "x10_x100")):
+        if lo in ds and hi in ds:
+            dbs[f"exponent_wall_{tag}"] = _exp(
+                max(ds[lo]["steady"], 1e-3), max(ds[hi]["steady"], 1e-3)
+            )
+            dbs[f"exponent_examined_pairs_{tag}"] = _exp(
+                ds[lo]["examined_pairs"], ds[hi]["examined_pairs"]
+            )
+            dbs[f"exponent_points_{tag}"] = _exp(
+                ds[lo]["points"], ds[hi]["points"]
+            )
+    adaptive["spatial_dbscan_clusters_contraction"] = dbs
+    print(f"  dbscan contraction: {dbs}")
+    merge_out({"adaptive_scale_paths": adaptive})
+
     clear_keyed_cache()
     spark.catalog.clearCache()
     persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
 
     flags = list(crash_flags)
+    # adaptive-path gates: pair growth must track the corpus, not its
+    # square, and the contraction walls must stay ~linear
+    for tag, e in (
+        ("semantic adaptive x1->x10", sem.get("exponent_pairs_x1_x10")),
+        ("semantic adaptive x10->x100", sem.get("exponent_pairs_x10_x100")),
+        ("dbscan contraction wall x1->x10", dbs.get("exponent_wall_x1_x10")),
+        ("dbscan contraction wall x10->x100", dbs.get("exponent_wall_x10_x100")),
+    ):
+        if e is not None and e > 1.3:
+            flags.append(f"adaptive path super-linear: {tag} e={e}")
     for name, r in results.items():
         e = r["exponent_steady"]
         if e is None:
@@ -358,6 +475,7 @@ def main() -> int:
         "persisted_rdds_after": persisted_after,
         "flags": flags,
         "results": results,
+        "adaptive_scale_paths": adaptive,
     }
     doc = {}
     if os.path.exists(out_json):

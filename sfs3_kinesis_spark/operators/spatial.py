@@ -299,6 +299,13 @@ def _dbscan_parts(
         .select("id", "px", "py", "_cx", "_cy")
     )
     core = resolved.select("id", "px", "py", "_cx", "_cy").unionByName(promoted)
+    # the core table feeds the hub map, both sides of the distance-2
+    # existence checks AND the final cluster join — pin it so the
+    # (scan -> cell counts -> 9-sum join) chain runs once per query,
+    # with the usual leaf-sum guard deciding at corpus scale
+    from sfs3_kinesis_spark.operators.scale import pin_shared
+
+    core = pin_shared(core, tag="dbscan_cells_core")
     # hub contraction: one vertex per core cell
     corecells = core.groupBy("_cx", "_cy").agg(F.min("id").alias("hub"))
     d1 = (

@@ -55,6 +55,31 @@ def test_components_match_union_find(spark, lsh_pairs):
     assert comp == oracle
 
 
+def test_components_distributed_path_matches_driver_path(spark, monkeypatch):
+    """r10 adaptive CC: small graphs take the driver union-find path
+    (value-identical min reps, linear time); SFS3K_DRIVER_CC_MAX_EDGES=0
+    forces the distributed min-label loop.  Both paths must agree on
+    the adversarial high-diameter shape (a long path — the shape whose
+    round count degenerates) plus a clique and a singleton edge."""
+    rows = (
+        [(i, i + 1) for i in range(60)]          # 61-vertex path
+        + [(100, 101), (101, 102), (100, 102)]   # triangle
+        + [(200, 201)]                           # pair
+    )
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    via_driver = {
+        r["vertex"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
+    via_loop = {
+        r["vertex"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert via_driver == via_loop
+    assert via_driver[60] == 0 and via_driver[102] == 100 and via_driver[201] == 200
+
+
 def test_cluster_table_invariants(spark, lsh_pairs):
     docs = t(spark, SF, "documents")
     pairs = lsh_pairs
