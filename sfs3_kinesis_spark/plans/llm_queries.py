@@ -1319,17 +1319,18 @@ def _cluster_exact_oracle() -> str:
     _cluster_exact_oracle(),
     tags=("dedup", "clustering", "connected_components", "iterative", "exact_arithmetic"),
     description=(
-        "ORACLE-EXACT near-dup clustering: the distributed min-label "
-        "propagation (operators/dedup.py:connected_components — per "
-        "round one join + one aggregate on the vertex key, converges "
-        "in graph-diameter rounds with a scalar-only convergence "
-        "check) run over the md5 MinHash+LSH pair graph, value-"
-        "verified against a DuckDB RECURSIVE transitive-closure "
-        "fixpoint.  Proves the iterative clustering algorithm itself "
-        "— cluster membership, representative election (min doc_id), "
-        "sizes, and keeper flags — not just its row count (the "
-        "xxhash64 fast path dedup_cluster_assign stays rows-only by "
-        "construction)"
+        "ORACLE-EXACT near-dup clustering: adaptive connected "
+        "components (operators/dedup.py:connected_components — "
+        "bounded edge lists solve driver-side by min-representative "
+        "union-find, the broadcast-join analog; larger graphs run "
+        "the distributed min-label + pointer-jump loop with a "
+        "scalar-only convergence check) over the md5 MinHash+LSH "
+        "pair graph, value-verified against a DuckDB RECURSIVE "
+        "transitive-closure fixpoint.  Proves the clustering "
+        "algorithm itself — cluster membership, representative "
+        "election (min doc_id), sizes, and keeper flags — not just "
+        "its row count (the xxhash64 fast path dedup_cluster_assign "
+        "stays rows-only by construction)"
     ),
 )
 def dedup_cluster_exact(spark: SparkSession, sf_dir: str):

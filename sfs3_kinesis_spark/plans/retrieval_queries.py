@@ -850,9 +850,10 @@ def _dbscan_front(spark: SparkSession, sf_dir: str):
         "DBSCAN core-point clustering (eps=%d Chebyshev, minPts=%d): "
         "neighbor counts and core-core edges come from the grid "
         "radius join (operators/spatial.py — sum-of-cell-products, "
-        "never n^2), clusters from the distributed pointer-jumping "
-        "connected components (operators/dedup.py); isolated core "
-        "points cluster as themselves.  The composition every "
+        "never n^2), clusters from the adaptive connected components "
+        "(operators/dedup.py — driver union-find under the bounded "
+        "edge threshold, distributed min-label loop above it); "
+        "isolated core points cluster as themselves.  The composition every "
         "density-clustering pipeline needs at scale, value-verified "
         "against a DuckDB brute-force + RECURSIVE transitive-closure "
         "oracle.  Core points only: border assignment is visit-order-"
