@@ -312,20 +312,59 @@ def _assign_cells(dfv: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
 
     C = np.array([v for _, v in cents], dtype=np.int64)
     cids = np.array([c for c, _ in cents], dtype=np.int64)
+    c_sq = (C * C).sum(1)
+    Cf_T = C.astype(np.float64).T
 
     def fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["vi"].tolist(), dtype=np.int64)
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            k = d.argmin(1)
+            x_sq = (X * X).sum(1)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via matmul instead
+            # of the broadcast (X[:,None,:] - C[None,:,:]) tensor: the
+            # tensor is (batch x k x dim) int64 — 8 GB per 10k-row
+            # batch at k=1563 (adaptive SemDeDup at x100), and 32
+            # parallel Arrow workers OOM-killed the JVM (r10).  The
+            # matmul form is (batch x k) — 125 MB — and EXACT in float64
+            # whenever every term stays under 2^53: dot terms are
+            # bounded by max|x| * max|c| * dim, and float64 represents
+            # and adds integers exactly below 2^53.  Guarded: inputs
+            # outside the bound take a centroid-chunked exact int64
+            # path (strict-< running min keeps first-minimum/lowest-
+            # cell tie-breaking identical to argmin).
+            bound = (
+                (np.abs(X).max(initial=0) + 1)
+                * (np.abs(C).max(initial=0) + 1)
+                * max(C.shape[1], 1)
+            )
+            if bound < 2 ** 53:
+                d = (
+                    x_sq[:, None].astype(np.float64)
+                    + c_sq[None, :].astype(np.float64)
+                    - 2.0 * (X.astype(np.float64) @ Cf_T)
+                )
+                k = d.argmin(1)
+                dmin = d[np.arange(len(k)), k].astype(np.int64)
+            else:  # pragma: no cover - needs |coords| ~2^23+ at dim 64
+                nrows = max(len(X), 1)
+                step = max(1, 10 ** 8 // (nrows * max(C.shape[1], 1)))
+                dmin = np.full(len(X), np.iinfo(np.int64).max)
+                k = np.zeros(len(X), dtype=np.int64)
+                for lo in range(0, len(C), step):
+                    blk = C[lo : lo + step]
+                    db = ((X[:, None, :] - blk[None, :, :]) ** 2).sum(-1)
+                    bk = db.argmin(1)
+                    bmin = db[np.arange(len(bk)), bk]
+                    upd = bmin < dmin
+                    k[upd] = bk[upd] + lo
+                    dmin[upd] = bmin[upd]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "vi": pdf["vi"],
                     "cell": cids[k],
-                    "dist": d[np.arange(len(k)), k],
+                    "dist": dmin,
                 }
             )
 
