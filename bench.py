@@ -163,15 +163,21 @@ def main() -> None:
     warm_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
+        # label the jobs (guide §1.5) so event logs / the UI attribute
+        # every stage to its query and run kind; thread-local, no
+        # effect on the timed work or the JSON contract
+        spark.sparkContext.setJobDescription(f"bench:{name}:cold")
         t0 = time.time()
         materialize(spec.spark(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
         runs = []
-        for _ in range(3):
+        for i in range(3):
+            spark.sparkContext.setJobDescription(f"bench:{name}:warm{i + 1}")
             t0 = time.time()
             materialize(spec.spark(spark, sf_dir))
             runs.append(time.time() - t0)
         warm_runs[name] = runs
+        spark.sparkContext.setJobDescription(None)
         # a few operators persist shared intermediates (minhash shingle
         # table, kmeans quantized grid); drop them so one query's cache
         # never skews the next query's measurement
