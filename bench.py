@@ -235,6 +235,10 @@ def main() -> None:
         "streaming_quantile_events_per_sec": quantile_rate,
         "sf": sf,
         "cpus_affinity": n_cpus,
+        # the core count the harness was ASKED to run at (master
+        # local[N]) — r10 verdict: low-core runs self-mislabeled
+        # because sched_getaffinity still reports the box's 32
+        "cpus_requested": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "load_start_1m": load_start,
         "load_1m": load_1m,
     }
@@ -259,6 +263,7 @@ def main() -> None:
             "spread_pct": spread_pct,
             "load_tax": load_tax,
             "load_1m": load_1m,
+            "cpus_requested": detail["cpus_requested"],
             "sf": sf,
         }
     )

@@ -2,7 +2,7 @@
 
 Usage::
 
-    python scripts/capture_plans.py OUTDIR SUFFIX [SF_DIR] name [name ...]
+    python scripts/capture_plans.py OUTDIR SUFFIX [--sf-dir SF_DIR] name [name ...]
 
 Writes ``OUTDIR/<name>_<SUFFIX>.txt`` per query — the optimization
 rounds commit these under ``plans/r10/`` etc. so plan claims in the
@@ -10,7 +10,13 @@ round notes (Exchange counts, join strategies, pushdown, pin shape)
 are checkable without running Spark.  Mirrors ``plan_audit.py``'s
 byte-reproducibility discipline: the keyed pin LRU and the catalog
 cache are cleared before every capture so a capture never depends on
-what ran earlier in the session.
+what ran earlier in the session — and (r10 ADVICE) its AQE setting:
+AQE is disabled so the committed artifact shows the same STATIC plan
+the audit checks, not an AdaptiveSparkPlan wrapper.
+
+A failed capture writes ``<name>_<SUFFIX>.txt.FAILED`` (never the
+artifact itself) and the run exits nonzero (r10 ADVICE: failure text
+must not be committable as a plan by accident).
 """
 from __future__ import annotations
 
@@ -28,30 +34,41 @@ def explain_formatted(df) -> str:
     return df.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "formatted")
 
 
-def main() -> None:
+def main() -> int:
     outdir, suffix = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
-    if rest and os.path.isdir(rest[0]):
-        sf_dir, names = rest[0], rest[1:]
-    else:
-        sf_dir, names = "/root/testdata/sf0.001", rest
+    sf_dir = "/root/testdata/sf0.001"
+    if rest and rest[0] == "--sf-dir":
+        sf_dir, rest = rest[1], rest[2:]
+    names = rest
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("capture-plans")
+    # match plan_audit.py: capture the static plan, not the
+    # AdaptiveSparkPlan wrapper, so artifact and audit agree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     from sfs3_kinesis_spark.operators.scale import clear_keyed_cache
 
+    failed = 0
     for name in names:
         clear_keyed_cache()
         spark.catalog.clearCache()
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
         try:
             df = REGISTRY[name].spark(spark, sf_dir)
             text = explain_formatted(df)
         except Exception as exc:  # noqa: BLE001
+            failed += 1
+            path += ".FAILED"
             text = f"CAPTURE FAILED: {exc}"
-        path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(text)
         print(f"wrote {path} ({len(text)} bytes)")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

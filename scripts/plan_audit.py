@@ -227,6 +227,17 @@ ADAPTIVE_CC_LOCAL_ALLOWED = {
 }
 
 
+def _adaptive_cc_active() -> bool:
+    """The ADAPTIVE_CC_LOCAL_ALLOWED exemption only applies while the
+    driver-side union-find path is actually enabled (r10 ADVICE #1):
+    under ``SFS3K_DRIVER_CC_MAX_EDGES=0`` — the forced-distributed
+    audit mode — a large local leaf in those five plans would be a
+    genuine regression and must flag like any other query."""
+    from sfs3_kinesis_spark.operators.dedup import DRIVER_CC_MAX_EDGES
+
+    return DRIVER_CC_MAX_EDGES > 0
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
@@ -274,7 +285,9 @@ def main() -> None:
             lrows = max_local_rows(df)
         except Exception:  # noqa: BLE001 — connect mode has no _jdf
             lrows = 0
-        if lrows > LOCAL_ROWS_MAX and name not in ADAPTIVE_CC_LOCAL_ALLOWED:
+        if lrows > LOCAL_ROWS_MAX and not (
+            name in ADAPTIVE_CC_LOCAL_ALLOWED and _adaptive_cc_active()
+        ):
             flags.append(
                 f"- `{name}`: {lrows}-row LocalRelation leaf — a "
                 "driver-collected input masquerading as a plan "

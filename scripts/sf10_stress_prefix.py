@@ -159,10 +159,18 @@ def simjoin_stage_walls(spark, sf_dir: str, scratch: str) -> dict:
     d = spark.read.parquet(d_pq)
 
     def build_df_tbl():
+        # r11 production shape: hash-keyed vocabulary with the exact
+        # collision guard columns (operators/dedup._ranked_shingle_sets)
         return (
             d.select(F.explode("toks").alias("tok"))
-            .groupBy("tok")
-            .agg(F.count("*").alias("df"))
+            .filter(F.col("tok").isNotNull())
+            .groupBy(F.expr("xxhash64(tok)").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.min("tok").alias("_t1"),
+                F.max("tok").alias("_t2"),
+            )
+            .select("h", "df", (F.col("_t1") != F.col("_t2")).alias("_coll"))
         )
 
     walls["vocab_agg"] = _timed(spark, build_df_tbl)
@@ -171,14 +179,18 @@ def simjoin_stage_walls(spark, sf_dir: str, scratch: str) -> dict:
     df_tbl = spark.read.parquet(df_pq)
 
     def build_pref():
-        ranked = (
+        ph = (
             d.select("doc_id", F.explode("toks").alias("tok"))
-            .join(df_tbl, "tok")
+            .filter(F.col("tok").isNotNull())
+            .select("doc_id", F.expr("xxhash64(tok)").alias("h"))
+        )
+        ranked = (
+            ph.join(df_tbl.select("h", "df"), "h")
             .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("sorted_sh"))
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sorted_sh"))
             .select(
                 "doc_id",
-                F.expr("transform(sorted_sh, x -> x.tok)").alias("toks_sorted"),
+                F.expr("transform(sorted_sh, x -> x.h)").alias("toks_sorted"),
                 F.size("sorted_sh").alias("n"),
             )
         )

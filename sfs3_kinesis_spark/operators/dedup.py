@@ -19,6 +19,8 @@ All hashing uses ``xxhash64`` (Spark built-in, codegen'd).
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -199,18 +201,17 @@ def minhash_lsh_pairs(
     )
 
 
-def _ranked_shingle_sets(docs_with_shingles: DataFrame) -> DataFrame:
-    """(doc_id, toks_sorted, n): each document's distinct shingles
-    sorted rarest-first by corpus document frequency.
+def _ranked_shingle_sets_str(docs_with_shingles: DataFrame) -> DataFrame:
+    """String-keyed fallback of :func:`_ranked_shingle_sets` — the
+    pre-r11 formulation, kept as the EXACT escape hatch for the
+    (astronomically unlikely, but checked, never assumed) corpus
+    whose shingle vocabulary collides under xxhash64.
 
     The (df, shingle) struct IS the global total order — no
-    vocabulary-sized rank window.  This is the shared front half of
-    the exact prefix-filtered similarity joins below.  The df table
-    is vocabulary-sized: AQE broadcasts it at fixture/test scales,
-    but at corpus scale (100 TB of text, a 3-gram vocabulary that is
-    itself corpus-sized) the join degrades to a shuffle equi-join on
-    the shingle key — still scale-safe (narrow rows, no all-pairs),
-    just not broadcast; plan capacity for a shuffle here.
+    vocabulary-sized rank window.  The df table is vocabulary-sized:
+    AQE broadcasts it at fixture/test scales, but at corpus scale the
+    join degrades to a shuffle equi-join on the shingle key — still
+    scale-safe (narrow rows, no all-pairs).
     """
     d = docs_with_shingles.select("doc_id", "shingles")
     df_tbl = (
@@ -226,6 +227,101 @@ def _ranked_shingle_sets(docs_with_shingles: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr("transform(sorted_sh, x -> x.tok)").alias("toks_sorted"),
+            F.size("sorted_sh").alias("n"),
+        )
+    )
+
+
+#: xxhash64 vocabulary-collision verdicts, keyed by (session id,
+#: vocab-plan semanticHash) — see the memo note inside
+#: :func:`_ranked_shingle_sets`.  Bounded; cleared implicitly by
+#: session replacement (the id key no longer matches).
+_VOCAB_COLLISION_MEMO: dict = {}
+_VOCAB_COLLISION_LOCK = _threading.RLock()
+
+
+def _ranked_shingle_sets(
+    docs_with_shingles: DataFrame, *, tag: str = "shingle"
+) -> DataFrame:
+    """(doc_id, toks_sorted, n): each document's distinct shingles
+    sorted rarest-first by corpus document frequency — HASH-KEYED
+    (r11): ``toks_sorted`` is an ``array<bigint>`` of
+    ``xxhash64(shingle)`` values in (df, hash) order, not the shingle
+    strings.
+
+    Why (guide §2.3, shuffle fewer bytes / §4.2 cheap per-row work):
+    every downstream stage — the doc_id collect shuffle, the per-doc
+    rarest-first sort, the candidate equi-join on prefix elements,
+    and the exact ``array_intersect`` verification — only ever needs
+    shingle IDENTITY and a consistent global total order, never the
+    text.  An 8-byte hash is ~4x narrower than a 3-word shingle
+    string in every one of those shuffles, sorts/compares without
+    string allocation, and the prefix-filter guarantee holds under
+    ANY global total order, so switching the order from (df, tok) to
+    (df, xxhash64(tok)) cannot change which pairs are emitted.
+
+    Exactness is GUARDED, not assumed: the vocabulary aggregate
+    groups by the hash and keeps min/max of the underlying shingle
+    per group — any group whose min != max is a genuine 64-bit
+    collision, in which case this function returns the string-keyed
+    fallback (identical results, pre-r11 plan).  With no collision
+    the hash is injective over the vocabulary, so intersection sizes
+    and therefore every emitted (pair, score) row are EXACTLY those
+    of the string plan; the DuckDB all-pairs oracles re-prove this
+    per sweep.  NULL shingles (a NULL-text document's ``[text]``
+    fallback) are filtered before hashing, matching the null-unsafe
+    ``tok`` equi-join that dropped them in the string plan.
+
+    The vocabulary (h, df) table is pinned through the keyed LRU and
+    explicitly broadcast-joined to the postings at or below the
+    AQE/broadcast regime's natural threshold — at corpus scale the
+    vocabulary is itself corpus-sized and the join degrades to a
+    shuffle equi-join on the hash (narrow rows, no all-pairs).
+    """
+    d = docs_with_shingles.select("doc_id", "shingles")
+    ex = d.select("doc_id", F.explode("shingles").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    voc_plan = (
+        ex.groupBy(F.expr("xxhash64(tok)").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("tok").alias("_t1"),
+            F.max("tok").alias("_t2"),
+        )
+        .select("h", "df", (F.col("_t1") != F.col("_t2")).alias("_coll"))
+    )
+    voc = pin_shared(voc_plan, tag=f"{tag}_vocab")
+    # collision verdict memo: the check is a pure function of the
+    # (immutable within a session) source data and the vocab plan, so
+    # one action per (session, plan) suffices — same validity domain
+    # as Spark's own catalog cache and the pin LRU.  Without the memo
+    # every warm re-build of a prefix-join query pays a vocab-scan
+    # action just to re-learn "no collision" (measured +0.2 s steady
+    # on similarity_join_prefix_filter at sf0.1).
+    try:
+        memo_key = (id(docs_with_shingles.sparkSession), voc_plan.semanticHash())
+    except Exception:  # noqa: BLE001 — connect mode / exotic plans
+        memo_key = None
+    with _VOCAB_COLLISION_LOCK:
+        collided = _VOCAB_COLLISION_MEMO.get(memo_key) if memo_key is not None else None
+    if collided is None:
+        collided = not voc.filter("_coll").isEmpty()
+        if memo_key is not None:
+            with _VOCAB_COLLISION_LOCK:
+                if len(_VOCAB_COLLISION_MEMO) >= 256:
+                    _VOCAB_COLLISION_MEMO.pop(next(iter(_VOCAB_COLLISION_MEMO)), None)
+                _VOCAB_COLLISION_MEMO[memo_key] = collided
+    if collided:
+        return _ranked_shingle_sets_str(docs_with_shingles)
+    ph = ex.select("doc_id", F.expr("xxhash64(tok)").alias("h"))
+    return (
+        ph.join(voc.select("h", "df"), "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("sorted_sh"))
+        .select(
+            "doc_id",
+            F.expr("transform(sorted_sh, x -> x.h)").alias("toks_sorted"),
             F.size("sorted_sh").alias("n"),
         )
     )

@@ -539,39 +539,52 @@ def _simjoin_prefix_frame(spark: SparkSession, sf_dir: str):
     """(doc_id, toks_sorted, n, prefix): each document's distinct
     3-shingles rarest-first plus its t=0.9 prefix slice — the shared
     front half of :func:`similarity_join_prefix_filter` and its
-    candidate-stage instrumentation twin."""
-    from sfs3_kinesis_spark.operators.dedup import shingles
+    candidate-stage instrumentation twin.
+
+    r11: rides the HASH-KEYED ranked-set builder
+    (:func:`~sfs3_kinesis_spark.operators.dedup._ranked_shingle_sets`)
+    — ``toks_sorted``/``prefix`` carry 8-byte xxhash64 shingle ids in
+    (df, hash) order instead of shingle strings, with the exact
+    collision guard and string fallback documented there.  No global
+    rank assignment either way (that would be a vocabulary-sized
+    single-partition window): the (df, hash) struct IS the total
+    order, and the prefix-filter guarantee holds under any global
+    total order, so the emitted pairs are unchanged."""
+    from sfs3_kinesis_spark.operators.dedup import _ranked_shingle_sets, shingles
 
     docs = t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 3)
-    d = shingles(docs, n=3, out_col="toks").select("doc_id", "toks")
-    df_tbl = (
-        d.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
-    # No global rank assignment (that would be a vocabulary-sized
-    # single-partition window): the (df, tok) struct IS the total
-    # order, so each doc just sorts its own shingles rarest-first
-    # and the candidate join keys on the shingle string itself.
-    ranked = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .join(df_tbl, "tok")  # AQE broadcasts the vocab side at fixture scale
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("sorted_sh")
-        )
-        .select(
-            "doc_id",
-            F.expr("transform(sorted_sh, x -> x.tok)").alias("toks_sorted"),
-            F.size("sorted_sh").alias("n"),
-        )
-    )
+    d = shingles(docs, n=3).select("doc_id", "shingles")
+    ranked = _ranked_shingle_sets(d, tag="simjoin")
     # prefix length = n - ceil(0.9 n) + 1;  ceil(0.9n) = (9n + 9) DIV 10
     pref = ranked.withColumn(
         "prefix", F.expr("slice(toks_sorted, 1, n - ((9 * n + 9) DIV 10) + 1)")
     )
     # shared by the candidate join AND the array join-back
     return pin_shared(pref, tag="simjoin_prefix")
+
+
+def similarity_join_prefix_verify(pref, cand):
+    """Verification stage of :func:`similarity_join_prefix_filter`,
+    isolated: exact integer Jaccard on candidate pairs via join-back
+    to the per-doc sorted arrays.  Used by the stage-isolation
+    harness (scripts/sf10_stress_prefix.py) so the verify wall can be
+    timed from parquet-backed inputs; the production query composes
+    the same expressions inline."""
+    arrs = pref.select("doc_id", "toks_sorted")
+    ver = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks_sorted").alias("ra")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks_sorted").alias("rb")),
+            "doc_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("ra", "rb")))
+    )
+    return ver.filter(F.expr("10 * i >= 9 * (s - i)")).select(
+        "doc_a", "doc_b", F.expr("(10000 * i) DIV (s - i)").cast("long").alias("jac_bp")
+    )
 
 
 def similarity_join_prefix_candidates(spark: SparkSession, sf_dir: str, pref=None):
