@@ -228,14 +228,16 @@ ADAPTIVE_CC_LOCAL_ALLOWED = {
 
 
 def _adaptive_cc_active() -> bool:
-    """The ADAPTIVE_CC_LOCAL_ALLOWED exemption only applies while the
-    driver-side union-find path is actually enabled (r10 ADVICE #1):
-    under ``SFS3K_DRIVER_CC_MAX_EDGES=0`` — the forced-distributed
+    """The ADAPTIVE_CC_LOCAL_ALLOWED exemption only applies while a
+    driver-side adaptive strategy is actually enabled (r10 ADVICE #1):
+    with BOTH ``SFS3K_DRIVER_CC_MAX_EDGES=0`` and
+    ``SFS3K_DRIVER_DBSCAN_MAX_CELLS=0`` — the forced-distributed
     audit mode — a large local leaf in those five plans would be a
     genuine regression and must flag like any other query."""
     from sfs3_kinesis_spark.operators.dedup import DRIVER_CC_MAX_EDGES
+    from sfs3_kinesis_spark.operators.spatial import DRIVER_DBSCAN_MAX_CELLS
 
-    return DRIVER_CC_MAX_EDGES > 0
+    return DRIVER_CC_MAX_EDGES > 0 or DRIVER_DBSCAN_MAX_CELLS > 0
 
 
 def main() -> None:

@@ -663,10 +663,12 @@ def simhash_multiprobe_pairs(
     )
 
 
-#: adaptive strategy threshold for :func:`connected_components`: an
-#: undirected edge list at or below this many (directed, deduped)
-#: rows is solved DRIVER-SIDE by union-find instead of the iterative
-#: distributed loop.  Rationale (r10): the min-label + pointer-jump
+#: adaptive strategy threshold for :func:`connected_components`: a
+#: pair table at or below this many RAW rows (an upper bound on the
+#: deduped directed edge count — r11 moved the gate before the
+#: orientation-explode/dedup so small graphs skip that shuffle
+#: entirely) is solved DRIVER-SIDE by union-find instead of the
+#: iterative distributed loop.  Rationale (r10): the min-label + pointer-jump
 #: loop converges in ~GRAPH-DIAMETER rounds on mesh-like graphs (the
 #: label of an intermediate local minimum is itself, so the jump has
 #: no chain to compress and the global min creeps one hop per round —
@@ -749,7 +751,8 @@ def connected_components(
     cluster; singleton vertices (no pair) are absent — callers union
     them back as their own components if needed.
 
-    Strategy is ADAPTIVE on the measured edge count (r10; see
+    Strategy is ADAPTIVE on the measured pair count (r10, gate moved
+    ahead of the orientation-explode/dedup shuffle in r11; see
     ``DRIVER_CC_MAX_EDGES``): bounded graphs solve driver-side in
     linear time (union-find, value-identical min representatives),
     unbounded graphs run the distributed loop.  Mesh-diameter graphs
@@ -759,33 +762,34 @@ def connected_components(
     under the threshold, so the loop is now the big-graph path only.
     """
     f = F
-    # undirected edge list, both orientations, in ONE pass over the
-    # pair table (a union of two selects would compute the upstream
-    # pair plan twice — for LSH pairs that is the dominant cost)
-    edges = (
-        pairs.select(
-            f.explode(
-                f.array(
-                    f.struct(f.col(a_col).alias("src"), f.col(b_col).alias("dst")),
-                    f.struct(f.col(b_col).alias("src"), f.col(a_col).alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
-
-    n_edges = edges.count()
-    if 0 < DRIVER_CC_MAX_EDGES >= n_edges:
-        # bounded: collect the deduped half (src < dst) and union-find
-        # on the driver.  The count above already materialized the
-        # persisted edge table, so this is a cheap cached filter.
+    # gate on the RAW pair-row count (r11): the pre-r10 formulation
+    # exploded both orientations and dropDuplicates-shuffled BEFORE
+    # the strategy decision, so even a 21k-edge graph paid an
+    # orientation explode + a dedup shuffle + a persist just to learn
+    # it should be solved driver-side (measured ~1.3 s of fixed
+    # multi-job cost per DBSCAN invocation at sf0.1).  Union-find is
+    # insensitive to duplicates and orientation, so the driver path
+    # collects the raw (a, b) rows directly; the raw count is an
+    # upper bound on the deduped directed count, so gating on it is
+    # strictly conservative (a duplicate-heavy pair table falls back
+    # to the distributed loop earlier, never later).  The pair table
+    # is persisted so the upstream pair plan (for LSH pairs, the
+    # dominant cost) runs exactly once either way.
+    pairs_nn = pairs.select(f.col(a_col).alias("src"), f.col(b_col).alias("dst")).persist()
+    n_pairs = pairs_nn.count()
+    if 0 < DRIVER_CC_MAX_EDGES >= n_pairs:
+        # bounded: collect the raw pairs and union-find on the driver.
         # Arrow toPandas when available: row-object collect() moves
         # ~50-100k rows/s through py4j pickling, Arrow ~millions/s —
         # at the 2M-edge threshold that is seconds vs sub-second.
+        # Self-pairs and NULL endpoints are excluded exactly as the
+        # old (explode -> dedup -> src < dst) pipeline excluded them.
         try:
-            half_df = edges.filter(f.col("src") < f.col("dst"))
+            half_df = pairs_nn.filter(
+                f.col("src").isNotNull()
+                & f.col("dst").isNotNull()
+                & (f.col("src") != f.col("dst"))
+            )
             try:
                 pdf = half_df.toPandas()
                 edge_rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
@@ -816,7 +820,23 @@ def connected_components(
             except Exception:  # noqa: BLE001 — no pandas/Arrow
                 return spark.createDataFrame(list(comp.items()), schema)
         finally:
-            edges.unpersist()
+            pairs_nn.unpersist()
+
+    # undirected edge list, both orientations, in ONE pass over the
+    # (persisted) pair table
+    edges = (
+        pairs_nn.select(
+            f.explode(
+                f.array(
+                    f.struct(f.col("src"), f.col("dst")),
+                    f.struct(f.col("dst").alias("src"), f.col("src").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
 
     # initialize each vertex at its neighborhood minimum — one
     # groupBy that is exactly the first propagation round for free;
@@ -866,6 +886,7 @@ def connected_components(
             )
     finally:
         edges.unpersist()
+        pairs_nn.unpersist()
     return labels
 
 

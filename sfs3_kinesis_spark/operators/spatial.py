@@ -18,9 +18,22 @@ spots) fall under AQE skew-join handling or the salted-join rescue.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+#: adaptive topology threshold for :func:`_dbscan_parts` (r11): a
+#: contracted core-cell table at or below this many cells is
+#: collected once and its d1/d2/blocked hub topology computed
+#: driver-side (O(#cells) dict lookups, identical edge set); above
+#: it, the distributed explode-join formulation runs.  Same strategy
+#: family as ``SFS3K_DRIVER_CC_MAX_EDGES`` (operators/dedup.py); 0
+#: forces the distributed path (the test/audit lever).
+DRIVER_DBSCAN_MAX_CELLS = int(
+    _os.environ.get("SFS3K_DRIVER_DBSCAN_MAX_CELLS", "2000000")
+)
 
 
 def _floor_div(col: str, cell: int) -> str:
@@ -308,6 +321,123 @@ def _dbscan_parts(
     core = pin_shared(core, tag="dbscan_cells_core")
     # hub contraction: one vertex per core cell
     corecells = core.groupBy("_cx", "_cy").agg(F.min("id").alias("hub"))
+    spark = points.sparkSession
+    # Adaptive topology strategy (r11, the CC pattern one level up):
+    # the d1/d2/blocked/todo cell topology is pure set arithmetic
+    # over the CONTRACTED cell table — bounded by #cells, not #points
+    # — yet the distributed formulation re-aggregates corecells from
+    # the pinned core five times and spends ~8 exchanges
+    # (explode-join x2, broadcast semi, anti, distinct) computing
+    # edges among a few thousand vertices (measured: ~1.3 s of the
+    # 2.46 s sf0.1 steady, and the bulk of the x100 8.8 s wall, with
+    # examined point-pairs = 0).  At or below
+    # ``SFS3K_DRIVER_DBSCAN_MAX_CELLS`` (bounded short-circuit
+    # limit+1 collect, the guard_all_pairs pattern) the cell table is
+    # collected ONCE and the topology — d1 edges, d2 candidates, the
+    # core-intermediate blocking rule — is computed driver-side in
+    # O(#cells) dict lookups; only the point-level d2 existence
+    # checks (todo join against the pinned core) stay in Spark.  The
+    # edge SET is identical by construction (same offsets, same
+    # blocking rule), so clustering output is unchanged; above the
+    # threshold the distributed formulation runs exactly as before.
+    # Recomputed per invocation from the parquet inputs — a strategy
+    # choice, not result caching.
+    local_cells = None
+    if DRIVER_DBSCAN_MAX_CELLS > 0:
+        try:
+            pdf = corecells.limit(DRIVER_DBSCAN_MAX_CELLS + 1).toPandas()
+            if len(pdf) <= DRIVER_DBSCAN_MAX_CELLS:
+                local_cells = pdf
+        except Exception:  # noqa: BLE001 — no pandas/Arrow: distributed path
+            local_cells = None
+    if local_cells is not None:
+        ctypes = dict(corecells.dtypes)
+
+        def _py(v):  # numpy scalar -> plain python (createDataFrame rows)
+            return v.item() if hasattr(v, "item") else v
+
+        cells = {
+            (_py(cx), _py(cy)): _py(hub)
+            for cx, cy, hub in zip(
+                local_cells["_cx"], local_cells["_cy"], local_cells["hub"]
+            )
+        }
+        d1_edges = []
+        todo_rows = []
+        for (cx, cy) in sorted(cells):
+            hub = cells[(cx, cy)]
+            for dx, dy in _D1_OFFS:
+                nb = cells.get((cx + dx, cy + dy))
+                if nb is not None:
+                    d1_edges.append((hub, nb))
+            for dx, dy in _D2_OFFS:
+                nb_key = (cx + dx, cy + dy)
+                nb = cells.get(nb_key)
+                if nb is None:
+                    continue
+                # blocked: a core intermediate adjacent to both
+                # endpoints already connects them through two
+                # guaranteed d1 edges — skip the point check
+                if any(
+                    (cx + ix, cy + iy) in cells
+                    for ix, iy in _D2_INTERMEDIATES[(dx, dy)]
+                ):
+                    continue
+                todo_rows.append((hub, nb, cx, cy, nb_key[0], nb_key[1]))
+        # rebuild the (tiny) frames locally with the source types so
+        # downstream joins/unions see identical schemas; pandas +
+        # Arrow createDataFrame — the tuple-list path pickles row by
+        # row (~200 ms for 20k edges), Arrow ships one batch
+        import pandas as pd
+
+        ht, xt, yt = ctypes["hub"], ctypes["_cx"], ctypes["_cy"]
+        corecells = spark.createDataFrame(
+            local_cells, f"_cx {xt}, _cy {yt}, hub {ht}"
+        )
+        d1 = spark.createDataFrame(
+            pd.DataFrame(d1_edges, columns=["hub_a", "hub_b"]),
+            f"hub_a {ht}, hub_b {ht}",
+        )
+        todo = spark.createDataFrame(
+            pd.DataFrame(
+                todo_rows, columns=["hub_a", "hub_b", "ax", "ay", "bx", "by"]
+            ),
+            f"hub_a {ht}, hub_b {ht}, ax {xt}, ay {yt}, bx {xt}, by {yt}",
+        )
+    else:
+        d1, todo = _distributed_cell_topology(spark, corecells)
+    ca = core.select(F.col("px").alias("pax"), F.col("py").alias("pay"),
+                     F.col("_cx").alias("ax"), F.col("_cy").alias("ay"))
+    cb = core.select(F.col("px").alias("pbx"), F.col("py").alias("pby"),
+                     F.col("_cx").alias("bx"), F.col("_cy").alias("by"))
+    d2_rows = todo.join(ca, ["ax", "ay"]).join(cb, ["bx", "by"])
+    d2 = (
+        d2_rows.filter(
+            F.greatest(F.abs(F.col("pax") - F.col("pbx")), F.abs(F.col("pay") - F.col("pby"))) <= eps
+        )
+        .select("hub_a", "hub_b")
+        .distinct()
+    )
+    edges = d1.unionByName(d2)
+    return {
+        "p": p,
+        "cellcnt": cellcnt,
+        "pb": pb,
+        "unresolved": unresolved,
+        "ring_rows": ring_rows,
+        "core": core,
+        "corecells": corecells,
+        "todo": todo,
+        "d2_rows": d2_rows,
+        "edges": edges,
+    }
+
+
+def _distributed_cell_topology(spark, corecells):
+    """The pre-r11 distributed d1/d2/blocked/todo formulation —
+    the above-threshold path of :func:`_dbscan_parts` (and the
+    forced-distributed equivalence lever for tests, via
+    ``SFS3K_DRIVER_DBSCAN_MAX_CELLS=0``).  Returns (d1, todo)."""
     d1 = (
         corecells.select(
             "hub", "_cx", "_cy",
@@ -330,7 +460,6 @@ def _dbscan_parts(
         for (dx, dy), inters in _D2_INTERMEDIATES.items()
         for ix, iy in inters
     ]
-    spark = points.sparkSession
     inter_tbl = spark.createDataFrame(
         inter_rows, "dx int, dy int, ix int, iy int"
     )
@@ -363,32 +492,10 @@ def _dbscan_parts(
         .select("hub_a", "hub_b")
         .distinct()
     )
-    todo = cand2.join(blocked, ["hub_a", "hub_b"], "left_anti")
-    ca = core.select(F.col("px").alias("pax"), F.col("py").alias("pay"),
-                     F.col("_cx").alias("ax"), F.col("_cy").alias("ay"))
-    cb = core.select(F.col("px").alias("pbx"), F.col("py").alias("pby"),
-                     F.col("_cx").alias("bx"), F.col("_cy").alias("by"))
-    d2_rows = todo.join(ca, ["ax", "ay"]).join(cb, ["bx", "by"])
-    d2 = (
-        d2_rows.filter(
-            F.greatest(F.abs(F.col("pax") - F.col("pbx")), F.abs(F.col("pay") - F.col("pby"))) <= eps
-        )
-        .select("hub_a", "hub_b")
-        .distinct()
+    todo = cand2.join(blocked, ["hub_a", "hub_b"], "left_anti").select(
+        "hub_a", "hub_b", "ax", "ay", "bx", "by"
     )
-    edges = d1.unionByName(d2)
-    return {
-        "p": p,
-        "cellcnt": cellcnt,
-        "pb": pb,
-        "unresolved": unresolved,
-        "ring_rows": ring_rows,
-        "core": core,
-        "corecells": corecells,
-        "todo": todo,
-        "d2_rows": d2_rows,
-        "edges": edges,
-    }
+    return d1, todo
 
 
 def dbscan_examined_pairs(

@@ -119,6 +119,45 @@ def test_dbscan_contraction_matches_oracle_twin_on_fixture(spark):
     assert scalable == naive
 
 
+def test_dbscan_driver_topology_matches_distributed(spark, monkeypatch):
+    """r11 adaptive cell topology: the driver-side d1/d2/blocked hub
+    topology (default) and the forced-distributed explode-join
+    formulation (SFS3K_DRIVER_DBSCAN_MAX_CELLS=0) must produce
+    identical clusters on a sparse geometry that exercises d1 edges,
+    blocked d2 pairs AND unblocked d2 existence checks."""
+    from sfs3_kinesis_spark.operators import spatial
+
+    # sparse diagonal chains + isolated dense pockets: cells at
+    # distance 2 with and without core intermediates
+    rows = []
+    rid = 0
+    for base in (0, 40, 80):
+        for a in range(4):
+            for b in range(4):
+                rows.append((rid, base + a, base + b))
+                rid += 1
+        # a far pocket whose cells sit at cell-distance 2 from the blob
+        for a in range(4):
+            for b in range(4):
+                rows.append((rid, base + a + 7, base + b + 7))
+                rid += 1
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    def run():
+        return {
+            (r["id"], r["cluster_rep"])
+            for r in dbscan_core_clusters(
+                df, id_col="id", x="x", y="y", eps=7, min_pts=4
+            ).collect()
+        }
+
+    got_driver = run()
+    monkeypatch.setattr(spatial, "DRIVER_DBSCAN_MAX_CELLS", 0)
+    got_dist = run()
+    assert got_driver == got_dist
+    assert got_driver  # non-trivial fixture
+
+
 def test_dbscan_examined_pairs_accounting(spark):
     """The instrumentation twin's invariants: examined = ring + d2
     point rows; a dense single blob resolves every point through the
