@@ -543,7 +543,18 @@ def simhash(docs: DataFrame, out_col: str = "simhash") -> DataFrame:
         f"(CASE WHEN 2 * _s{b} > _n THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b in range(64)
     )
-    fp = sums.select("doc_id", F.expr(bits).alias(out_col))
+    # the (doc_id, simhash) aggregate is 16 bytes/doc but costs a
+    # full token explode + 65-column aggregate to build — pin it so
+    # plans with two simhash tiers (dedup_lsh_recall_audit runs the
+    # single-prefix AND the multiprobe bucketing over the same
+    # fingerprints) compute it once; Catalyst performs no CSE across
+    # join branches, so without the pin the audit paid the xxhash
+    # token pass twice (§5: cache what is reused and cheap to hold).
+    # Single-consumer queries pay one trivial persist of the narrow
+    # frame; the leaf-sum guard still unpins at corpus scale.
+    from sfs3_kinesis_spark.operators.scale import pin_shared
+
+    fp = pin_shared(sums.select("doc_id", F.expr(bits).alias(out_col)), tag="simhash_fp")
     return docs.join(fp, "doc_id", "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
     )

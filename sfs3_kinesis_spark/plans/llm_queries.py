@@ -207,10 +207,21 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     # proven lossless against the brute-force oracle by the
     # dedup_ngram_jaccard registry entry) — the audit no longer pays
     # an n²/2 theta join for its truth set (496 s -> ~3 s at sf0.1).
-    truth = dedup.jaccard_pairs_exact(
-        dedup.shingles(docs, n=3).select("doc_id", "shingles"),
-        threshold_bp=4000,
-    ).select("doc_a", "doc_b")
+    # the truth PAIR LIST feeds one full_outer join PER METHOD — three
+    # consumers of the same frame in one plan, and Catalyst performs
+    # no CSE across join branches, so without a pin the whole
+    # prefix-filtered candidates+verify pipeline ran three times per
+    # audit (r11; §5 cache what is reused).  The pair list itself is
+    # tiny (true near-dup pairs); the leaf-sum guard unpins at corpus
+    # scale, where each consumer recomputes — linear extra work, no
+    # storage thrash.
+    truth = pin_shared(
+        dedup.jaccard_pairs_exact(
+            dedup.shingles(docs, n=3).select("doc_id", "shingles"),
+            threshold_bp=4000,
+        ).select("doc_a", "doc_b"),
+        tag="lsh_audit_truth",
+    )
     methods = [
         (
             "minhash_lsh",
