@@ -38,6 +38,17 @@ def main() -> int:
     outdir, suffix = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     sf_dir = "/root/testdata/sf0.001"
+    executed = False
+    if rest and rest[0] == "--executed":
+        # capture the FINAL adaptive plan after actually running the
+        # query through the noop sink (AQE on, the production
+        # configuration): static estimates cannot see a pinned
+        # intermediate's real size, so join strategies in the static
+        # capture can differ from what executes — e.g. the r11
+        # hash-keyed vocabulary join plans as SMJ statically and runs
+        # as a broadcast under AQE.  Use this mode to document
+        # runtime join strategy claims.
+        executed, rest = True, rest[1:]
     if rest and rest[0] == "--sf-dir":
         sf_dir, rest = rest[1], rest[2:]
     names = rest
@@ -47,9 +58,10 @@ def main() -> int:
         return 2
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("capture-plans")
-    # match plan_audit.py: capture the static plan, not the
-    # AdaptiveSparkPlan wrapper, so artifact and audit agree
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if not executed:
+        # match plan_audit.py: capture the static plan, not the
+        # AdaptiveSparkPlan wrapper, so artifact and audit agree
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     from sfs3_kinesis_spark.operators.scale import clear_keyed_cache
 
     failed = 0
@@ -59,7 +71,11 @@ def main() -> int:
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         try:
             df = REGISTRY[name].spark(spark, sf_dir)
-            text = explain_formatted(df)
+            if executed:
+                df.write.format("noop").mode("overwrite").save()
+                text = df._jdf.queryExecution().executedPlan().toString()
+            else:
+                text = explain_formatted(df)
         except Exception as exc:  # noqa: BLE001
             failed += 1
             path += ".FAILED"
